@@ -1,0 +1,68 @@
+"""Benchmark: Mrays/s of the wavefront path tracer on real hardware.
+
+Protocol mirrors the reference's in-app measurement (avg over frames with
+warmup excluded, Sample.cpp:1430-1440) on the BASELINE.json ladder scene
+class: Cornell-style interior at 1080p, reference mode.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 200 (the BASELINE.md >=200 Mrays/s v5e-8 target,
+scaled by nothing — single-chip numbers count against the same bar).
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from rtxpt_tpu.config import PathTracerConfig, NEEMode
+    from rtxpt_tpu.prepare import prepare
+    from rtxpt_tpu.pt.integrator import render_sample_jit
+    from rtxpt_tpu.scene.procedural import cornell_box, default_camera
+
+    width, height = 1920, 1080
+    spp_timed = 4
+
+    host = cornell_box()
+    scene = prepare(host)
+    cam = default_camera(host, width, height)
+    cfg = PathTracerConfig(max_bounces=4, nee=NEEMode.POWER,
+                           ray_chunk=1 << 17)
+
+    # Warmup (compile) — excluded from timing.
+    out = render_sample_jit(scene, cam, cfg, width, height, jnp.uint32(0))
+    jax.block_until_ready(out["L"])
+
+    t0 = time.perf_counter()
+    total_rays = 0
+    acc = None
+    for s in range(1, 1 + spp_timed):
+        out = render_sample_jit(scene, cam, cfg, width, height,
+                                jnp.uint32(s))
+        acc = out["L"] if acc is None else acc + out["L"]
+        total_rays += int(out["ray_count"])
+    jax.block_until_ready(acc)
+    dt = time.perf_counter() - t0
+
+    mrays = total_rays / dt / 1e6
+    ms_per_frame = dt / spp_timed * 1e3
+    result = {
+        "metric": "pathtrace_throughput",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 200.0, 4),
+        "detail": {
+            "scene": "cornell_box", "res": f"{width}x{height}",
+            "spp_timed": spp_timed, "bounces": cfg.max_bounces,
+            "rays": total_rays, "ms_per_frame_1spp": round(ms_per_frame, 2),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,150 @@
+"""Wavefront BVH traversal + ray/triangle intersection (device code).
+
+Replaces DXR RayQuery scatter/visibility rays (reference:
+PathTracerBridgeDonut.hlsli:996 traceScatterRay, :1034 traceVisibilityRay).
+
+The kernel is a single `lax.while_loop` over traversal steps; per step every
+ray in the wavefront advances one node of the threaded BVH (accel/bvh.py).
+All memory access is gathers (jnp.take) — no stacks, no scatters — which is
+the shape XLA:TPU vectorizes well. Rays that finish early idle via masks
+until the wavefront drains (the classic lockstep-SIMT trade; ray sorting in
+ops/ restores coherence).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from rtxpt_tpu.accel.bvh import ThreadedBVH
+
+_INVD_MAX = 1e30
+_TRI_EPS = 1e-9
+
+
+@struct.dataclass
+class Hit:
+    t: jnp.ndarray        # [N] f32 hit distance (tmax where missed)
+    prim: jnp.ndarray     # [N] i32 original triangle id, -1 = miss
+    bary: jnp.ndarray     # [N,2] f32 barycentrics (u toward v1, v toward v2)
+    front: jnp.ndarray    # [N] bool geometric front face (ccw)
+
+    @property
+    def miss(self):
+        return self.prim < 0
+
+
+def _safe_inv(d):
+    mag = jnp.abs(d)
+    sgn = jnp.where(d >= 0.0, 1.0, -1.0)
+    return jnp.where(mag > 1e-24, 1.0 / jnp.where(mag > 1e-24, d, 1.0),
+                     sgn * _INVD_MAX)
+
+
+def _gather(arr, idx):
+    return jnp.take(arr, idx, axis=0)
+
+
+def _tri_intersect(bvh: ThreadedBVH, pr, o, d, tmin, tbest):
+    """Möller–Trumbore against packed triangle `pr` (clamped valid index).
+
+    Returns (t, u, v, front, valid_geometry_hit_in_range)."""
+    v0 = _gather(bvh.tri_v0, pr)
+    e1 = _gather(bvh.tri_e1, pr)
+    e2 = _gather(bvh.tri_e2, pr)
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    front = det > 0.0
+    inv_det = jnp.where(jnp.abs(det) > _TRI_EPS, 1.0 / jnp.where(
+        jnp.abs(det) > _TRI_EPS, det, 1.0), 0.0)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    valid = ((jnp.abs(det) > _TRI_EPS)
+             & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+             & (t > tmin) & (t < tbest))
+    return t, u, v, front, valid
+
+
+def _traverse(bvh: ThreadedBVH, o, d, tmin, tmax, any_hit: bool,
+              max_steps: int = 0):
+    """Core traversal. o,d: [N,3]; tmin,tmax: [N]. Returns Hit [N]."""
+    n = o.shape[0]
+    invd = _safe_inv(d)
+
+    # Derive the initial carry from ALL ray inputs so while_loop carry types
+    # match the body outputs under shard_map manual sharding (vma: constants
+    # and replicated operands are unvarying, body outputs varying — e.g. a
+    # camera origin broadcast from a replicated Camera is unvarying while
+    # the jittered directions are varying).
+    zero = (o[..., 0] + d[..., 0] + tmin + tmax) * 0.0
+    state = dict(
+        node=zero.astype(jnp.int32),
+        t=jnp.asarray(tmax, jnp.float32) + zero,
+        prim=zero.astype(jnp.int32) - 1,
+        uv=jnp.stack([zero, zero], axis=-1),
+        front=zero > 1.0,
+        steps=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s):
+        alive = jnp.any(s["node"] >= 0)
+        if max_steps:
+            alive = alive & (s["steps"] < max_steps)
+        return alive
+
+    def body(s):
+        node = s["node"]
+        active = node >= 0
+        nd = jnp.maximum(node, 0)
+
+        bmin = _gather(bvh.node_min, nd)
+        bmax = _gather(bvh.node_max, nd)
+        t0 = (bmin - o) * invd
+        t1 = (bmax - o) * invd
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        tn = jnp.maximum(tn, tmin)
+        tf = jnp.minimum(tf, s["t"])
+        aabb_hit = (tn <= tf) & active
+
+        pr = _gather(bvh.node_prim, nd)
+        is_leaf = pr >= 0
+        th, u, v, front, tri_hit = _tri_intersect(
+            bvh, jnp.maximum(pr, 0), o, d, tmin, s["t"])
+        tri_hit = tri_hit & is_leaf & aabb_hit
+
+        t_new = jnp.where(tri_hit, th, s["t"])
+        prim_new = jnp.where(tri_hit, pr, s["prim"])
+        uv_new = jnp.where(tri_hit[:, None], jnp.stack([u, v], -1), s["uv"])
+        front_new = jnp.where(tri_hit, front, s["front"])
+
+        descend = aabb_hit & ~is_leaf
+        nxt = jnp.where(descend, nd + 1, _gather(bvh.node_miss, nd))
+        if any_hit:
+            nxt = jnp.where(tri_hit, -1, nxt)
+        nxt = jnp.where(active, nxt, -1)
+        return dict(node=nxt, t=t_new, prim=prim_new, uv=uv_new,
+                    front=front_new, steps=s["steps"] + 1)
+
+    s = jax.lax.while_loop(cond, body, state)
+    prim_orig = jnp.where(s["prim"] >= 0,
+                          _gather(bvh.prim_tri, jnp.maximum(s["prim"], 0)),
+                          -1)
+    return Hit(t=s["t"], prim=prim_orig, bary=s["uv"], front=s["front"])
+
+
+def intersect_closest(bvh: ThreadedBVH, o, d, tmin, tmax) -> Hit:
+    """Closest-hit query over a ray wavefront (scatter rays)."""
+    return _traverse(bvh, o, d, tmin, tmax, any_hit=False)
+
+
+def intersect_any(bvh: ThreadedBVH, o, d, tmin, tmax) -> jnp.ndarray:
+    """Visibility query: True where *occluded* (shadow rays)."""
+    hit = _traverse(bvh, o, d, tmin, tmax, any_hit=True)
+    return ~hit.miss

@@ -1,0 +1,151 @@
+"""Headless render CLI.
+
+Flag surface mirrors the reference's command line (reference:
+SampleCommon/CommandLine.h:16-65 — scene, width/height, spp, NEE type,
+denoiser, screenshot naming, nonInteractive/noWindow headless mode; our
+framework is headless-first so --out *is* the screenshot path).
+
+Usage:
+    python -m rtxpt_tpu.apps.cli --scene cornell --width 512 --height 512 \
+        --spp 16 --bounces 6 --out out.png [--hdr out.npy] [--aux]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_scene(name: str, args):
+    from rtxpt_tpu.scene import procedural
+
+    if name == "cornell":
+        return procedural.cornell_box()
+    if name == "cornell-specular":
+        return procedural.cornell_box(sphere_specular=True)
+    if name == "furnace":
+        return procedural.furnace_box()
+    if name == "triangle":
+        return procedural.single_triangle()
+    if name.endswith((".gltf", ".glb")):
+        from rtxpt_tpu.scene.gltf import load_gltf
+        return load_gltf(name)
+    raise SystemExit(f"unknown scene '{name}' (procedural: cornell, "
+                     f"cornell-specular, furnace, triangle; or a .gltf/.glb)")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="rtxpt_tpu",
+                                description="TPU-native path tracer")
+    p.add_argument("--scene", default="cornell",
+                   help="procedural name or .gltf/.glb path")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--spp", type=int, default=16)
+    p.add_argument("--bounces", type=int, default=6)
+    p.add_argument("--nee", choices=["off", "uniform", "power"],
+                   default="power")
+    p.add_argument("--no-mis", action="store_true")
+    p.add_argument("--no-rr", action="store_true")
+    p.add_argument("--firefly-clamp", type=float, default=0.0)
+    p.add_argument("--exposure", type=float, default=1.0)
+    p.add_argument("--auto-exposure", action="store_true")
+    p.add_argument("--tonemap", choices=["aces", "reinhard", "linear", "none"],
+                   default="aces")
+    p.add_argument("--out", default="out.png", help="PNG output path")
+    p.add_argument("--hdr", default=None, help="also dump linear HDR .npy")
+    p.add_argument("--aux", action="store_true",
+                   help="dump albedo/normal/depth guide buffers")
+    p.add_argument("--seed", type=int, default=0, help="first sample index")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard across N devices (0 = single device)")
+    p.add_argument("--metrics", default=None,
+                   help="write perf metrics JSON here")
+    args = p.parse_args(argv)
+    if args.spp < 1:
+        p.error("--spp must be >= 1")
+    if args.width < 1 or args.height < 1:
+        p.error("--width/--height must be >= 1")
+    if args.bounces < 0:
+        p.error("--bounces must be >= 0")
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from rtxpt_tpu.config import NEEMode, PathTracerConfig
+    from rtxpt_tpu.prepare import prepare
+    from rtxpt_tpu.render.postprocess import auto_exposure, tonemap
+    from rtxpt_tpu.scene.procedural import default_camera
+    from rtxpt_tpu.utils.image import save_png
+
+    host = build_scene(args.scene, args)
+    t0 = time.time()
+    scene = prepare(host)
+    print(f"[prepare] {scene.geometry.num_triangles} tris, "
+          f"{scene.lights.count} lights, {time.time()-t0:.2f}s",
+          file=sys.stderr)
+
+    cam = default_camera(host, args.width, args.height)
+    cfg = PathTracerConfig(
+        max_bounces=args.bounces,
+        nee={"off": NEEMode.OFF, "uniform": NEEMode.UNIFORM,
+             "power": NEEMode.POWER}[args.nee],
+        enable_mis=not args.no_mis,
+        enable_russian_roulette=not args.no_rr,
+        firefly_clamp=args.firefly_clamp,
+    )
+
+    t0 = time.time()
+    if args.devices:
+        from rtxpt_tpu.parallel.mesh import make_mesh, render_sample_sharded
+        mesh = make_mesh(args.devices)
+        acc = None
+        rays = 0
+        for s in range(args.seed, args.seed + args.spp):
+            L, rc = render_sample_sharded(scene, cam, cfg, args.width,
+                                          args.height, jnp.uint32(s), mesh)
+            acc = L if acc is None else acc + L
+            rays += int(rc)
+        hdr = np.asarray(acc) / args.spp
+        aux = {}
+    else:
+        from rtxpt_tpu.pt.integrator import render
+        hdr, aux, rays = render(scene, cam, cfg, args.width, args.height,
+                                spp=args.spp, first_sample=args.seed,
+                                want_aux=args.aux)
+        hdr = np.asarray(hdr)
+    dt = time.time() - t0
+    mrays = rays / dt / 1e6
+    print(f"[render] {args.width}x{args.height}@{args.spp}spp in {dt:.2f}s "
+          f"({rays} rays, {mrays:.2f} Mrays/s incl. compile)", file=sys.stderr)
+
+    exposure = args.exposure
+    if args.auto_exposure:
+        exposure = float(auto_exposure(jnp.asarray(hdr)))
+    ldr = np.asarray(tonemap(jnp.asarray(hdr), exposure, args.tonemap))
+    save_png(args.out, ldr)
+    print(f"[out] {args.out}", file=sys.stderr)
+    if args.hdr:
+        np.save(args.hdr, hdr)
+    if args.aux and aux:
+        base = args.out.rsplit(".", 1)[0]
+        for k, v in aux.items():
+            np.save(f"{base}.{k}.npy", np.asarray(v))
+    if args.metrics:
+        with open(args.metrics, "w") as f:
+            json.dump({"mrays_s": mrays, "seconds": dt, "rays": rays,
+                       "spp": args.spp,
+                       "resolution": [args.width, args.height]}, f)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

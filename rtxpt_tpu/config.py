@@ -1,0 +1,123 @@
+"""Configuration tree for the framework.
+
+Mirrors the reference's three config tiers (SURVEY.md §5 "Config / flag
+system"; reference: Rtxpt/Shaders/PathTracer/Config.h, SampleCommon/
+CommandLine.h:16-65, SampleUI.h:120-210):
+
+  * compile-time switches  -> frozen dataclasses used as *static* jit args
+  * command line           -> apps/cli.py argparse building these dataclasses
+  * runtime UI settings    -> fields on the same dataclasses (re-jit on change)
+
+Everything here must stay hashable (static argnums / closure capture).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+class PTMode(enum.Enum):
+    """Top-level render mode (reference: Config.h:56-59 PATH_TRACER_MODE_*)."""
+
+    REFERENCE = 0            # progressive accumulation, unbiased
+    BUILD_STABLE_PLANES = 1  # real-time: deterministic delta-path exploration
+    FILL_STABLE_PLANES = 2   # real-time: noisy fill restarted from V-buffer
+
+
+class NEEMode(enum.Enum):
+    """Next-event-estimation light sampler choice (reference CommandLine.h
+    `neeType`; LightSampler.hlsli uniform/power/NEE-AT)."""
+
+    OFF = 0
+    UNIFORM = 1
+    POWER = 2     # power-proportional global CDF
+    NEEAT = 3     # feedback-adaptive (global proxies + per-tile local caches)
+
+
+class DenoiserMode(enum.Enum):
+    NONE = 0
+    RELAX = 1
+    REBLUR = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class PathTracerConfig:
+    """Per-dispatch path tracing switches.
+
+    Reference analogs: Config.h:36 (max bounces 96), SampleUI.h:170-171
+    (default 20 bounces / 2 diffuse), PathTracer.hlsli:182-208 (russian
+    roulette), Sample.cpp:1518-1522 (firefly filter threshold).
+    """
+
+    mode: PTMode = PTMode.REFERENCE
+    max_bounces: int = 6
+    min_bounces_before_rr: int = 2
+    enable_russian_roulette: bool = True
+    nee: NEEMode = NEEMode.POWER
+    nee_candidates: int = 1          # WRS candidate count (PathTracerNEE.hlsli:54-85)
+    enable_mis: bool = True
+    firefly_clamp: float = 0.0       # 0 = off; radiance clamp scale
+    texture_mips: bool = True        # ray-cone driven MIP selection
+    max_ray_travel: float = 1.0e27   # Config.h:84-86 kMaxRayTravel analog
+    # Sampling
+    low_discrepancy: bool = True     # Owen-scrambled Sobol' vs hash chains
+    # Wavefront execution
+    sort_by_material: bool = False   # SER analog: sort ray stream by hit key
+    ray_chunk: int = 1 << 16         # rays per wavefront chunk
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Frame-level settings (reference: CommandLine.h width/height/spp,
+    AccumulationPass, ToneMappingPasses.h)."""
+
+    width: int = 512
+    height: int = 512
+    spp: int = 1
+    exposure: float = 1.0
+    tonemap: str = "aces"            # "aces" | "reinhard" | "linear" | "none"
+    denoiser: DenoiserMode = DenoiserMode.NONE
+    enable_taa: bool = False
+    enable_bloom: bool = False
+    accumulation_limit: int = 0      # 0 = unlimited progressive accumulation
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh / sharding settings (SURVEY.md §2.6: tile+sample sharding
+    over ICI is the TPU equivalent of the reference's SIMT dispatch)."""
+
+    n_devices: Optional[int] = None  # None = all available
+    axis_name: str = "tiles"
+    shard_samples: bool = False      # shard spp instead of pixel rows
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameworkConfig:
+    pt: PathTracerConfig = dataclasses.field(default_factory=PathTracerConfig)
+    render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+# Perf/quality presets (reference: SampleUI.h:98-118 PerformancePreset table).
+PRESETS = {
+    "fast": FrameworkConfig(
+        pt=PathTracerConfig(max_bounces=3, nee_candidates=1),
+        render=RenderConfig(spp=1),
+    ),
+    "balanced": FrameworkConfig(
+        pt=PathTracerConfig(max_bounces=6, nee_candidates=1),
+        render=RenderConfig(spp=1),
+    ),
+    "quality": FrameworkConfig(
+        pt=PathTracerConfig(max_bounces=12, nee_candidates=4),
+        render=RenderConfig(spp=4),
+    ),
+    "reference": FrameworkConfig(
+        pt=PathTracerConfig(max_bounces=20, nee_candidates=1,
+                            firefly_clamp=0.0),
+        render=RenderConfig(spp=256),
+    ),
+}

@@ -1,0 +1,281 @@
+"""Lights baker: all scene lighting -> one polymorphic light list + CDF.
+
+TPU-native analog of the reference's LightsBaker + PolymorphicLight
+(reference: Lighting/LightsBaker.{h,cpp} — collects analytic lights on CPU,
+bakes emissive triangles and the environment into one polymorphic light list
+with power-proportional sampling structures; device decode/sampling in
+Shaders/PathTracer/Lighting/PolymorphicLight.hlsli:515-720 and
+LightSampler.hlsli). This module implements the *uniform* and *power*
+samplers (NEEMode.UNIFORM/POWER); the feedback-adaptive NEE-AT tier layers
+per-tile proxy caches on top (see lighting/neeat.py when present).
+
+The bake runs on host numpy at scene-prepare time (static scenes); the
+per-frame device re-bake for dynamic emissives mirrors this code in jnp.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from rtxpt_tpu.scene.scene import (
+    SceneData, LIGHT_POINT, LIGHT_DIRECTIONAL, LIGHT_SPOT,
+)
+from rtxpt_tpu.lighting.envmap import EnvMap, env_sample, env_pdf
+from rtxpt_tpu.utils import math as m
+
+# Polymorphic light kinds (PolymorphicLight.h:28-38 analog)
+KIND_TRIANGLE = 0
+KIND_POINT = 1
+KIND_DIRECTIONAL = 2
+KIND_SPOT = 3
+KIND_ENV = 4
+
+_DELTA_DIST = 1e8   # "infinite" distance for directional/env shadow rays
+
+
+@struct.dataclass
+class LightList:
+    kind: jnp.ndarray       # [L] i32
+    p0: jnp.ndarray         # [L,3] tri v0 / light position
+    p1: jnp.ndarray         # [L,3] tri edge1 / spot direction
+    p2: jnp.ndarray         # [L,3] tri edge2
+    emission: jnp.ndarray   # [L,3] tri radiance / point-spot intensity /
+    #                              directional radiance
+    extra: jnp.ndarray      # [L,4] kind-specific: tri(area, nx,ny,nz packed
+    #                              separately below), spot(cos_in, cos_out)
+    normal: jnp.ndarray     # [L,3] tri geometric normal (emission side)
+    power: jnp.ndarray      # [L] relative power for selection
+    cdf: jnp.ndarray        # [L] inclusive normalized selection CDF
+    tri_light: jnp.ndarray  # [T] i32 triangle id -> light index (-1 none)
+    env_light: jnp.ndarray  # [] i32 index of env light (-1 none)
+    num: jnp.ndarray        # [] i32
+
+    @property
+    def count(self) -> int:
+        return self.kind.shape[0]
+
+
+def bake_lights(scene: SceneData, envmap: EnvMap,
+                scene_radius: float) -> LightList:
+    """Collect emissive triangles + analytic lights + env into a LightList."""
+    geo = scene.geometry
+    pos = np.asarray(geo.positions)
+    idx = np.asarray(geo.indices)
+    mat_id = np.asarray(geo.tri_material)
+    emissive = np.asarray(scene.materials.emissive)
+
+    kinds, p0s, p1s, p2s, ems, extras, normals, powers = \
+        [], [], [], [], [], [], [], []
+
+    ntri = len(idx)
+    tri_light = np.full((ntri,), -1, np.int32)
+
+    # --- emissive triangles (BakeEmissiveTriangles analog) ---
+    tri_em = emissive[mat_id]                          # [T,3]
+    lum = tri_em @ np.asarray([0.2126, 0.7152, 0.0722])
+    sel = np.nonzero(lum > 0.0)[0]
+    for t in sel:
+        v0, v1, v2 = pos[idx[t, 0]], pos[idx[t, 1]], pos[idx[t, 2]]
+        e1, e2 = v1 - v0, v2 - v0
+        cr = np.cross(e1, e2)
+        area = 0.5 * np.linalg.norm(cr)
+        if area <= 1e-12:
+            continue
+        n = cr / (2.0 * area)
+        tri_light[t] = len(kinds)
+        kinds.append(KIND_TRIANGLE)
+        p0s.append(v0); p1s.append(e1); p2s.append(e2)
+        ems.append(tri_em[t])
+        extras.append([area, 0.0, 0.0, 0.0])
+        normals.append(n)
+        powers.append(float(lum[t]) * area * np.pi)     # one-sided Lambert
+
+    # --- analytic lights (CollectAnalyticLightsCPU analog) ---
+    al = scene.analytic_lights
+    akind = np.asarray(al.kind)
+    for i in range(len(akind)):
+        k = int(akind[i])
+        inten = np.asarray(al.intensity[i])
+        ilum = float(inten @ np.asarray([0.2126, 0.7152, 0.0722]))
+        if k == LIGHT_POINT:
+            kinds.append(KIND_POINT)
+            powers.append(4.0 * np.pi * ilum)
+        elif k == LIGHT_DIRECTIONAL:
+            kinds.append(KIND_DIRECTIONAL)
+            powers.append(np.pi * scene_radius * scene_radius * ilum)
+        else:
+            kinds.append(KIND_SPOT)
+            ci = float(np.asarray(al.cos_inner[i]))
+            co = float(np.asarray(al.cos_outer[i]))
+            powers.append(2.0 * np.pi * max(1.0 - co, 0.05) * ilum)
+        p0s.append(np.asarray(al.position[i]))
+        p1s.append(np.asarray(al.direction[i]))
+        p2s.append(np.zeros(3))
+        ems.append(inten)
+        extras.append([float(np.asarray(al.cos_inner[i])),
+                       float(np.asarray(al.cos_outer[i])),
+                       float(np.asarray(al.angular_size[i])), 0.0])
+        normals.append(np.asarray(al.direction[i]))
+
+    # --- environment (EnvironmentQuad/kEnvironment analog) ---
+    env_light = -1
+    mean_lum = float(np.asarray(envmap.mean_radiance)
+                     @ np.asarray([0.2126, 0.7152, 0.0722]))
+    if mean_lum > 0.0:
+        env_light = len(kinds)
+        kinds.append(KIND_ENV)
+        p0s.append(np.zeros(3)); p1s.append(np.zeros(3)); p2s.append(np.zeros(3))
+        ems.append(np.asarray(envmap.mean_radiance))
+        extras.append([0.0] * 4)
+        normals.append(np.asarray([0.0, 1.0, 0.0]))
+        powers.append(np.pi * scene_radius * scene_radius * mean_lum * np.pi)
+
+    n = len(kinds)
+    if n == 0:
+        # Keep one dummy zero-power light so shapes stay non-empty/static.
+        kinds = [KIND_POINT]
+        p0s = [np.zeros(3)]; p1s = [np.zeros(3)]; p2s = [np.zeros(3)]
+        ems = [np.zeros(3)]; extras = [[0.0] * 4]
+        normals = [np.asarray([0.0, 1.0, 0.0])]
+        powers = [0.0]
+        n = 1
+
+    powers = np.asarray(powers, np.float64)
+    total = powers.sum()
+    pdf = powers / total if total > 0 else np.full(n, 1.0 / n)
+    cdf = np.cumsum(pdf)
+    cdf[-1] = 1.0
+
+    return LightList(
+        kind=jnp.asarray(np.asarray(kinds, np.int32)),
+        p0=jnp.asarray(np.asarray(p0s, np.float32)),
+        p1=jnp.asarray(np.asarray(p1s, np.float32)),
+        p2=jnp.asarray(np.asarray(p2s, np.float32)),
+        emission=jnp.asarray(np.asarray(ems, np.float32)),
+        extra=jnp.asarray(np.asarray(extras, np.float32)),
+        normal=jnp.asarray(np.asarray(normals, np.float32)),
+        power=jnp.asarray(pdf.astype(np.float32)),      # normalized select pdf
+        cdf=jnp.asarray(cdf.astype(np.float32)),
+        tri_light=jnp.asarray(tri_light),
+        env_light=jnp.int32(env_light),
+        num=jnp.int32(n),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device sampling (LightSampler.hlsli / PolymorphicLight::CalcSample analog)
+# ---------------------------------------------------------------------------
+
+
+def sample_light(lights: LightList, envmap: EnvMap, shade_pos, u_sel, u1, u2,
+                 uniform: bool = False):
+    """Light selection (power CDF, or uniform when `uniform`) + per-kind
+    sample, over a wavefront.
+
+    Returns dict(wi [N,3], dist [N], Li [N,3] unshadowed incident radiance,
+    pdf [N] solid-angle pdf (delta lights fold the discrete select pdf in and
+    report mis-incompatible `is_delta`), valid [N]).
+    """
+    u_sel = jnp.clip(u_sel, 0.0, 1.0 - 1e-7)
+    if uniform:
+        nf = lights.num.astype(jnp.float32)
+        li = jnp.clip((u_sel * nf).astype(jnp.int32), 0, lights.count - 1)
+        sel_pdf = jnp.full(u_sel.shape, 1.0, jnp.float32) / nf
+    else:
+        li = jnp.clip(jnp.searchsorted(lights.cdf, u_sel),
+                      0, lights.count - 1).astype(jnp.int32)
+        sel_pdf = jnp.take(lights.power, li)
+    kind = jnp.take(lights.kind, li)
+    p0 = jnp.take(lights.p0, li, axis=0)
+    p1 = jnp.take(lights.p1, li, axis=0)
+    p2 = jnp.take(lights.p2, li, axis=0)
+    em = jnp.take(lights.emission, li, axis=0)
+    ex = jnp.take(lights.extra, li, axis=0)
+    nl = jnp.take(lights.normal, li, axis=0)
+
+    # --- triangle area light ---
+    b0, b1, b2 = m.sample_triangle_barycentrics(u1, u2)
+    lp = p0 + b1[..., None] * p1 + b2[..., None] * p2
+    to_l = lp - shade_pos
+    d2 = jnp.maximum(m.dot(to_l, to_l, False), 1e-12)
+    dist_tri = jnp.sqrt(d2)
+    wi_tri = to_l / dist_tri[..., None]
+    cos_l = m.dot(-wi_tri, nl, False)
+    area = jnp.maximum(ex[..., 0], 1e-12)
+    pdf_tri = sel_pdf * d2 / jnp.maximum(area * jnp.maximum(cos_l, 1e-9), 1e-12)
+    li_tri = em
+    valid_tri = cos_l > 1e-6
+
+    # --- point / spot ---
+    to_p = p0 - shade_pos
+    d2p = jnp.maximum(m.dot(to_p, to_p, False), 1e-12)
+    dist_p = jnp.sqrt(d2p)
+    wi_p = to_p / dist_p[..., None]
+    li_point = em / d2p[..., None]
+    cos_spot = m.dot(-wi_p, p1, False)
+    spot_atten = jnp.clip((cos_spot - ex[..., 1])
+                          / jnp.maximum(ex[..., 0] - ex[..., 1], 1e-6),
+                          0.0, 1.0)
+    spot_atten = spot_atten * spot_atten
+
+    # --- directional ---
+    wi_dir = -p1
+    li_dir = em
+
+    # --- environment ---
+    wi_env, li_env, pdf_env = env_sample(envmap, u1, u2)
+    pdf_env = sel_pdf * pdf_env
+
+    is_tri = kind == KIND_TRIANGLE
+    is_point = kind == KIND_POINT
+    is_spot = kind == KIND_SPOT
+    is_dir = kind == KIND_DIRECTIONAL
+    is_env = kind == KIND_ENV
+
+    wi = jnp.where(is_tri[..., None], wi_tri,
+         jnp.where((is_point | is_spot)[..., None], wi_p,
+         jnp.where(is_dir[..., None], wi_dir, wi_env)))
+    dist = jnp.where(is_tri, dist_tri,
+           jnp.where(is_point | is_spot, dist_p, _DELTA_DIST))
+    Li = jnp.where(is_tri[..., None], li_tri,
+         jnp.where(is_point[..., None], li_point,
+         jnp.where(is_spot[..., None], li_point * spot_atten[..., None],
+         jnp.where(is_dir[..., None], li_dir, li_env))))
+    # Delta lights: divide by discrete select pdf only.
+    pdf = jnp.where(is_tri, pdf_tri,
+          jnp.where(is_env, pdf_env, sel_pdf))
+    is_delta = is_point | is_spot | is_dir
+    valid = jnp.where(is_tri, valid_tri, jnp.ones_like(is_tri)) \
+        & (pdf > 1e-12) & (sel_pdf > 0.0)
+    return dict(wi=wi, dist=dist, Li=Li, pdf=pdf, is_delta=is_delta,
+                valid=valid, light_index=li)
+
+
+def light_pdf_for_tri_hit(lights: LightList, prim, dist, cos_l,
+                          uniform: bool = False):
+    """Solid-angle NEE pdf of having sampled the emissive triangle that a
+    BSDF ray just hit (for MIS at emissive hits — PathTracer.hlsli:592-674).
+    prim: [N] original triangle id; cos_l: |cos| at the light."""
+    li = jnp.take(lights.tri_light, jnp.maximum(prim, 0))
+    has_light = (prim >= 0) & (li >= 0)
+    lix = jnp.maximum(li, 0)
+    if uniform:
+        sel_pdf = 1.0 / lights.num.astype(jnp.float32)
+    else:
+        sel_pdf = jnp.take(lights.power, lix)
+    area = jnp.maximum(jnp.take(lights.extra, lix, axis=0)[..., 0], 1e-12)
+    pdf = sel_pdf * dist * dist / jnp.maximum(area * jnp.maximum(cos_l, 1e-9),
+                                              1e-12)
+    return jnp.where(has_light, pdf, 0.0)
+
+
+def env_select_pdf(lights: LightList, uniform: bool = False):
+    """Discrete probability of selecting the env light (scalar)."""
+    has_env = lights.env_light >= 0
+    if uniform:
+        return jnp.where(has_env, 1.0 / lights.num.astype(jnp.float32), 0.0)
+    return jnp.where(has_env,
+                     jnp.take(lights.power, jnp.maximum(lights.env_light, 0)),
+                     0.0)

@@ -1,0 +1,97 @@
+"""Device mesh + sharded render drivers.
+
+The reference is a single-GPU app whose only parallel axis is the SIMT
+pixel dispatch (SURVEY.md §2.6); the TPU-native equivalents built here:
+
+  * pixel-tile sharding — the W*H wavefront is split across mesh devices
+    with `jax.shard_map`; the scene (BVH, materials, lights, textures) is
+    replicated; no cross-device traffic during tracing, one all-gather of
+    the framebuffer at the end (XLA inserts it from the out_spec).
+  * spp sharding — every device traces the full frame at different sample
+    indices; a `psum` mean over ICI accumulates (the multi-sample loop of
+    Sample.cpp:2503-2517 spread over chips).
+
+Both compose: a 2D mesh ("tiles", "spp") shards pixels on one axis and
+samples on the other. DCN-ready by keeping the mesh abstract.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from rtxpt_tpu.config import PathTracerConfig
+from rtxpt_tpu.pt.integrator import (
+    EFFECT_LENS, _ld, _pixel_grid, trace_paths,
+)
+from rtxpt_tpu.scene.camera import camera_ray
+from rtxpt_tpu.utils import rng
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = "tiles",
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    import numpy as np
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _trace_pixels(scene, cam, cfg: PathTracerConfig, px, py, sample_idx):
+    seed_lens = rng.pixel_seed(px, py, 0, EFFECT_LENS)
+    u1 = _ld(cfg, sample_idx, seed_lens, 0)
+    u2 = _ld(cfg, sample_idx, seed_lens, 1)
+    o, d, spread = camera_ray(cam, px, py, u1, u2)
+    out = trace_paths(scene, cfg, o, d, spread, px, py, sample_idx)
+    return out["L"], out["ray_count"]
+
+
+def render_sample_sharded(scene, cam, cfg: PathTracerConfig, width: int,
+                          height: int, sample_idx, mesh: Mesh):
+    """One spp over the frame, pixels sharded across `mesh`. Returns
+    (hdr [H,W,3], ray_count)."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    px, py = _pixel_grid(width, height)
+    npix = px.shape[0]
+    pad = (-npix) % n_dev
+    if pad:
+        px = jnp.concatenate([px, jnp.zeros((pad,), jnp.int32)])
+        py = jnp.concatenate([py, jnp.zeros((pad,), jnp.int32)])
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(axis), P(axis), P()),
+             out_specs=(P(axis), P()))
+    def shard_fn(scene_, cam_, px_, py_, sidx):
+        L, rays = _trace_pixels(scene_, cam_, cfg, px_, py_, sidx)
+        return L, jax.lax.psum(rays, axis)
+
+    sidx = jnp.asarray(sample_idx).astype(jnp.uint32)
+    L, rays = shard_fn(scene, cam, px, py, sidx)
+    return L[:npix].reshape(height, width, 3), rays
+
+
+def render_spp_sharded(scene, cam, cfg: PathTracerConfig, width: int,
+                       height: int, base_sample: int, mesh: Mesh):
+    """Each device renders the full frame at its own sample index; mean via
+    psum over ICI. Returns (hdr [H,W,3] replicated, ray_count)."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    px, py = _pixel_grid(width, height)
+    base = jnp.asarray(base_sample).astype(jnp.uint32)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(), P(), P()),
+             out_specs=(P(), P()))
+    def shard_fn(scene_, cam_, px_, py_, base_):
+        my = jax.lax.axis_index(axis).astype(jnp.uint32)
+        L, rays = _trace_pixels(scene_, cam_, cfg, px_, py_, base_ + my)
+        return (jax.lax.psum(L, axis) / n_dev,
+                jax.lax.psum(rays, axis))
+
+    L, rays = shard_fn(scene, cam, px, py, base)
+    return L.reshape(height, width, 3), rays

@@ -1,0 +1,39 @@
+"""Scene preparation: HostScene -> render-ready device SceneData.
+
+The per-frame host orchestration analog of the reference's
+Sample::Render prologue (Sample.cpp:1891-2100: AS builds, bakers, bindings
+— SURVEY.md §3.2), collapsed into one function for static scenes. Dynamic
+scenes re-run the relevant stages per frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from rtxpt_tpu.accel.lbvh import build_bvh
+from rtxpt_tpu.lighting.envmap import bake_envmap
+from rtxpt_tpu.lighting.lights_baker import bake_lights
+from rtxpt_tpu.scene.scene import HostScene, SceneData
+
+
+def scene_radius(positions: np.ndarray) -> float:
+    lo = positions.min(0)
+    hi = positions.max(0)
+    return float(np.linalg.norm(hi - lo) * 0.5 + 1e-6)
+
+
+def prepare(host: HostScene) -> SceneData:
+    """Flatten + build BVH + bake envmap & light list."""
+    sd = host.flatten()
+    pos = np.asarray(sd.geometry.positions)
+    idx = np.asarray(sd.geometry.indices)
+    bvh = build_bvh(pos, idx)                       # LBVH (accel/lbvh.py)
+    envmap = bake_envmap(host.envmap_image, host.envmap_scale,
+                         host.envmap_rotation)      # EnvMapBaker analog
+    sd = sd.replace(bvh=bvh, envmap=envmap)
+    lights = bake_lights(sd, envmap, scene_radius(pos))  # LightsBaker analog
+    textures = None
+    if host.textures:
+        from rtxpt_tpu.scene.textures import bake_textures
+        textures = bake_textures(host.textures)
+    return sd.replace(lights=lights, textures=textures)

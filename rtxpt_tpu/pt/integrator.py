@@ -1,0 +1,305 @@
+"""Wavefront path-tracing integrator (reference mode).
+
+TPU-native re-design of the reference's megakernel raygen loop + HandleHit/
+HandleMiss core (reference: Shaders/PathTracerSample.hlsl:200-250 raygen
+loop, Shaders/PathTracer/PathTracer.hlsli:505-762 HandleHit, :407-503
+HandleMiss, :217-345 GenerateScatterRay, :182-208 russian roulette,
+PathTracerNEE.hlsli:303-346 HandleNEE).
+
+Instead of a per-pixel `while(path.isActive())` megakernel, the whole ray
+wavefront advances bounce-by-bounce in lockstep (statically unrolled bounce
+loop -> one traced program, XLA fuses all shading math between the two
+traversal while_loops per bounce). Terminated lanes carry a False active
+mask; ray sorting / compaction between bounces lives in ops/.
+
+Path state matches the reference's PathState payload semantically
+(PathState.hlsli:83-267): origin/dir, thp, L, flags (active, delta-only),
+prev-bounce BSDF pdf for MIS, interior-medium info, ray cone.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from rtxpt_tpu.accel.traverse import intersect_closest, intersect_any
+from rtxpt_tpu.config import NEEMode, PathTracerConfig
+from rtxpt_tpu.lighting.envmap import env_eval, env_pdf
+from rtxpt_tpu.lighting.lights_baker import (
+    env_select_pdf, light_pdf_for_tri_hit, sample_light,
+)
+from rtxpt_tpu.pt import bsdf as B
+from rtxpt_tpu.pt.surface import load_surface, ray_offset
+from rtxpt_tpu.scene.camera import Camera, camera_ray
+from rtxpt_tpu.scene.scene import SceneData
+from rtxpt_tpu.utils import math as m
+from rtxpt_tpu.utils import rng
+
+# Effect seeds (SampleGenerators effect decorrelation)
+EFFECT_LENS = 17
+EFFECT_SCATTER = 29
+EFFECT_NEE = 31
+EFFECT_RR = 37
+
+
+def _ld(cfg: PathTracerConfig, sample_idx, seed, dim: int):
+    if cfg.low_discrepancy:
+        return rng.ld_sample(sample_idx, seed, dim)
+    return rng.uniform_sample(seed, rng.hash_combine(sample_idx, dim))
+
+
+def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
+                px, py, sample_idx, want_aux: bool = False):
+    """Trace a wavefront of paths to completion.
+
+    Args: o,d [N,3] camera rays; cone_spread [N]; px,py [N] i32;
+          sample_idx traced scalar/[] uint32.
+    Returns dict(L [N,3], aux guide buffers when want_aux, ray_count []).
+    """
+    n = o.shape[0]
+    f32 = jnp.float32
+    L = jnp.zeros((n, 3), f32)
+    thp = jnp.ones((n, 3), f32)
+    active = jnp.ones((n,), bool)
+    prev_pdf = jnp.zeros((n,), f32)        # BSDF pdf of previous scatter
+    prev_delta = jnp.ones((n,), bool)      # prev bounce was delta (or camera)
+    in_medium = jnp.zeros((n,), bool)
+    medium_sigma = jnp.zeros((n, 3), f32)
+    cone_width = jnp.zeros((n,), f32)
+    ray_count = jnp.zeros((), jnp.int32)
+
+    aux = dict(
+        albedo=jnp.zeros((n, 3), f32), normal=jnp.zeros((n, 3), f32),
+        depth=jnp.zeros((n,), f32), motion=jnp.zeros((n, 2), f32),
+        emission=jnp.zeros((n, 3), f32),
+    ) if want_aux else None
+
+    sample_idx = jnp.asarray(sample_idx).astype(jnp.uint32)
+    use_nee = cfg.nee != NEEMode.OFF and scene.lights is not None
+    nee_uniform = cfg.nee == NEEMode.UNIFORM
+    firefly = cfg.firefly_clamp
+
+    for bounce in range(cfg.max_bounces + 1):
+        # ----- closest hit -----
+        ray_count = ray_count + jnp.sum(active.astype(jnp.int32))
+        hit = intersect_closest(scene.bvh, o, d,
+                                jnp.zeros((n,), f32),
+                                jnp.full((n,), cfg.max_ray_travel, f32))
+        hit_mask = active & ~hit.miss
+        miss_mask = active & hit.miss
+
+        # ----- HandleMiss: environment (PathTracer.hlsli:407-503) -----
+        if scene.envmap is not None:
+            env_L = env_eval(scene.envmap, d)
+            if cfg.enable_mis and use_nee:
+                p_env = env_select_pdf(scene.lights, nee_uniform) \
+                    * env_pdf(scene.envmap, d)
+                w_env = jnp.where(prev_delta, 1.0,
+                                  m.power_heuristic(prev_pdf, p_env))
+            else:
+                w_env = jnp.ones((n,), f32)
+            contrib = thp * env_L * w_env[..., None]
+            L = L + jnp.where(miss_mask[..., None], contrib, 0.0)
+        active = active & ~hit.miss
+        if bounce == cfg.max_bounces:
+            break
+
+        # ----- surface + volume transmittance (Beer-Lambert,
+        #       HomogeneousVolumeSampler.hlsli; PathTracer.hlsli:538-547) ----
+        cone_width = cone_width + cone_spread * hit.t
+        surf = load_surface(scene, hit, o, d, cone_width)
+        thp = thp * jnp.where(in_medium[..., None],
+                              jnp.exp(-medium_sigma * hit.t[..., None]), 1.0)
+
+        # ----- emissive hit + MIS (PathTracer.hlsli:592-674) -----
+        em = surf.emissive
+        if cfg.enable_mis and use_nee and bounce > 0:
+            cos_l = jnp.abs(m.dot(-d, surf.geo_n, False))
+            p_light = light_pdf_for_tri_hit(scene.lights, hit.prim, hit.t,
+                                            cos_l, nee_uniform)
+            w_em = jnp.where(prev_delta, 1.0,
+                             m.power_heuristic(prev_pdf, p_light))
+        else:
+            w_em = jnp.ones((n,), f32)
+        L = L + jnp.where(hit_mask[..., None], thp * em * w_em[..., None], 0.0)
+
+        if want_aux and bounce == 0:
+            alb = surf.bsdf.diffuse + surf.bsdf.specular_f0
+            aux["albedo"] = jnp.where(hit_mask[..., None], alb, 1.0)
+            aux["normal"] = jnp.where(hit_mask[..., None], surf.sh_n, 0.0)
+            aux["depth"] = jnp.where(hit_mask, hit.t, 0.0)
+            aux["emission"] = jnp.where(hit_mask[..., None], em, 0.0)
+
+        wo = m.to_local(-d, surf.sh_n)
+
+        # ----- NEE (PathTracerNEE.hlsli:303 HandleNEE) -----
+        if use_nee:
+            seed_nee = rng.pixel_seed(px, py, bounce, EFFECT_NEE)
+            u_sel = _ld(cfg, sample_idx, seed_nee, 0)
+            u1 = _ld(cfg, sample_idx, seed_nee, 2)
+            u2 = _ld(cfg, sample_idx, seed_nee, 3)
+            ls = sample_light(scene.lights, scene.envmap, surf.pos,
+                              u_sel, u1, u2, uniform=nee_uniform)
+            wi_l = m.to_local(ls["wi"], surf.sh_n)
+            f_l = B.bsdf_eval(surf.bsdf, wo, wi_l)
+            pdf_b = B.bsdf_pdf(surf.bsdf, wo, wi_l)
+            do_nee = (hit_mask & ls["valid"]
+                      & (m.luminance(f_l) > 0.0))
+            shadow_o = ray_offset(surf.pos, surf.geo_n, ls["wi"])
+            ray_count = ray_count + jnp.sum(do_nee.astype(jnp.int32))
+            occluded = intersect_any(
+                scene.bvh,
+                jnp.where(do_nee[..., None], shadow_o, shadow_o),
+                ls["wi"], jnp.zeros((n,), f32),
+                jnp.where(do_nee, ls["dist"] * (1.0 - 1e-4), 0.0))
+            if cfg.enable_mis:
+                w_nee = jnp.where(ls["is_delta"], 1.0,
+                                  m.power_heuristic(ls["pdf"], pdf_b))
+            else:
+                w_nee = jnp.ones((n,), f32)
+            contrib = thp * f_l * ls["Li"] * (
+                w_nee / jnp.maximum(ls["pdf"], 1e-12))[..., None]
+            if firefly > 0.0:
+                lum = m.luminance(contrib)
+                scale = jnp.minimum(1.0, firefly / jnp.maximum(lum, 1e-12))
+                contrib = contrib * scale[..., None]
+            L = L + jnp.where((do_nee & ~occluded)[..., None], contrib, 0.0)
+
+        # ----- scatter (GenerateScatterRay, PathTracer.hlsli:217-345) -----
+        seed_sc = rng.pixel_seed(px, py, bounce, EFFECT_SCATTER)
+        u_lobe = _ld(cfg, sample_idx, seed_sc, 0)
+        su1 = _ld(cfg, sample_idx, seed_sc, 2)
+        su2 = _ld(cfg, sample_idx, seed_sc, 3)
+        bs = B.bsdf_sample(surf.bsdf, wo, u_lobe, su1, su2)
+        wi_world = m.to_world(bs["wi"], surf.sh_n)
+        # Reject samples that leak through the geometric surface.
+        same_side_sh = bs["wi"][..., 2] > 0.0
+        same_side_geo = m.dot(wi_world, surf.geo_n, False) > 0.0
+        leak = same_side_sh != same_side_geo
+        active = active & bs["valid"] & ~leak \
+            & (m.luminance(bs["weight"]) > 0.0)
+
+        thp = thp * bs["weight"]
+        prev_pdf = bs["pdf"]
+        prev_delta = bs["is_delta"]
+
+        # Medium transitions on transmission through solid surfaces.
+        transmitted = bs["wi"][..., 2] < 0.0
+        mid = surf.mat_id
+        thin = jnp.take(scene.materials.thin, mid) > 0.5
+        entering = transmitted & surf.front & ~thin
+        exiting = transmitted & ~surf.front & ~thin
+        in_medium = jnp.where(entering, True,
+                              jnp.where(exiting, False, in_medium))
+        sigma = jnp.take(scene.materials.volume_absorption, mid, axis=0)
+        medium_sigma = jnp.where(entering[..., None], sigma, medium_sigma)
+
+        # Ray cone spread growth by lobe roughness (TexLODHelpers.hlsli use
+        # at PathTracer.hlsli:284-293).
+        cone_spread = cone_spread + jnp.sqrt(surf.bsdf.alpha) * 0.25 \
+            * (~bs["is_delta"]).astype(f32)
+
+        # ----- russian roulette (PathTracer.hlsli:182-208) -----
+        if cfg.enable_russian_roulette and bounce >= cfg.min_bounces_before_rr:
+            seed_rr = rng.pixel_seed(px, py, bounce, EFFECT_RR)
+            u_rr = _ld(cfg, sample_idx, seed_rr, 0)
+            p_cont = jnp.clip(jnp.max(thp, axis=-1), 0.05, 1.0)
+            kill = u_rr >= p_cont
+            active = active & ~kill
+            thp = thp / p_cont[..., None]
+
+        o = ray_offset(surf.pos, surf.geo_n, wi_world)
+        d = wi_world
+
+    out = dict(L=L, ray_count=ray_count)
+    if want_aux:
+        out.update(aux)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Frame drivers
+# ---------------------------------------------------------------------------
+
+
+def _pixel_grid(width: int, height: int):
+    px = jnp.tile(jnp.arange(width, dtype=jnp.int32)[None, :], (height, 1))
+    py = jnp.tile(jnp.arange(height, dtype=jnp.int32)[:, None], (1, width))
+    return px.reshape(-1), py.reshape(-1)
+
+
+def render_sample(scene: SceneData, cam: Camera, cfg: PathTracerConfig,
+                  width: int, height: int, sample_idx,
+                  want_aux: bool = False, chunk: Optional[int] = None):
+    """One sample per pixel over the full frame. Returns dict of [H,W,...]
+    buffers (L, optional aux) + scalar ray_count."""
+    px, py = _pixel_grid(width, height)
+    npix = px.shape[0]
+    chunk = chunk or cfg.ray_chunk
+    chunk = min(chunk, npix)
+
+    sample_idx = jnp.asarray(sample_idx).astype(jnp.uint32)
+
+    def run(px_c, py_c):
+        seed_lens = rng.pixel_seed(px_c, py_c, 0, EFFECT_LENS)
+        u1 = _ld(cfg, sample_idx, seed_lens, 0)
+        u2 = _ld(cfg, sample_idx, seed_lens, 1)
+        o, d, spread = camera_ray(cam, px_c, py_c, u1, u2)
+        return trace_paths(scene, cfg, o, d, spread, px_c, py_c,
+                           sample_idx, want_aux=want_aux)
+
+    if npix % chunk != 0:
+        pad = chunk - npix % chunk
+        px = jnp.concatenate([px, jnp.zeros((pad,), jnp.int32)])
+        py = jnp.concatenate([py, jnp.zeros((pad,), jnp.int32)])
+    nchunks = px.shape[0] // chunk
+
+    if nchunks == 1:
+        out = run(px, py)
+    else:
+        px = px.reshape(nchunks, chunk)
+        py = py.reshape(nchunks, chunk)
+        out = jax.lax.map(lambda ab: run(ab[0], ab[1]), (px, py))
+        out = jax.tree.map(
+            lambda x: (x.reshape(-1, *x.shape[2:])
+                       if x.ndim >= 2 else jnp.sum(x)), out)
+
+    ray_count = out.pop("ray_count")
+    ray_count = jnp.sum(ray_count)
+    imgs = {k: v[:npix].reshape(height, width, *v.shape[1:])
+            for k, v in out.items()}
+    imgs["ray_count"] = ray_count
+    return imgs
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height", "want_aux"))
+def render_sample_jit(scene, cam, cfg, width, height, sample_idx,
+                      want_aux=False):
+    return render_sample(scene, cam, cfg, width, height, sample_idx,
+                         want_aux=want_aux)
+
+
+def render(scene: SceneData, cam: Camera, cfg: PathTracerConfig,
+           width: int, height: int, spp: int, first_sample: int = 0,
+           want_aux: bool = False):
+    """Progressive accumulation over `spp` samples (AccumulationPass analog,
+    reference ProcessingPasses/AccumulationPass.*: weight = 1/(N+1)).
+
+    Returns (hdr [H,W,3], aux dict, total_ray_count)."""
+    acc = None
+    aux_acc = {}
+    total_rays = 0
+    for s in range(first_sample, first_sample + spp):
+        out = render_sample_jit(scene, cam, cfg, width, height,
+                                jnp.uint32(s), want_aux)
+        total_rays += int(out["ray_count"])
+        acc = out["L"] if acc is None else acc + out["L"]
+        if want_aux:
+            for k in ("albedo", "normal", "depth", "emission"):
+                aux_acc[k] = out[k] if k not in aux_acc else aux_acc[k] + out[k]
+    hdr = acc / spp
+    aux = {k: v / spp for k, v in aux_acc.items()}
+    return hdr, aux, total_rays

@@ -1,0 +1,116 @@
+"""Surface loading: hit -> interpolated shading data + BSDF parameters.
+
+Analog of Bridge::loadSurface (reference: PathTracerBridgeDonut.hlsli:
+612-680 — barycentric interpolation from bindless vertex buffers, material
+decode, BSDF build; ShadingData.hlsli). All gathers over HBM-resident flat
+scene arrays.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from rtxpt_tpu.accel.traverse import Hit
+from rtxpt_tpu.pt.bsdf import BSDFData, make_bsdf_data
+from rtxpt_tpu.scene.scene import SceneData
+from rtxpt_tpu.utils import math as m
+
+
+@struct.dataclass
+class Surface:
+    pos: jnp.ndarray        # [N,3] hit position (world)
+    geo_n: jnp.ndarray      # [N,3] geometric normal, oriented toward wo
+    sh_n: jnp.ndarray       # [N,3] shading normal, oriented toward wo
+    uv: jnp.ndarray         # [N,2]
+    front: jnp.ndarray      # [N] bool: ray arrived on the CCW front side
+    mat_id: jnp.ndarray     # [N] i32
+    emissive: jnp.ndarray   # [N,3] (zero on back face)
+    bsdf: BSDFData
+    mip_level: jnp.ndarray  # [N] texture LOD from ray cones
+
+
+def load_surface(scene: SceneData, hit: Hit, ray_o, ray_d,
+                 cone_width) -> Surface:
+    """Build shading data for (masked) hits. Lanes with hit.miss hold
+    garbage-but-finite values; callers mask with ~hit.miss."""
+    geo = scene.geometry
+    prim = jnp.maximum(hit.prim, 0)
+    tri = jnp.take(geo.indices, prim, axis=0)              # [N,3]
+    v0 = jnp.take(geo.positions, tri[..., 0], axis=0)
+    v1 = jnp.take(geo.positions, tri[..., 1], axis=0)
+    v2 = jnp.take(geo.positions, tri[..., 2], axis=0)
+    n0 = jnp.take(geo.normals, tri[..., 0], axis=0)
+    n1 = jnp.take(geo.normals, tri[..., 1], axis=0)
+    n2 = jnp.take(geo.normals, tri[..., 2], axis=0)
+    t0 = jnp.take(geo.uvs, tri[..., 0], axis=0)
+    t1 = jnp.take(geo.uvs, tri[..., 1], axis=0)
+    t2 = jnp.take(geo.uvs, tri[..., 2], axis=0)
+
+    u = hit.bary[..., 0:1]
+    v = hit.bary[..., 1:2]
+    w = 1.0 - u - v
+    pos = w * v0 + u * v1 + v * v2
+    sh_n = m.normalize(w * n0 + u * n1 + v * n2)
+    uv = w * t0 + u * t1 + v * t2
+
+    e1 = v1 - v0
+    e2 = v2 - v0
+    geo_n = m.normalize(jnp.cross(e1, e2))
+    # Orient both normals toward the incoming ray (wo side).
+    toward = m.dot(geo_n, -ray_d) > 0.0
+    front = toward[..., 0]
+    geo_n = jnp.where(toward, geo_n, -geo_n)
+    sh_n = jnp.where(m.dot(sh_n, geo_n) > 0.0, sh_n, -sh_n)
+
+    mid = jnp.take(geo.tri_material, prim)
+    mats = scene.materials
+    base_color = jnp.take(mats.base_color, mid, axis=0)
+    metallic = jnp.take(mats.metallic, mid)
+    roughness = jnp.take(mats.roughness, mid)
+    ior = jnp.take(mats.ior, mid)
+    transmission = jnp.take(mats.transmission, mid)
+    diffuse_transmission = jnp.take(mats.diffuse_transmission, mid)
+    specular_scale = jnp.take(mats.specular_f0_scale, mid)
+    emissive = jnp.take(mats.emissive, mid, axis=0)
+
+    # Texture lookups (atlas) hook in here; ray-cone LOD:
+    # lod ~ log2(cone_width / sqrt(tri_area_uv/tri_area_world)); textures are
+    # wired through scene.textures (scene/textures.py) when present.
+    tri_area2 = jnp.maximum(m.length(jnp.cross(e1, e2), False), 1e-20)
+    mip = 0.5 * jnp.log2(jnp.maximum(cone_width * cone_width, 1e-30)
+                         / tri_area2)
+
+    if scene.textures is not None:
+        from rtxpt_tpu.scene.textures import sample_texture
+        mats_bt = jnp.take(mats.base_color_tex, mid)
+        tex_rgba = sample_texture(scene.textures, mats_bt, uv, mip)
+        has_tex = (mats_bt >= 0)[..., None]
+        base_color = jnp.where(has_tex, base_color * tex_rgba[..., :3],
+                               base_color)
+        mats_et = jnp.take(mats.emissive_tex, mid)
+        etex = sample_texture(scene.textures, mats_et, uv, mip)
+        emissive = jnp.where((mats_et >= 0)[..., None],
+                             emissive * etex[..., :3], emissive)
+        mats_mr = jnp.take(mats.metal_rough_tex, mid)
+        mrtex = sample_texture(scene.textures, mats_mr, uv, mip)
+        has_mr = mats_mr >= 0
+        # glTF convention: B = metallic, G = roughness
+        metallic = jnp.where(has_mr, metallic * mrtex[..., 2], metallic)
+        roughness = jnp.where(has_mr, roughness * mrtex[..., 1], roughness)
+
+    # One-sided emission: front face only (PolymorphicLight kTriangle).
+    emissive = jnp.where(front[..., None], emissive, 0.0)
+
+    bsdf = make_bsdf_data(base_color, metallic, roughness, ior, transmission,
+                          diffuse_transmission, specular_scale, front)
+    return Surface(pos=pos, geo_n=geo_n, sh_n=sh_n, uv=uv, front=front,
+                   mat_id=mid, emissive=emissive, bsdf=bsdf, mip_level=mip)
+
+
+def ray_offset(pos, geo_n, direction):
+    """Self-intersection-robust ray origin offset along the geometric
+    normal (sign chosen by travel side)."""
+    scale = jnp.maximum(1.0, m.length(pos, False)) * 3e-5
+    side = jnp.where(m.dot(direction, geo_n, False) >= 0.0, 1.0, -1.0)
+    return pos + geo_n * (side * scale)[..., None]

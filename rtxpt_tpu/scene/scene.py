@@ -1,0 +1,199 @@
+"""Scene representation: host-side scene graph -> flat device arrays.
+
+TPU-native replacement for the reference's Donut glTF scene graph + bindless
+buffer tables + SubInstanceData indirection (reference: External/Donut scene,
+Rtxpt/Shaders/SubInstanceData.h, PathTracerBridgeDonut.hlsli:170-171,676 —
+SURVEY.md §2.4 "SubInstance system").
+
+Design choices (TPU-first):
+  * All geometry is flattened to world space into one triangle soup with a
+    per-triangle subinstance id (the BLAS/TLAS split becomes a single
+    skip-link BVH over world-space triangles — gather-only traversal; see
+    rtxpt_tpu/accel). Instances are kept on the host (`MeshInstance`) so that
+    animated/skinned instances can re-flatten + refit per frame.
+  * Materials are a structure-of-arrays table gathered per hit — the analog
+    of PTMaterialData (reference: Materials/MaterialsBaker.h:234,
+    Shaders/PathTracer/Materials/MaterialPT.h).
+  * Everything on device is a flax.struct pytree of fixed-shape jnp arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+# Analytic light kinds (reference: PolymorphicLight.h:28-38 kPoint/
+# kDirectional + SpotLightEx in SampleCommon/ExtendedScene.h:17-80).
+LIGHT_POINT = 0
+LIGHT_DIRECTIONAL = 1
+LIGHT_SPOT = 2
+
+
+@struct.dataclass
+class Materials:
+    """Material table, SoA over material index [M].
+
+    Field semantics follow the reference's StandardBSDFData
+    (Rtxpt/Shaders/PathTracer/Rendering/Materials/BxDF.hlsli:615-690):
+    diffuse albedo, specular F0, roughness, metallic, eta (IoR),
+    (specular) transmission, diffuse transmission, plus emissive and
+    alpha-test data from PTMaterialData.
+    """
+
+    base_color: jnp.ndarray        # [M,3] linear albedo
+    metallic: jnp.ndarray          # [M]
+    roughness: jnp.ndarray         # [M] perceptual (alpha = r^2)
+    ior: jnp.ndarray               # [M] index of refraction (>=1)
+    transmission: jnp.ndarray      # [M] specular transmission weight
+    diffuse_transmission: jnp.ndarray  # [M]
+    emissive: jnp.ndarray          # [M,3] radiance
+    specular_f0_scale: jnp.ndarray  # [M] scales the 0.08*specular F0 term
+    thin: jnp.ndarray              # [M] bool-ish: thin-walled (no interior)
+    alpha_cutoff: jnp.ndarray      # [M] alpha-test threshold; <0 = opaque
+    volume_absorption: jnp.ndarray  # [M,3] Beer-Lambert sigma_a inside
+    base_color_tex: jnp.ndarray    # [M] texture id or -1
+    emissive_tex: jnp.ndarray      # [M] texture id or -1
+    metal_rough_tex: jnp.ndarray   # [M] texture id or -1
+    normal_tex: jnp.ndarray        # [M] texture id or -1
+
+    @staticmethod
+    def create(n: int) -> "Materials":
+        z = lambda *s: jnp.zeros((n, *s), jnp.float32)
+        zi = lambda: jnp.full((n,), -1, jnp.int32)
+        return Materials(
+            base_color=jnp.full((n, 3), 0.5, jnp.float32),
+            metallic=z(), roughness=jnp.full((n,), 0.5, jnp.float32),
+            ior=jnp.full((n,), 1.5, jnp.float32), transmission=z(),
+            diffuse_transmission=z(), emissive=z(3),
+            # Falcor convention: F0 = 0.08 * specular; default specular=0.5
+            # gives the physical 0.04 for IoR 1.5 (BxDF.hlsli StandardBSDFData).
+            specular_f0_scale=jnp.full((n,), 0.5, jnp.float32),
+            thin=z(), alpha_cutoff=jnp.full((n,), -1.0, jnp.float32),
+            volume_absorption=z(3),
+            base_color_tex=zi(), emissive_tex=zi(), metal_rough_tex=zi(),
+            normal_tex=zi(),
+        )
+
+
+@struct.dataclass
+class Geometry:
+    """World-space flattened triangle soup [V vertices, T triangles]."""
+
+    positions: jnp.ndarray       # [V,3] f32
+    normals: jnp.ndarray         # [V,3] f32 (shading normals)
+    uvs: jnp.ndarray             # [V,2] f32
+    indices: jnp.ndarray         # [T,3] i32
+    tri_material: jnp.ndarray    # [T] i32 material id
+    tri_subinstance: jnp.ndarray  # [T] i32 subinstance id
+
+    @property
+    def num_triangles(self) -> int:
+        return self.indices.shape[0]
+
+
+@struct.dataclass
+class AnalyticLights:
+    """Analytic light SoA [L] (point / directional / spot)."""
+
+    kind: jnp.ndarray        # [L] i32
+    position: jnp.ndarray    # [L,3]
+    direction: jnp.ndarray   # [L,3] unit (spot/directional)
+    intensity: jnp.ndarray   # [L,3] point/spot: radiant intensity W/sr;
+    #                                directional: radiance
+    angular_size: jnp.ndarray  # [L] directional: apex angle (rad); 0 = delta
+    cos_inner: jnp.ndarray   # [L] spot cone
+    cos_outer: jnp.ndarray   # [L]
+
+    @staticmethod
+    def empty() -> "AnalyticLights":
+        z = lambda *s: jnp.zeros((0, *s), jnp.float32)
+        return AnalyticLights(kind=jnp.zeros((0,), jnp.int32), position=z(3),
+                              direction=z(3), intensity=z(3), angular_size=z(),
+                              cos_inner=z(), cos_outer=z())
+
+
+@struct.dataclass
+class SceneData:
+    """Everything the wavefront integrator needs on device."""
+
+    geometry: Geometry
+    materials: Materials
+    analytic_lights: AnalyticLights
+    # Filled in by accel.build / lighting.bake — see those modules.
+    bvh: Optional["object"] = None        # accel.bvh.ThreadedBVH
+    lights: Optional["object"] = None     # lighting.lights_baker.LightList
+    envmap: Optional["object"] = None     # lighting.envmap.EnvMap
+    textures: Optional["object"] = None   # scene.textures.TextureAtlas
+
+
+# ---------------------------------------------------------------------------
+# Host-side scene description (pre-flattening)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class MeshInstance:
+    """One instanced mesh: host arrays + transform (TLAS-instance analog,
+    reference Sample.cpp:1200-1242 BuildTLAS per-instance entries)."""
+
+    positions: np.ndarray    # [v,3]
+    normals: np.ndarray      # [v,3]
+    uvs: np.ndarray          # [v,2]
+    indices: np.ndarray      # [t,3]
+    material: np.ndarray     # [t] per-triangle material id
+    transform: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(4, dtype=np.float32))
+    name: str = ""
+
+
+@dataclasses.dataclass
+class HostScene:
+    """Host scene: instances + materials + lights; `.flatten()` produces the
+    device SceneData (sans BVH/lights bake, done by prepare())."""
+
+    instances: List[MeshInstance] = dataclasses.field(default_factory=list)
+    materials: Optional[Materials] = None
+    analytic_lights: Optional[AnalyticLights] = None
+    envmap_image: Optional[np.ndarray] = None   # [H,W,3] equirect radiance
+    envmap_scale: float = 1.0
+    envmap_rotation: float = 0.0                # azimuth radians
+    textures: Optional[list] = None             # list of np [h,w,4] images
+    camera: Optional[dict] = None               # loader-provided camera hint
+
+    def flatten(self) -> SceneData:
+        """Flatten instances to world space (SubInstance bake analog)."""
+        pos, nrm, uv, idx, mat, sub = [], [], [], [], [], []
+        voff = 0
+        for si, inst in enumerate(self.instances):
+            m = inst.transform
+            p = inst.positions @ m[:3, :3].T + m[:3, 3]
+            # normal matrix = inverse-transpose of upper 3x3
+            nmat = np.linalg.inv(m[:3, :3]).T
+            n = inst.normals @ nmat.T
+            n /= np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+            pos.append(p.astype(np.float32))
+            nrm.append(n.astype(np.float32))
+            uvs_i = inst.uvs if inst.uvs is not None else np.zeros(
+                (len(p), 2), np.float32)
+            uv.append(uvs_i.astype(np.float32))
+            idx.append(inst.indices.astype(np.int32) + voff)
+            mat.append(inst.material.astype(np.int32))
+            sub.append(np.full((len(inst.indices),), si, np.int32))
+            voff += len(p)
+        geometry = Geometry(
+            positions=jnp.asarray(np.concatenate(pos)),
+            normals=jnp.asarray(np.concatenate(nrm)),
+            uvs=jnp.asarray(np.concatenate(uv)),
+            indices=jnp.asarray(np.concatenate(idx)),
+            tri_material=jnp.asarray(np.concatenate(mat)),
+            tri_subinstance=jnp.asarray(np.concatenate(sub)),
+        )
+        mats = self.materials if self.materials is not None else Materials.create(1)
+        lights = (self.analytic_lights if self.analytic_lights is not None
+                  else AnalyticLights.empty())
+        return SceneData(geometry=geometry, materials=mats,
+                         analytic_lights=lights)

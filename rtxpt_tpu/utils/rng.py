@@ -1,0 +1,207 @@
+"""Stateless sample generators.
+
+TPU-native re-design of the reference's per-(pixel, vertexIndex, sampleIndex,
+effect-seed) stateless generators (reference: Rtxpt/Shaders/PathTracer/Utils/
+SampleGenerators.hlsli:29-41, StatelessSampleGenerators.hlsli,
+NoiseAndSequences.hlsli:122-235 — hash-based Owen-scrambled Sobol' after
+Burley, "Practical Hash-Based Owen Scrambling", JCGT 2020).
+
+Everything is a pure function of uint32 indices — no RNG state is carried in
+the path payload, which is exactly what a traced/jitted wavefront integrator
+wants: any sample dimension can be regenerated anywhere from
+(pixel_seed, sample_index, dimension).
+
+API sketch:
+    seed = pixel_seed(px, py, vertex_index, effect)       # uint32 [...]
+    u    = ld_sample(sample_index, seed, dim)              # f32 in [0,1)
+    u2   = ld_sample2(sample_index, seed, dim)             # (f32, f32)
+    u    = uniform_sample(seed, dim)                       # hash-chain fallback
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+U32 = jnp.uint32
+
+# ---------------------------------------------------------------------------
+# Bit utilities
+# ---------------------------------------------------------------------------
+
+
+def _u32(x):
+    return jnp.asarray(x).astype(U32)
+
+
+def reverse_bits_u32(x):
+    """Bit-reverse each uint32 lane."""
+    x = _u32(x)
+    x = (x >> 16) | (x << 16)
+    x = ((x & U32(0x00FF00FF)) << 8) | ((x >> 8) & U32(0x00FF00FF))
+    x = ((x & U32(0x0F0F0F0F)) << 4) | ((x >> 4) & U32(0x0F0F0F0F))
+    x = ((x & U32(0x33333333)) << 2) | ((x >> 2) & U32(0x33333333))
+    x = ((x & U32(0x55555555)) << 1) | ((x >> 1) & U32(0x55555555))
+    return x
+
+
+def lowbias32(x):
+    """Low-bias integer hash (public domain constants, Chris Wellons)."""
+    x = _u32(x)
+    x ^= x >> 16
+    x *= U32(0x7FEB352D)
+    x ^= x >> 15
+    x *= U32(0x846CA68B)
+    x ^= x >> 16
+    return x
+
+
+def hash_combine(a, b):
+    """Order-dependent combine of two uint32 streams."""
+    a = _u32(a)
+    b = _u32(b)
+    return lowbias32(a ^ (b + U32(0x9E3779B9) + (a << 6) + (a >> 2)))
+
+
+def pcg_hash(x):
+    """PCG output permutation of an LCG step — a second independent hash."""
+    x = _u32(x)
+    state = x * U32(747796405) + U32(2891336453)
+    word = ((state >> ((state >> 28) + U32(4))) ^ state) * U32(277803737)
+    return (word >> 22) ^ word
+
+
+def u32_to_unit_float(x):
+    """uint32 -> f32 in [0, 1) with 24 bits of mantissa entropy."""
+    return (_u32(x) >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+# ---------------------------------------------------------------------------
+# Sobol' direction vectors (first SOBOL_NDIM dims, Joe & Kuo initialisation)
+# ---------------------------------------------------------------------------
+
+SOBOL_NDIM = 8
+
+# (s, a, m) primitive-polynomial parameters for dims 1..7 (dim 0 is the
+# van der Corput radical inverse). Values from the standard Joe-Kuo table.
+_JOE_KUO = [
+    (1, 0, [1]),
+    (2, 1, [1, 3]),
+    (3, 1, [1, 3, 1]),
+    (3, 2, [1, 1, 1]),
+    (4, 1, [1, 1, 3, 3]),
+    (4, 4, [1, 3, 5, 13]),
+    (5, 2, [1, 1, 5, 5, 17]),
+]
+
+
+def _make_direction_vectors() -> np.ndarray:
+    """Compute 32-bit Sobol' direction vectors, shape [SOBOL_NDIM, 32]."""
+    nbits = 32
+    v = np.zeros((SOBOL_NDIM, nbits), dtype=np.uint64)
+    # dim 0: van der Corput
+    for k in range(nbits):
+        v[0, k] = np.uint64(1) << np.uint64(31 - k)
+    for d, (s, a, m_init) in enumerate(_JOE_KUO, start=1):
+        m = list(m_init)
+        for k in range(s, nbits):
+            mk = m[k - s] ^ (m[k - s] << s)
+            for i in range(1, s):
+                if (a >> (s - 1 - i)) & 1:
+                    mk ^= m[k - i] << i
+            m.append(mk)
+        for k in range(nbits):
+            v[d, k] = np.uint64(m[k]) << np.uint64(31 - k)
+    return v.astype(np.uint32)
+
+
+_SOBOL_V = _make_direction_vectors()          # np [NDIM, 32] uint32
+
+
+def sobol_u32(index, dim: int):
+    """Sobol' sample `index` in dimension `dim` (static), as uint32."""
+    assert 0 <= dim < SOBOL_NDIM
+    index = _u32(index)
+    result = jnp.zeros_like(index)
+    for k in range(32):
+        bit = (index >> k) & U32(1)
+        result ^= bit * U32(int(_SOBOL_V[dim, k]))
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Hash-based Owen scrambling (Burley 2020 / Laine-Karras permutation)
+# ---------------------------------------------------------------------------
+
+
+def laine_karras_permutation(x, seed):
+    x = _u32(x)
+    x += _u32(seed)
+    x ^= x * U32(0x6C50B47C)
+    x ^= x * U32(0xB82F1E52)
+    x ^= x * U32(0xC7AFE638)
+    x ^= x * U32(0x8D22F6E6)
+    return x
+
+
+def nested_uniform_scramble(x, seed):
+    """Owen scramble of the bits of x (most-significant bit first)."""
+    x = reverse_bits_u32(x)
+    x = laine_karras_permutation(x, seed)
+    return reverse_bits_u32(x)
+
+
+def shuffled_scrambled_sobol_u32(index, seed, dim: int):
+    """Owen-shuffled, Owen-scrambled Sobol' point — one dimension.
+
+    `dim` may exceed SOBOL_NDIM: higher dims are "padded" by decorrelating
+    the shuffle seed per dim-block, the standard padding construction.
+    """
+    block, d = divmod(dim, SOBOL_NDIM)
+    seed = _u32(seed)
+    if block:
+        seed = hash_combine(seed, U32(block * 0x55555555 + 0x68BC21EB))
+    shuffle_seed = lowbias32(seed ^ U32(0xA511E9B3))
+    scramble_seed = hash_combine(seed, U32(d + 1))
+    shuffled = nested_uniform_scramble(_u32(index), shuffle_seed)
+    x = sobol_u32(shuffled, d)
+    return nested_uniform_scramble(x, scramble_seed)
+
+
+# ---------------------------------------------------------------------------
+# Public sampling API
+# ---------------------------------------------------------------------------
+
+
+def pixel_seed(px, py, vertex_index, effect):
+    """Per-(pixel, path-vertex, effect) decorrelation seed.
+
+    Mirrors the reference generator keying (SampleGenerators.hlsli:29-41):
+    pixel position, path vertex index and an effect seed; the sample index
+    stays separate so that LD sequences progress over frames.
+    """
+    h = hash_combine(_u32(px), _u32(py))
+    h = hash_combine(h, _u32(vertex_index))
+    h = hash_combine(h, _u32(effect))
+    return h
+
+
+def ld_sample(sample_index, seed, dim: int):
+    """Low-discrepancy f32 sample in [0,1)."""
+    return u32_to_unit_float(shuffled_scrambled_sobol_u32(sample_index, seed, dim))
+
+
+def ld_sample2(sample_index, seed, dim: int):
+    """Consecutive-dim 2D LD sample (well-distributed pair)."""
+    base = (dim // 2) * 2
+    return (ld_sample(sample_index, seed, base),
+            ld_sample(sample_index, seed, base + 1))
+
+
+def uniform_sample(seed, dim):
+    """Plain hash-chain uniform f32 in [0,1); `dim` may be traced."""
+    return u32_to_unit_float(hash_combine(_u32(seed), _u32(dim)))
+
+
+def uniform_sample_u32(seed, dim):
+    return hash_combine(_u32(seed), _u32(dim))

@@ -1,0 +1,108 @@
+"""BVH build + traversal correctness vs brute force (LBVH validity tests
+the reference lacks — SURVEY.md §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rtxpt_tpu.accel import build_bvh, intersect_closest, intersect_any
+from rtxpt_tpu.scene.procedural import random_triangles
+
+
+def _brute_force(pos, idx, o, d, tmin=1e-3, tmax=1e9):
+    v0 = pos[idx[:, 0]]
+    e1 = pos[idx[:, 1]] - v0
+    e2 = pos[idx[:, 2]] - v0
+    pv = np.cross(d[:, None, :], e2[None])
+    det = np.einsum("tj,ntj->nt", e1, pv)
+    inv = np.where(np.abs(det) > 1e-9, 1 / np.where(np.abs(det) > 1e-9, det, 1), 0)
+    tv = o[:, None, :] - v0[None]
+    u = np.einsum("ntj,ntj->nt", tv, pv) * inv
+    qv = np.cross(tv, e1[None])
+    v = np.einsum("nj,ntj->nt", d, qv) * inv
+    t = np.einsum("tj,ntj->nt", e2, qv) * inv
+    ok = (np.abs(det) > 1e-9) & (u >= 0) & (v >= 0) & (u + v <= 1) \
+        & (t > tmin) & (t < tmax)
+    t = np.where(ok, t, np.inf)
+    ti = np.argmin(t, axis=1)
+    tb = t[np.arange(len(o)), ti]
+    return np.where(np.isfinite(tb), ti, -1), np.where(np.isfinite(tb), tb, tmax)
+
+
+@pytest.mark.parametrize("ntri,seed", [(1, 0), (2, 1), (33, 2), (1000, 3)])
+def test_closest_hit_matches_brute_force(ntri, seed):
+    sc = random_triangles(ntri, seed=seed).flatten()
+    pos = np.asarray(sc.positions if hasattr(sc, "positions")
+                     else sc.geometry.positions)
+    idx = np.asarray(sc.geometry.indices)
+    bvh = build_bvh(pos, idx)
+    assert bvh.num_nodes == 2 * ntri - 1
+
+    rng = np.random.default_rng(seed + 100)
+    n = 256
+    targets = pos[idx[rng.integers(0, ntri, n), 0]] + rng.normal(0, 0.2, (n, 3))
+    o = rng.uniform(-25, 25, (n, 3)).astype(np.float32)
+    d = (targets - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    bp, bt = _brute_force(pos, idx, o, d)
+    hit = intersect_closest(bvh, jnp.asarray(o), jnp.asarray(d),
+                            jnp.full((n,), 1e-3), jnp.full((n,), 1e9))
+    hp = np.asarray(hit.prim)
+    ht = np.asarray(hit.t)
+    assert (hp == bp).all()
+    mask = bp >= 0
+    if mask.any():
+        np.testing.assert_allclose(ht[mask], bt[mask], rtol=1e-4, atol=1e-4)
+
+
+def test_any_hit_agrees_with_closest():
+    sc = random_triangles(500, seed=7).flatten()
+    pos = np.asarray(sc.geometry.positions)
+    idx = np.asarray(sc.geometry.indices)
+    bvh = build_bvh(pos, idx)
+    rng = np.random.default_rng(8)
+    n = 512
+    o = rng.uniform(-15, 15, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    tmin = jnp.full((n,), 1e-3)
+    tmax = jnp.full((n,), 1e9)
+    closest = intersect_closest(bvh, jnp.asarray(o), jnp.asarray(d), tmin, tmax)
+    occ = intersect_any(bvh, jnp.asarray(o), jnp.asarray(d), tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(occ), ~np.asarray(closest.miss))
+
+
+def test_tmax_respected():
+    sc = random_triangles(200, seed=9).flatten()
+    pos = np.asarray(sc.geometry.positions)
+    idx = np.asarray(sc.geometry.indices)
+    bvh = build_bvh(pos, idx)
+    rng = np.random.default_rng(10)
+    n = 256
+    targets = pos[idx[rng.integers(0, 200, n), 0]]
+    o = rng.uniform(-15, 15, (n, 3)).astype(np.float32)
+    d = (targets - o).astype(np.float32)
+    dist = np.linalg.norm(d, axis=-1, keepdims=True)
+    d /= dist
+    # tmax shorter than the distance to the aimed-at triangle region
+    short = jnp.asarray(dist[:, 0] * 0.01)
+    hit = intersect_closest(bvh, jnp.asarray(o), jnp.asarray(d),
+                            jnp.full((n,), 1e-3), short)
+    ht = np.asarray(hit.t)
+    hp = np.asarray(hit.prim)
+    assert ((hp < 0) | (ht <= np.asarray(short) + 1e-5)).all()
+
+
+def test_degenerate_identical_centroids():
+    """All triangles share a centroid cell -> Morton ties broken by index."""
+    n = 64
+    base = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    pos = np.concatenate([base + i * 1e-7 for i in range(n)])
+    idx = np.arange(3 * n, dtype=np.int32).reshape(-1, 3)
+    bvh = build_bvh(pos, idx)
+    assert bvh.num_nodes == 2 * n - 1
+    o = jnp.asarray([[0.2, 0.2, 5.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
+    hit = intersect_closest(bvh, o, d, jnp.asarray([1e-3]), jnp.asarray([1e9]))
+    assert int(hit.prim[0]) >= 0

@@ -1,0 +1,58 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md §2.6: tile+sample sharding over ICI is a first-class component)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rtxpt_tpu.config import PathTracerConfig
+from rtxpt_tpu.parallel.mesh import (
+    make_mesh, render_sample_sharded, render_spp_sharded,
+)
+from rtxpt_tpu.pt.integrator import render_sample_jit
+from rtxpt_tpu.scene.procedural import default_camera
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_tile_sharded_matches_single_device(cornell_scene):
+    host, scene = cornell_scene
+    cam = default_camera(host, 32, 32)
+    cfg = PathTracerConfig(max_bounces=2, ray_chunk=32 * 32)
+    single = render_sample_jit(scene, cam, cfg, 32, 32, jnp.uint32(3))["L"]
+    mesh = make_mesh(8)
+    sharded, rays = render_sample_sharded(scene, cam, cfg, 32, 32,
+                                          jnp.uint32(3), mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-4, atol=1e-5)
+    assert int(rays) > 0
+
+
+def test_spp_sharded_matches_sequential(cornell_scene):
+    host, scene = cornell_scene
+    cam = default_camera(host, 16, 16)
+    cfg = PathTracerConfig(max_bounces=2, ray_chunk=16 * 16)
+    mesh = make_mesh(8)
+    sharded, _ = render_spp_sharded(scene, cam, cfg, 16, 16, 0, mesh)
+    acc = None
+    for s in range(8):
+        out = render_sample_jit(scene, cam, cfg, 16, 16, jnp.uint32(s))["L"]
+        acc = out if acc is None else acc + out
+    seq = np.asarray(acc) / 8
+    np.testing.assert_allclose(np.asarray(sharded), seq, rtol=1e-4, atol=1e-5)
+
+
+def test_uneven_pixel_count_sharding(cornell_scene):
+    """Pixel count not divisible by device count pads correctly."""
+    host, scene = cornell_scene
+    cam = default_camera(host, 19, 13)
+    cfg = PathTracerConfig(max_bounces=1, ray_chunk=19 * 13)
+    mesh = make_mesh(8)
+    sharded, _ = render_sample_sharded(scene, cam, cfg, 19, 13,
+                                       jnp.uint32(0), mesh)
+    single = render_sample_jit(scene, cam, cfg, 19, 13, jnp.uint32(0))["L"]
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=1e-4, atol=1e-5)
