@@ -23,6 +23,16 @@ from flax import struct
 
 @struct.dataclass
 class ThreadedBVH:
+    # Single fused per-node gather table [M,17] f32 — one jnp.take per
+    # traversal step (gathers are the TPU bottleneck; see accel/traverse.py):
+    #   0:3 aabb min | 3:6 aabb max | 6 prim-as-f32 (-1 internal) |
+    #   7 miss-link-as-f32 (-1 done) | 8:11 tri v0 | 11:14 e1 | 14:17 e2
+    # (int-in-f32 is exact below 2^24 — node/prim counts beyond that switch
+    # to a split table; asserted in the builder.)
+    nodes: jnp.ndarray       # [M,17] f32
+    # Matmul-factored all-pairs intersection operands (accel/brute.py),
+    # present when the scene is small enough for the MXU brute-force path.
+    brute: object            # Optional[BruteTris]
     node_min: jnp.ndarray    # [M,3] f32
     node_max: jnp.ndarray    # [M,3] f32
     node_prim: jnp.ndarray   # [M] i32: -1 internal, else packed-triangle index

@@ -222,7 +222,39 @@ def _pack(node_min, node_max, node_prim, node_miss, order, v0, v1, v2):
     sv0 = v0[order].astype(np.float32)
     sv1 = v1[order].astype(np.float32)
     sv2 = v2[order].astype(np.float32)
+    m = len(node_min)
+    assert m < (1 << 24), "int-in-f32 packing limit; split-table TODO"
+    packed = np.zeros((m, 17), np.float32)
+    packed[:, 0:3] = node_min
+    packed[:, 3:6] = node_max
+    packed[:, 6] = node_prim.astype(np.float32)
+    packed[:, 7] = node_miss.astype(np.float32)
+    leaf = node_prim >= 0
+    li = node_prim[leaf]
+    packed[leaf, 8:11] = sv0[li]
+    packed[leaf, 11:14] = sv1[li] - sv0[li]
+    packed[leaf, 14:17] = sv2[li] - sv0[li]
+
+    brute = None
+    n_tris = len(sv0)
+    from rtxpt_tpu.accel import brute as brute_mod
+    if n_tris <= brute_mod.BRUTE_MAX_TRIS:
+        # original-order triangles (brute returns original prim ids)
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        brute = brute_mod.BruteTris(
+            e1_t=jnp.asarray((sv1 - sv0)[inv].T.copy()),
+            e2_t=jnp.asarray((sv2 - sv0)[inv].T.copy()),
+            n_t=jnp.asarray(np.cross(sv1 - sv0, sv2 - sv0)[inv].T.copy()),
+            v0xe2_t=jnp.asarray(np.cross(sv0, sv2 - sv0)[inv].T.copy()),
+            v0xe1_t=jnp.asarray(np.cross(sv0, sv1 - sv0)[inv].T.copy()),
+            v0n=jnp.asarray(np.einsum(
+                "tj,tj->t", sv0, np.cross(sv1 - sv0, sv2 - sv0))[inv]),
+        )
+
     return ThreadedBVH(
+        nodes=jnp.asarray(packed),
+        brute=brute,
         node_min=jnp.asarray(node_min),
         node_max=jnp.asarray(node_max),
         node_prim=jnp.asarray(node_prim),

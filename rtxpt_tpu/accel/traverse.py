@@ -5,15 +5,14 @@ PathTracerBridgeDonut.hlsli:996 traceScatterRay, :1034 traceVisibilityRay).
 
 The kernel is a single `lax.while_loop` over traversal steps; per step every
 ray in the wavefront advances one node of the threaded BVH (accel/bvh.py).
-All memory access is gathers (jnp.take) — no stacks, no scatters — which is
-the shape XLA:TPU vectorizes well. Rays that finish early idle via masks
-until the wavefront drains (the classic lockstep-SIMT trade; ray sorting in
-ops/ restores coherence).
+TPU gathers dominate the cost, so the entire per-node payload (AABB, skip
+links, leaf triangle) lives in ONE fused [M,17] table — exactly one
+jnp.take per ray per step; everything else is elementwise math. Rays that
+finish early idle via masks until the wavefront drains (the classic
+lockstep-SIMT trade; ray sorting in ops/ restores coherence).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -44,37 +43,9 @@ def _safe_inv(d):
                      sgn * _INVD_MAX)
 
 
-def _gather(arr, idx):
-    return jnp.take(arr, idx, axis=0)
-
-
-def _tri_intersect(bvh: ThreadedBVH, pr, o, d, tmin, tbest):
-    """Möller–Trumbore against packed triangle `pr` (clamped valid index).
-
-    Returns (t, u, v, front, valid_geometry_hit_in_range)."""
-    v0 = _gather(bvh.tri_v0, pr)
-    e1 = _gather(bvh.tri_e1, pr)
-    e2 = _gather(bvh.tri_e2, pr)
-    pvec = jnp.cross(d, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
-    front = det > 0.0
-    inv_det = jnp.where(jnp.abs(det) > _TRI_EPS, 1.0 / jnp.where(
-        jnp.abs(det) > _TRI_EPS, det, 1.0), 0.0)
-    tvec = o - v0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(d * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
-    valid = ((jnp.abs(det) > _TRI_EPS)
-             & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-             & (t > tmin) & (t < tbest))
-    return t, u, v, front, valid
-
-
 def _traverse(bvh: ThreadedBVH, o, d, tmin, tmax, any_hit: bool,
               max_steps: int = 0):
-    """Core traversal. o,d: [N,3]; tmin,tmax: [N]. Returns Hit [N]."""
-    n = o.shape[0]
+    """Core traversal. o,d: [N,3]; tmin,tmax: [N]. Returns raw state dict."""
     invd = _safe_inv(d)
 
     # Derive the initial carry from ALL ray inputs so while_loop carry types
@@ -103,8 +74,16 @@ def _traverse(bvh: ThreadedBVH, o, d, tmin, tmax, any_hit: bool,
         active = node >= 0
         nd = jnp.maximum(node, 0)
 
-        bmin = _gather(bvh.node_min, nd)
-        bmax = _gather(bvh.node_max, nd)
+        g = jnp.take(bvh.nodes, nd, axis=0)          # [N,17] — THE gather
+        bmin = g[:, 0:3]
+        bmax = g[:, 3:6]
+        pr = g[:, 6].astype(jnp.int32)
+        miss_link = g[:, 7].astype(jnp.int32)
+        v0 = g[:, 8:11]
+        e1 = g[:, 11:14]
+        e2 = g[:, 14:17]
+
+        # Slab test
         t0 = (bmin - o) * invd
         t1 = (bmax - o) * invd
         tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
@@ -113,11 +92,21 @@ def _traverse(bvh: ThreadedBVH, o, d, tmin, tmax, any_hit: bool,
         tf = jnp.minimum(tf, s["t"])
         aabb_hit = (tn <= tf) & active
 
-        pr = _gather(bvh.node_prim, nd)
+        # Möller–Trumbore on the leaf triangle carried in the node row
         is_leaf = pr >= 0
-        th, u, v, front, tri_hit = _tri_intersect(
-            bvh, jnp.maximum(pr, 0), o, d, tmin, s["t"])
-        tri_hit = tri_hit & is_leaf & aabb_hit
+        pvec = jnp.cross(d, e2)
+        det = jnp.sum(e1 * pvec, axis=-1)
+        front = det > 0.0
+        ok_det = jnp.abs(det) > _TRI_EPS
+        inv_det = jnp.where(ok_det, 1.0 / jnp.where(ok_det, det, 1.0), 0.0)
+        tvec = o - v0
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, e1)
+        v = jnp.sum(d * qvec, axis=-1) * inv_det
+        th = jnp.sum(e2 * qvec, axis=-1) * inv_det
+        tri_hit = (ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                   & (th > tmin) & (th < s["t"])
+                   & is_leaf & aabb_hit)
 
         t_new = jnp.where(tri_hit, th, s["t"])
         prim_new = jnp.where(tri_hit, pr, s["prim"])
@@ -125,26 +114,65 @@ def _traverse(bvh: ThreadedBVH, o, d, tmin, tmax, any_hit: bool,
         front_new = jnp.where(tri_hit, front, s["front"])
 
         descend = aabb_hit & ~is_leaf
-        nxt = jnp.where(descend, nd + 1, _gather(bvh.node_miss, nd))
+        nxt = jnp.where(descend, nd + 1, miss_link)
         if any_hit:
             nxt = jnp.where(tri_hit, -1, nxt)
         nxt = jnp.where(active, nxt, -1)
         return dict(node=nxt, t=t_new, prim=prim_new, uv=uv_new,
                     front=front_new, steps=s["steps"] + 1)
 
-    s = jax.lax.while_loop(cond, body, state)
-    prim_orig = jnp.where(s["prim"] >= 0,
-                          _gather(bvh.prim_tri, jnp.maximum(s["prim"], 0)),
-                          -1)
-    return Hit(t=s["t"], prim=prim_orig, bary=s["uv"], front=s["front"])
+    return jax.lax.while_loop(cond, body, state)
+
+
+import os
+
+
+def _use_vmem_kernel(bvh: ThreadedBVH) -> bool:
+    """Trace-time dispatch: Pallas VMEM kernel on TPU for small scenes.
+    Disabled by default — the in-kernel loop faults current Mosaic runtimes
+    (see traverse_pallas.py header); the MXU brute-force path (accel/
+    brute.py) covers the small-scene regime instead."""
+    if os.environ.get("RTXPT_TPU_PALLAS_TRAVERSAL") != "1":
+        return False
+    from rtxpt_tpu.accel import traverse_pallas as tp
+
+    if bvh.num_nodes > tp.MAX_VMEM_NODES:
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return backend not in ("cpu", "gpu")
 
 
 def intersect_closest(bvh: ThreadedBVH, o, d, tmin, tmax) -> Hit:
     """Closest-hit query over a ray wavefront (scatter rays)."""
-    return _traverse(bvh, o, d, tmin, tmax, any_hit=False)
+    if bvh.brute is not None:
+        from rtxpt_tpu.accel.brute import intersect_closest_brute
+
+        return intersect_closest_brute(bvh.brute, o, d, tmin, tmax)
+    if _use_vmem_kernel(bvh):
+        from rtxpt_tpu.accel import traverse_pallas as tp
+
+        s = tp.traverse_vmem(bvh.nodes, o, d, tmin, tmax, any_hit=False)
+    else:
+        s = _traverse(bvh, o, d, tmin, tmax, any_hit=False)
+    prim_orig = jnp.where(s["prim"] >= 0,
+                          jnp.take(bvh.prim_tri, jnp.maximum(s["prim"], 0)),
+                          -1)
+    return Hit(t=s["t"], prim=prim_orig, bary=s["uv"], front=s["front"])
 
 
 def intersect_any(bvh: ThreadedBVH, o, d, tmin, tmax) -> jnp.ndarray:
     """Visibility query: True where *occluded* (shadow rays)."""
-    hit = _traverse(bvh, o, d, tmin, tmax, any_hit=True)
-    return ~hit.miss
+    if bvh.brute is not None:
+        from rtxpt_tpu.accel.brute import intersect_any_brute
+
+        return intersect_any_brute(bvh.brute, o, d, tmin, tmax)
+    if _use_vmem_kernel(bvh):
+        from rtxpt_tpu.accel import traverse_pallas as tp
+
+        s = tp.traverse_vmem(bvh.nodes, o, d, tmin, tmax, any_hit=True)
+    else:
+        s = _traverse(bvh, o, d, tmin, tmax, any_hit=True)
+    return s["prim"] >= 0

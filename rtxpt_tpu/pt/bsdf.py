@@ -78,9 +78,17 @@ def smith_g2(alpha, woz, wiz):
 
 
 def fresnel_schlick(f0, cos_h):
+    """Schlick Fresnel with a presence gate: a material with F0 == 0 has NO
+    specular lobe at all (specular_f0_scale=0), so the grazing (1-cos)^5
+    boost must vanish too — otherwise a "diffuse-only" material routes
+    energy through the single-scatter GGX lobe and the furnace test drifts
+    (GGX loses ~40% multiple-scattering energy at high roughness)."""
     w = jnp.power(jnp.clip(1.0 - cos_h, 0.0, 1.0), 5.0)
-    return f0 + (1.0 - f0) * w[..., None] if f0.ndim > cos_h.ndim else \
-        f0 + (1.0 - f0) * w
+    if f0.ndim > cos_h.ndim:
+        present = (m.luminance(f0) > 1e-6).astype(f0.dtype)
+        return f0 + (1.0 - f0) * (w * present)[..., None]
+    present = (f0 > 1e-6).astype(w.dtype) if f0.ndim == cos_h.ndim else 1.0
+    return f0 + (1.0 - f0) * w * present
 
 
 def fresnel_dielectric(cos_i, eta):
@@ -134,7 +142,9 @@ def ggx_vndf_pdf(wo, h, alpha):
 
 
 def _lobe_probs(data: BSDFData):
-    f_avg = jnp.clip(m.luminance(data.specular_f0) + 0.04, 0.0, 1.0)
+    f0_lum = m.luminance(data.specular_f0)
+    f_avg = jnp.where(f0_lum > 1e-6,
+                      jnp.clip(f0_lum + 0.04, 0.0, 1.0), 0.0)
     pd = m.luminance(data.diffuse) * (1.0 - data.transmission) * \
         (1.0 - data.diffuse_transmission)
     pdt = data.diffuse_transmission * m.luminance(data.transmission_color)

@@ -73,7 +73,7 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
 
     aux = dict(
         albedo=jnp.zeros((n, 3), f32), normal=jnp.zeros((n, 3), f32),
-        depth=jnp.zeros((n,), f32), motion=jnp.zeros((n, 2), f32),
+        depth=jnp.zeros((n,), f32), wpos=jnp.zeros((n, 3), f32),
         emission=jnp.zeros((n, 3), f32),
     ) if want_aux else None
 
@@ -131,6 +131,7 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
             aux["albedo"] = jnp.where(hit_mask[..., None], alb, 1.0)
             aux["normal"] = jnp.where(hit_mask[..., None], surf.sh_n, 0.0)
             aux["depth"] = jnp.where(hit_mask, hit.t, 0.0)
+            aux["wpos"] = jnp.where(hit_mask[..., None], surf.pos, 0.0)
             aux["emission"] = jnp.where(hit_mask[..., None], em, 0.0)
 
         wo = m.to_local(-d, surf.sh_n)
@@ -298,7 +299,7 @@ def render(scene: SceneData, cam: Camera, cfg: PathTracerConfig,
         total_rays += int(out["ray_count"])
         acc = out["L"] if acc is None else acc + out["L"]
         if want_aux:
-            for k in ("albedo", "normal", "depth", "emission"):
+            for k in ("albedo", "normal", "depth", "wpos", "emission"):
                 aux_acc[k] = out[k] if k not in aux_acc else aux_acc[k] + out[k]
     hdr = acc / spp
     aux = {k: v / spp for k, v in aux_acc.items()}

@@ -80,3 +80,24 @@ def camera_ray(cam: Camera, px, py, u1, u2, u_lens1=None, u_lens2=None):
     # Pixel cone spread: angle subtended by one pixel vertically.
     spread = 2.0 * jnp.abs(m.length(cam.up, False)) / cam.height
     return o, d, jnp.broadcast_to(spread, px.shape)
+
+
+def project(cam: Camera, world_pos):
+    """World position [...,3] -> (px, py, behind) pixel coordinates.
+
+    Inverse of camera_ray (pinhole only); used for motion vectors
+    (Bridge::computeMotionVectors analog, PathTracerBridgeDonut.hlsli)."""
+    rel = world_pos - cam.position
+    fwd = cam.forward
+    rlen2 = m.dot(cam.right, cam.right, False)
+    ulen2 = m.dot(cam.up, cam.up, False)
+    z = m.dot(rel, jnp.broadcast_to(fwd, rel.shape), False)
+    behind = z <= 1e-6
+    zs = jnp.where(behind, 1.0, z)
+    sx = m.dot(rel, jnp.broadcast_to(cam.right, rel.shape), False) / (
+        rlen2 * zs)
+    sy = m.dot(rel, jnp.broadcast_to(cam.up, rel.shape), False) / (
+        ulen2 * zs)
+    px = (sx + 1.0) * 0.5 * cam.width - 0.5
+    py = (1.0 - sy) * 0.5 * cam.height - 0.5
+    return px, py, behind
