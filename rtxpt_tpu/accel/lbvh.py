@@ -55,12 +55,22 @@ def _msb_pos(x: np.ndarray) -> np.ndarray:
     return r
 
 
-def build_bvh(positions, indices) -> ThreadedBVH:
-    """Build a threaded LBVH over triangles (host arrays or jnp arrays)."""
+def build_bvh(positions, indices, use_native: bool = True) -> ThreadedBVH:
+    """Build a threaded LBVH over triangles (host arrays or jnp arrays).
+
+    Prefers the C++ builder (csrc/lbvh.cpp via accel/native.py) and falls
+    back to the vectorized numpy implementation below."""
     positions = np.asarray(positions, np.float32)
     indices = np.asarray(indices, np.int32)
     n = len(indices)
     assert n >= 1
+
+    if use_native:
+        from rtxpt_tpu.accel import native
+        out = native.build_packed_native(positions, indices)
+        if out is not None:
+            packed, prim_tri = out
+            return _from_packed(packed, prim_tri, positions, indices)
 
     v0 = positions[indices[:, 0]]
     v1 = positions[indices[:, 1]]
@@ -218,6 +228,36 @@ def _emit(children, ranges, leaf_min, leaf_max, order, v0, v1, v2,
     return _pack(node_min, node_max, node_prim, node_miss, order, v0, v1, v2)
 
 
+def _make_brute(positions, indices):
+    from rtxpt_tpu.accel import brute as brute_mod
+    if len(indices) > brute_mod.BRUTE_MAX_TRIS:
+        return None
+    return brute_mod.build_brute(positions, indices)
+
+
+def _from_packed(packed: np.ndarray, prim_tri: np.ndarray,
+                 positions: np.ndarray, indices: np.ndarray) -> ThreadedBVH:
+    """Assemble ThreadedBVH from the packed node table (native builder)."""
+    v0 = positions[indices[:, 0]]
+    v1 = positions[indices[:, 1]]
+    v2 = positions[indices[:, 2]]
+    sv0 = v0[prim_tri]
+    sv1 = v1[prim_tri]
+    sv2 = v2[prim_tri]
+    return ThreadedBVH(
+        nodes=jnp.asarray(packed),
+        brute=_make_brute(positions, indices),
+        node_min=jnp.asarray(packed[:, 0:3]),
+        node_max=jnp.asarray(packed[:, 3:6]),
+        node_prim=jnp.asarray(packed[:, 6].astype(np.int32)),
+        node_miss=jnp.asarray(packed[:, 7].astype(np.int32)),
+        tri_v0=jnp.asarray(sv0),
+        tri_e1=jnp.asarray(sv1 - sv0),
+        tri_e2=jnp.asarray(sv2 - sv0),
+        prim_tri=jnp.asarray(prim_tri.astype(np.int32)),
+    )
+
+
 def _pack(node_min, node_max, node_prim, node_miss, order, v0, v1, v2):
     sv0 = v0[order].astype(np.float32)
     sv1 = v1[order].astype(np.float32)
@@ -235,21 +275,21 @@ def _pack(node_min, node_max, node_prim, node_miss, order, v0, v1, v2):
     packed[leaf, 11:14] = sv1[li] - sv0[li]
     packed[leaf, 14:17] = sv2[li] - sv0[li]
 
-    brute = None
-    n_tris = len(sv0)
+    # original-order operands for the MXU brute path (brute returns
+    # original prim ids directly)
     from rtxpt_tpu.accel import brute as brute_mod
-    if n_tris <= brute_mod.BRUTE_MAX_TRIS:
-        # original-order triangles (brute returns original prim ids)
-        inv = np.empty_like(order)
-        inv[order] = np.arange(len(order))
+    brute = None
+    if len(v0) <= brute_mod.BRUTE_MAX_TRIS:
+        e1o = v1 - v0
+        e2o = v2 - v0
+        no = np.cross(e1o, e2o)
         brute = brute_mod.BruteTris(
-            e1_t=jnp.asarray((sv1 - sv0)[inv].T.copy()),
-            e2_t=jnp.asarray((sv2 - sv0)[inv].T.copy()),
-            n_t=jnp.asarray(np.cross(sv1 - sv0, sv2 - sv0)[inv].T.copy()),
-            v0xe2_t=jnp.asarray(np.cross(sv0, sv2 - sv0)[inv].T.copy()),
-            v0xe1_t=jnp.asarray(np.cross(sv0, sv1 - sv0)[inv].T.copy()),
-            v0n=jnp.asarray(np.einsum(
-                "tj,tj->t", sv0, np.cross(sv1 - sv0, sv2 - sv0))[inv]),
+            e1_t=jnp.asarray(e1o.T.astype(np.float32).copy()),
+            e2_t=jnp.asarray(e2o.T.astype(np.float32).copy()),
+            n_t=jnp.asarray(no.T.astype(np.float32).copy()),
+            v0xe2_t=jnp.asarray(np.cross(v0, e2o).T.astype(np.float32).copy()),
+            v0xe1_t=jnp.asarray(np.cross(v0, e1o).T.astype(np.float32).copy()),
+            v0n=jnp.asarray(np.einsum("tj,tj->t", v0, no).astype(np.float32)),
         )
 
     return ThreadedBVH(

@@ -127,11 +127,14 @@ def eval_light_sample(lights: LightList, envmap: EnvMap, li, uv, shade_pos):
 
     wi_dir = -p1
 
-    # env: uv directly parameterizes the equirect map
-    from rtxpt_tpu.lighting.envmap import _uv_to_dir, env_pdf
+    # env: uv parameterizes the equirect map UNIFORMLY here (candidate uv
+    # is a uniform square sample, not a CDF draw), so the solid-angle
+    # jacobian is 1/(2*pi^2*sin(theta)).
+    from rtxpt_tpu.lighting.envmap import _uv_to_dir
     wi_env = _uv_to_dir(envmap, uv[..., 0], uv[..., 1])
     li_env = env_eval(envmap, wi_env)
-    pdf_env = sel_pdf * env_pdf(envmap, wi_env)
+    sin_t = jnp.maximum(jnp.sin(uv[..., 1] * jnp.pi), 1e-4)
+    pdf_env = sel_pdf / (2.0 * jnp.pi * jnp.pi * sin_t)
 
     is_tri = kind == KIND_TRIANGLE
     is_point = kind == KIND_POINT
@@ -325,6 +328,37 @@ def final_shade(res: Reservoir, gb: GBuffer, lights, envmap, bvh,
                             jnp.where(ok, dist * (1.0 - 1e-4), 0.0))
         ok = ok & ~occ
     return jnp.where(ok[..., None], contrib, 0.0)
+
+
+def gbuffer_from_primary(scene, cam, width: int, height: int,
+                         jitter=(0.5, 0.5)):
+    """Trace primary rays and build the compact resampling G-buffer."""
+    from rtxpt_tpu.accel.traverse import intersect_closest
+    from rtxpt_tpu.pt.surface import load_surface
+    from rtxpt_tpu.scene.camera import camera_ray
+
+    px = jnp.tile(jnp.arange(width, dtype=jnp.int32)[None, :],
+                  (height, 1)).reshape(-1)
+    py = jnp.tile(jnp.arange(height, dtype=jnp.int32)[:, None],
+                  (1, width)).reshape(-1)
+    n = px.shape[0]
+    o, d, _ = camera_ray(cam, px, py,
+                         jnp.full((n,), jitter[0], jnp.float32),
+                         jnp.full((n,), jitter[1], jnp.float32))
+    hit = intersect_closest(scene.bvh, o, d, jnp.zeros((n,), jnp.float32),
+                            jnp.full((n,), 1e30, jnp.float32))
+    surf = load_surface(scene, hit, o, d, jnp.zeros((n,), jnp.float32))
+    valid = ~hit.miss
+    return GBuffer(
+        pos=surf.pos,
+        normal=surf.sh_n,
+        geo_normal=surf.geo_n,
+        view=-d,
+        diffuse=surf.bsdf.diffuse,
+        specular_f0=surf.bsdf.specular_f0,
+        roughness=jnp.sqrt(surf.bsdf.alpha),
+        depth=jnp.where(valid, hit.t, 0.0),
+    ), surf.emissive
 
 
 class ReSTIRState(NamedTuple):

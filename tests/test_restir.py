@@ -1,0 +1,97 @@
+"""ReSTIR DI tests: unbiasedness vs plain NEE direct lighting."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rtxpt_tpu.pt import restir
+from rtxpt_tpu.scene.procedural import default_camera
+
+W = H = 32
+
+
+def _reference_direct(scene, gb, n_samples=256):
+    """Ground-truth direct lighting at the G-buffer via many NEE samples."""
+    from rtxpt_tpu.lighting.lights_baker import sample_light
+    from rtxpt_tpu.pt import bsdf as B
+    from rtxpt_tpu.pt.surface import ray_offset
+    from rtxpt_tpu.accel.traverse import intersect_any
+    from rtxpt_tpu.utils import math as m
+    from rtxpt_tpu.utils import rng
+
+    n = gb.pos.shape[0]
+    acc = jnp.zeros((n, 3))
+    px = jnp.arange(n, dtype=jnp.uint32)
+    bsdf = restir._surface_bsdf(gb)
+    wo_l = m.to_local(gb.view, gb.normal)
+    for s in range(n_samples):
+        seed = rng.hash_combine(px, jnp.uint32(7777 + s))
+        ls = sample_light(scene.lights, scene.envmap, gb.pos,
+                          rng.uniform_sample(seed, 0),
+                          rng.uniform_sample(seed, 1),
+                          rng.uniform_sample(seed, 2))
+        wi_l = m.to_local(ls["wi"], gb.normal)
+        f = B.bsdf_eval(bsdf, wo_l, wi_l)
+        o = ray_offset(gb.pos, gb.geo_normal, ls["wi"])
+        do = gb.valid & ls["valid"]
+        occ = intersect_any(scene.bvh, o, ls["wi"],
+                            jnp.zeros((n,), jnp.float32),
+                            jnp.where(do, ls["dist"] * (1 - 1e-4), 0.0))
+        c = f * ls["Li"] / jnp.maximum(ls["pdf"], 1e-12)[..., None]
+        acc = acc + jnp.where((do & ~occ)[..., None], c, 0.0)
+    return acc / n_samples
+
+
+def test_restir_matches_nee_reference(cornell_scene):
+    host, scene = cornell_scene
+    cam = default_camera(host, W, H)
+    gb, _em = restir.gbuffer_from_primary(scene, cam, W, H)
+
+    ref = np.asarray(_reference_direct(scene, gb, 128))
+
+    # average several independent ReSTIR frames (temporal off) for the mean
+    acc = None
+    for f in range(24):
+        color, _ = restir.restir_di(gb, scene.lights, scene.envmap,
+                                    scene.bvh, W, H, f, state=None,
+                                    n_candidates=4, spatial_passes=0)
+        acc = color if acc is None else acc + color
+    est = np.asarray(acc) / 24
+
+    sel = np.asarray(gb.valid) & (ref.sum(-1) > 1e-4)
+    rel = abs(est[sel].mean() - ref[sel].mean()) / ref[sel].mean()
+    assert rel < 0.1, f"ReSTIR mean {est[sel].mean()} vs NEE {ref[sel].mean()}"
+
+
+def test_restir_temporal_and_spatial_run(cornell_scene):
+    """Pipeline with temporal + spatial reuse stays finite and lit."""
+    host, scene = cornell_scene
+    cam = default_camera(host, W, H)
+    gb, _ = restir.gbuffer_from_primary(scene, cam, W, H)
+    state = None
+    for f in range(3):
+        color, state = restir.restir_di(gb, scene.lights, scene.envmap,
+                                        scene.bvh, W, H, f, state=state,
+                                        n_candidates=4, spatial_passes=1)
+    c = np.asarray(color)
+    assert np.isfinite(c).all()
+    assert c.max() > 0.01
+    assert (c >= 0).all()
+
+
+def test_restir_variance_below_single_nee(cornell_scene):
+    """ReSTIR's resampled estimate should be less noisy than 1-candidate
+    NEE at equal shadow-ray budget (the whole point of RIS + reuse)."""
+    host, scene = cornell_scene
+    cam = default_camera(host, W, H)
+    gb, _ = restir.gbuffer_from_primary(scene, cam, W, H)
+    color, state = restir.restir_di(gb, scene.lights, scene.envmap,
+                                    scene.bvh, W, H, 0, None,
+                                    n_candidates=8, spatial_passes=1)
+    one = np.asarray(_reference_direct(scene, gb, 1))
+    est = np.asarray(color)
+    sel = np.asarray(gb.valid)
+    # pixel-to-pixel variance within flat regions proxies estimator noise;
+    # compare total variance of the two images (same mean target)
+    assert est[sel].var() < one[sel].var() * 0.8
