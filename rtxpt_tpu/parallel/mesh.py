@@ -26,7 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from rtxpt_tpu.config import PathTracerConfig
 from rtxpt_tpu.pt.integrator import (
-    EFFECT_LENS, _ld, _pixel_grid, trace_paths,
+    EFFECT_LENS, _lds, _pixel_grid, trace_paths,
 )
 from rtxpt_tpu.scene.camera import camera_ray
 from rtxpt_tpu.utils import rng
@@ -43,8 +43,7 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "tiles",
 
 def _trace_pixels(scene, cam, cfg: PathTracerConfig, px, py, sample_idx):
     seed_lens = rng.pixel_seed(px, py, 0, EFFECT_LENS)
-    u1 = _ld(cfg, sample_idx, seed_lens, 0)
-    u2 = _ld(cfg, sample_idx, seed_lens, 1)
+    u1, u2 = _lds(cfg, sample_idx, seed_lens, (0, 1))
     o, d, spread = camera_ray(cam, px, py, u1, u2)
     out = trace_paths(scene, cfg, o, d, spread, px, py, sample_idx)
     return out["L"], out["ray_count"]

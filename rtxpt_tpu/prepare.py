@@ -23,14 +23,37 @@ def scene_radius(positions: np.ndarray) -> float:
 
 
 def prepare(host: HostScene) -> SceneData:
-    """Flatten + build BVH + bake envmap & light list."""
+    """Flatten + OMM opacity bake + build BVH + bake envmap & lights."""
+    import jax.numpy as jnp
+
     sd = host.flatten()
+
+    # OMM analog: classify alpha-tested triangles; drop fully-transparent
+    # ones before the BVH build (scene/omm.py).
+    tri_opacity = None
+    if host.textures:
+        from rtxpt_tpu.scene.omm import TRANSPARENT, bake_opacity
+        classes = bake_opacity(host, sd.materials, host.textures)
+        if classes is not None:
+            keep = classes != TRANSPARENT
+            if not keep.all():
+                g = sd.geometry
+                sd = sd.replace(geometry=g.replace(
+                    indices=jnp.asarray(np.asarray(g.indices)[keep]),
+                    tri_material=jnp.asarray(
+                        np.asarray(g.tri_material)[keep]),
+                    tri_subinstance=jnp.asarray(
+                        np.asarray(g.tri_subinstance)[keep])))
+                classes = classes[keep]
+            if (classes != 0).any():
+                tri_opacity = jnp.asarray(classes)
+
     pos = np.asarray(sd.geometry.positions)
     idx = np.asarray(sd.geometry.indices)
     bvh = build_bvh(pos, idx)                       # LBVH (accel/lbvh.py)
     envmap = bake_envmap(host.envmap_image, host.envmap_scale,
                          host.envmap_rotation)      # EnvMapBaker analog
-    sd = sd.replace(bvh=bvh, envmap=envmap)
+    sd = sd.replace(bvh=bvh, envmap=envmap, tri_opacity=tri_opacity)
     lights = bake_lights(sd, envmap, scene_radius(pos))  # LightsBaker analog
     textures = None
     if host.textures:

@@ -51,8 +51,16 @@ def _ld(cfg: PathTracerConfig, sample_idx, seed, dim: int):
     return rng.uniform_sample(seed, rng.hash_combine(sample_idx, dim))
 
 
+def _lds(cfg: PathTracerConfig, sample_idx, seed, dims):
+    if cfg.low_discrepancy:
+        return rng.ld_samples(sample_idx, seed, dims)
+    return tuple(rng.uniform_sample(seed, rng.hash_combine(sample_idx, d))
+                 for d in dims)
+
+
 def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
-                px, py, sample_idx, want_aux: bool = False):
+                px, py, sample_idx, want_aux: bool = False,
+                neeat_state=None, first_emissive: bool = True):
     """Trace a wavefront of paths to completion.
 
     Args: o,d [N,3] camera rays; cone_spread [N]; px,py [N] i32;
@@ -80,7 +88,13 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
     sample_idx = jnp.asarray(sample_idx).astype(jnp.uint32)
     use_nee = cfg.nee != NEEMode.OFF and scene.lights is not None
     nee_uniform = cfg.nee == NEEMode.UNIFORM
+    use_neeat = (cfg.nee == NEEMode.NEEAT and neeat_state is not None
+                 and scene.lights is not None)
     firefly = cfg.firefly_clamp
+    neeat_hist = None
+    if use_neeat:
+        from rtxpt_tpu.lighting import neeat as na
+        neeat_hist = jnp.zeros_like(neeat_state.ema)
 
     for bounce in range(cfg.max_bounces + 1):
         # ----- closest hit -----
@@ -92,7 +106,7 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         miss_mask = active & hit.miss
 
         # ----- HandleMiss: environment (PathTracer.hlsli:407-503) -----
-        if scene.envmap is not None:
+        if scene.envmap is not None and (first_emissive or bounce > 0):
             env_L = env_eval(scene.envmap, d)
             if cfg.enable_mis and use_nee:
                 p_env = env_select_pdf(scene.lights, nee_uniform) \
@@ -120,11 +134,23 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
             cos_l = jnp.abs(m.dot(-d, surf.geo_n, False))
             p_light = light_pdf_for_tri_hit(scene.lights, hit.prim, hit.t,
                                             cos_l, nee_uniform)
+            if use_neeat:
+                # rescale the discrete selection part to the NEE-AT mixture
+                li_hit = jnp.take(scene.lights.tri_light,
+                                  jnp.maximum(hit.prim, 0))
+                tile = na.tile_of(neeat_state, px, py)
+                sel_mix = na.select_pdf(neeat_state, scene.lights, tile,
+                                        jnp.maximum(li_hit, 0))
+                sel_pow = jnp.take(scene.lights.power,
+                                   jnp.maximum(li_hit, 0))
+                p_light = p_light * sel_mix / jnp.maximum(sel_pow, 1e-12)
             w_em = jnp.where(prev_delta, 1.0,
                              m.power_heuristic(prev_pdf, p_light))
         else:
             w_em = jnp.ones((n,), f32)
-        L = L + jnp.where(hit_mask[..., None], thp * em * w_em[..., None], 0.0)
+        if first_emissive or bounce > 0:
+            L = L + jnp.where(hit_mask[..., None],
+                              thp * em * w_em[..., None], 0.0)
 
         if want_aux and bounce == 0:
             alb = surf.bsdf.diffuse + surf.bsdf.specular_f0
@@ -139,11 +165,15 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         # ----- NEE (PathTracerNEE.hlsli:303 HandleNEE) -----
         if use_nee:
             seed_nee = rng.pixel_seed(px, py, bounce, EFFECT_NEE)
-            u_sel = _ld(cfg, sample_idx, seed_nee, 0)
-            u1 = _ld(cfg, sample_idx, seed_nee, 2)
-            u2 = _ld(cfg, sample_idx, seed_nee, 3)
-            ls = sample_light(scene.lights, scene.envmap, surf.pos,
-                              u_sel, u1, u2, uniform=nee_uniform)
+            u_sel, u1, u2, u_mix = _lds(cfg, sample_idx, seed_nee,
+                                        (0, 2, 3, 4))
+            if use_neeat:
+                ls = na.sample_adaptive(neeat_state, scene.lights,
+                                        scene.envmap, surf.pos, px, py,
+                                        u_mix, u_sel, u1, u2)
+            else:
+                ls = sample_light(scene.lights, scene.envmap, surf.pos,
+                                  u_sel, u1, u2, uniform=nee_uniform)
             wi_l = m.to_local(ls["wi"], surf.sh_n)
             f_l = B.bsdf_eval(surf.bsdf, wo, wi_l)
             pdf_b = B.bsdf_pdf(surf.bsdf, wo, wi_l)
@@ -167,13 +197,17 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
                 lum = m.luminance(contrib)
                 scale = jnp.minimum(1.0, firefly / jnp.maximum(lum, 1e-12))
                 contrib = contrib * scale[..., None]
-            L = L + jnp.where((do_nee & ~occluded)[..., None], contrib, 0.0)
+            nee_ok = do_nee & ~occluded
+            L = L + jnp.where(nee_ok[..., None], contrib, 0.0)
+            if use_neeat:
+                # feedback: luminance of the realized contribution
+                neeat_hist = neeat_hist + na.accumulate_feedback(
+                    neeat_state, ls["tile"], ls["light_index"],
+                    m.luminance(contrib), nee_ok)
 
         # ----- scatter (GenerateScatterRay, PathTracer.hlsli:217-345) -----
         seed_sc = rng.pixel_seed(px, py, bounce, EFFECT_SCATTER)
-        u_lobe = _ld(cfg, sample_idx, seed_sc, 0)
-        su1 = _ld(cfg, sample_idx, seed_sc, 2)
-        su2 = _ld(cfg, sample_idx, seed_sc, 3)
+        u_lobe, su1, su2 = _lds(cfg, sample_idx, seed_sc, (0, 2, 3))
         bs = B.bsdf_sample(surf.bsdf, wo, u_lobe, su1, su2)
         wi_world = m.to_world(bs["wi"], surf.sh_n)
         # Reject samples that leak through the geometric surface.
@@ -216,6 +250,8 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         d = wi_world
 
     out = dict(L=L, ray_count=ray_count)
+    if use_neeat:
+        out["neeat_hist"] = neeat_hist
     if want_aux:
         out.update(aux)
     return out
@@ -234,9 +270,10 @@ def _pixel_grid(width: int, height: int):
 
 def render_sample(scene: SceneData, cam: Camera, cfg: PathTracerConfig,
                   width: int, height: int, sample_idx,
-                  want_aux: bool = False, chunk: Optional[int] = None):
+                  want_aux: bool = False, chunk: Optional[int] = None,
+                  neeat_state=None):
     """One sample per pixel over the full frame. Returns dict of [H,W,...]
-    buffers (L, optional aux) + scalar ray_count."""
+    buffers (L, optional aux) + scalar ray_count (+ neeat_hist)."""
     px, py = _pixel_grid(width, height)
     npix = px.shape[0]
     chunk = chunk or cfg.ray_chunk
@@ -246,11 +283,11 @@ def render_sample(scene: SceneData, cam: Camera, cfg: PathTracerConfig,
 
     def run(px_c, py_c):
         seed_lens = rng.pixel_seed(px_c, py_c, 0, EFFECT_LENS)
-        u1 = _ld(cfg, sample_idx, seed_lens, 0)
-        u2 = _ld(cfg, sample_idx, seed_lens, 1)
+        u1, u2 = _lds(cfg, sample_idx, seed_lens, (0, 1))
         o, d, spread = camera_ray(cam, px_c, py_c, u1, u2)
         return trace_paths(scene, cfg, o, d, spread, px_c, py_c,
-                           sample_idx, want_aux=want_aux)
+                           sample_idx, want_aux=want_aux,
+                           neeat_state=neeat_state)
 
     if npix % chunk != 0:
         pad = chunk - npix % chunk
@@ -264,23 +301,49 @@ def render_sample(scene: SceneData, cam: Camera, cfg: PathTracerConfig,
         px = px.reshape(nchunks, chunk)
         py = py.reshape(nchunks, chunk)
         out = jax.lax.map(lambda ab: run(ab[0], ab[1]), (px, py))
+        hist = out.pop("neeat_hist", None)
         out = jax.tree.map(
             lambda x: (x.reshape(-1, *x.shape[2:])
                        if x.ndim >= 2 else jnp.sum(x)), out)
+        if hist is not None:
+            out["neeat_hist"] = jnp.sum(hist, axis=0)
 
     ray_count = out.pop("ray_count")
+    hist = out.pop("neeat_hist", None)
     ray_count = jnp.sum(ray_count)
     imgs = {k: v[:npix].reshape(height, width, *v.shape[1:])
             for k, v in out.items()}
     imgs["ray_count"] = ray_count
+    if hist is not None:
+        imgs["neeat_hist"] = hist
     return imgs
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height", "want_aux"))
 def render_sample_jit(scene, cam, cfg, width, height, sample_idx,
-                      want_aux=False):
+                      want_aux=False, neeat_state=None):
     return render_sample(scene, cam, cfg, width, height, sample_idx,
-                         want_aux=want_aux)
+                         want_aux=want_aux, neeat_state=neeat_state)
+
+
+def render_adaptive(scene: SceneData, cam: Camera, cfg: PathTracerConfig,
+                    width: int, height: int, spp: int,
+                    first_sample: int = 0):
+    """Progressive render with the NEE-AT feedback loop: each sample's
+    light-contribution histogram updates the per-tile sampler before the
+    next sample (LightsBaker UpdateBegin/UpdateEnd cadence)."""
+    from rtxpt_tpu.lighting import neeat as na
+
+    state = na.init_state(width, height, int(scene.lights.count))
+    acc = None
+    total_rays = 0
+    for s in range(first_sample, first_sample + spp):
+        out = render_sample_jit(scene, cam, cfg, width, height,
+                                jnp.uint32(s), False, state)
+        total_rays += int(out["ray_count"])
+        acc = out["L"] if acc is None else acc + out["L"]
+        state = na.update(state, out["neeat_hist"])
+    return acc / spp, state, total_rays
 
 
 def render(scene: SceneData, cam: Camera, cfg: PathTracerConfig,

@@ -34,6 +34,7 @@ from rtxpt_tpu.scene.scene import SceneData
 
 class RealtimeState(NamedTuple):
     denoiser: dn.DenoiserState
+    denoiser_p1: Optional[dn.DenoiserState]   # stable-plane 1 instance
     taa_history: Optional[jnp.ndarray]
     prev_camera: Optional[Camera]
     frame_index: int
@@ -41,6 +42,7 @@ class RealtimeState(NamedTuple):
 
 def init_state(height: int, width: int) -> RealtimeState:
     return RealtimeState(denoiser=dn.init_state(height, width),
+                         denoiser_p1=dn.init_state(height, width),
                          taa_history=None, prev_camera=None, frame_index=0)
 
 
@@ -92,7 +94,80 @@ def render_frame(scene: SceneData, cam: Camera, pt_cfg: PathTracerConfig,
         hdr = bloom(hdr)
 
     img = tonemap(hdr, rc.exposure, rc.tonemap)
-    new_state = RealtimeState(denoiser=dstate, taa_history=taa_hist,
-                              prev_camera=cam,
+    new_state = RealtimeState(denoiser=dstate,
+                              denoiser_p1=state.denoiser_p1,
+                              taa_history=taa_hist, prev_camera=cam,
+                              frame_index=state.frame_index + 1)
+    return img, hdr, new_state
+
+
+def render_frame_stable_planes(scene: SceneData, cam: Camera,
+                               pt_cfg: PathTracerConfig, rc: RenderConfig,
+                               state: RealtimeState):
+    """Real-time frame with path-space decomposition: delta chains are
+    resolved deterministically (pt/stable_planes.py BUILD), each plane's
+    noisy fill is denoised by its own denoiser instance, and the planes
+    composite by throughput (the reference's BUILD/FILL + per-plane NRD,
+    Sample.cpp:2561-2618)."""
+    import jax.numpy as jnp
+    from rtxpt_tpu.pt.integrator import _pixel_grid, trace_paths
+    from rtxpt_tpu.pt.stable_planes import decompose
+    from rtxpt_tpu.scene.camera import camera_ray
+    from rtxpt_tpu.utils import rng
+    from rtxpt_tpu.pt.integrator import EFFECT_LENS, _lds
+
+    w, h = rc.width, rc.height
+    px, py = _pixel_grid(w, h)
+    n = px.shape[0]
+    sidx = jnp.uint32(state.frame_index)
+    seed_lens = rng.pixel_seed(px, py, 0, EFFECT_LENS)
+    u1, u2 = _lds(pt_cfg, sidx, seed_lens, (0, 1))
+    o, d, spread = camera_ray(cam, px, py, u1, u2)
+
+    planes, background = decompose(scene, o, d)
+
+    hdr = jnp.zeros((n, 3), jnp.float32)
+    dstates = [state.denoiser, state.denoiser_p1]
+    new_dstates = []
+    for i, plane in enumerate(planes[:2]):
+        # decorrelate the per-plane fills
+        sidx_p = sidx + jnp.uint32(i * 0x632BE59B)
+        out = trace_paths(scene, pt_cfg, plane.o, plane.d, spread, px, py,
+                          sidx_p, want_aux=True)
+        radiance = out["L"]
+        if rc.denoiser.value:
+            motion = motion_vectors(state.prev_camera, out["wpos"],
+                                    out["depth"], w, h)
+            den, ds = dn.denoise(
+                (radiance - out["emission"]).reshape(h, w, 3),
+                out["albedo"].reshape(h, w, 3),
+                out["normal"].reshape(h, w, 3),
+                out["depth"].reshape(h, w),
+                motion.reshape(h, w, 2), dstates[i])
+            plane_l = den.reshape(n, 3) + out["emission"]
+        else:
+            plane_l, ds = radiance, dstates[i]
+        new_dstates.append(ds)
+        hdr = hdr + jnp.where(plane.valid[:, None],
+                              plane.thp * plane_l, 0.0)
+
+    # background pixels: environment directly
+    if scene.envmap is not None:
+        from rtxpt_tpu.lighting.envmap import env_eval
+        hdr = hdr + jnp.where(background[:, None], env_eval(scene.envmap, d),
+                              0.0)
+
+    hdr = hdr.reshape(h, w, 3)
+    if rc.enable_taa:
+        mv = jnp.zeros((h, w, 2), jnp.float32)
+        hdr, taa_hist = taa_resolve(hdr, mv, state.taa_history)
+    else:
+        taa_hist = state.taa_history
+    if rc.enable_bloom:
+        hdr = bloom(hdr)
+    img = tonemap(hdr, rc.exposure, rc.tonemap)
+    new_state = RealtimeState(denoiser=new_dstates[0],
+                              denoiser_p1=new_dstates[1],
+                              taa_history=taa_hist, prev_camera=cam,
                               frame_index=state.frame_index + 1)
     return img, hdr, new_state

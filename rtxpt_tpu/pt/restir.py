@@ -214,15 +214,6 @@ def _finalize(res: Reservoir, gb, lights, envmap):
     return res._replace(w_out=w_out)
 
 
-def visibility_pass(res: Reservoir, gb: GBuffer, bvh):
-    """Shadow-test the selected sample; kill occluded reservoirs (makes
-    temporal reuse visibility-aware, RtxdiPass initial-visibility)."""
-    # regenerate wi/dist from stored sample
-    from rtxpt_tpu.scene.scene import SceneData  # noqa: F401 (doc only)
-    wi = res.y_uv  # placeholder; real wi computed below
-    return res
-
-
 def visibility_filter(res: Reservoir, gb: GBuffer, lights, envmap, bvh):
     wi, dist, _Li, _ = eval_light_sample(lights, envmap,
                                          jnp.maximum(res.y_light, 0),

@@ -128,6 +128,7 @@ class SceneData:
     lights: Optional["object"] = None     # lighting.lights_baker.LightList
     envmap: Optional["object"] = None     # lighting.envmap.EnvMap
     textures: Optional["object"] = None   # scene.textures.TextureAtlas
+    tri_opacity: Optional[jnp.ndarray] = None  # [T] u8 OMM classes (omm.py)
 
 
 # ---------------------------------------------------------------------------

@@ -194,8 +194,31 @@ def ld_sample(sample_index, seed, dim: int):
 def ld_sample2(sample_index, seed, dim: int):
     """Consecutive-dim 2D LD sample (well-distributed pair)."""
     base = (dim // 2) * 2
-    return (ld_sample(sample_index, seed, base),
-            ld_sample(sample_index, seed, base + 1))
+    return ld_samples(sample_index, seed, (base, base + 1))
+
+
+def ld_samples(sample_index, seed, dims):
+    """Batched LD samples: shares the per-block Owen index shuffle across
+    all requested dims (the shuffle is the expensive half of ld_sample)."""
+    seed = _u32(seed)
+    index = _u32(sample_index)
+    by_block = {}
+    for d in dims:
+        by_block.setdefault(d // SOBOL_NDIM, []).append(d)
+    out = {}
+    for block, ds in by_block.items():
+        sb = seed
+        if block:
+            sb = hash_combine(sb, U32((block * 0x55555555 + 0x68BC21EB)
+                                      & 0xFFFFFFFF))
+        shuffled = nested_uniform_scramble(index,
+                                           lowbias32(sb ^ U32(0xA511E9B3)))
+        for d in ds:
+            dd = d % SOBOL_NDIM
+            x = sobol_u32(shuffled, dd)
+            out[d] = u32_to_unit_float(
+                nested_uniform_scramble(x, hash_combine(sb, U32(dd + 1))))
+    return tuple(out[d] for d in dims)
 
 
 def uniform_sample(seed, dim):
