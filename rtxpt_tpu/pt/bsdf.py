@@ -378,18 +378,28 @@ def bsdf_sample(data: BSDFData, wo, u_lobe, u1, u2):
 
 
 def make_bsdf_data(base_color, metallic, roughness, ior, transmission,
-                   diffuse_transmission, specular_scale, front) -> BSDFData:
+                   diffuse_transmission, specular_scale, front,
+                   cur_ior=None, below_ior=None) -> BSDFData:
     """Assemble BSDFData from (possibly textured) material parameters.
 
     `front`: bool [N], True when the shading point is seen from outside
-    (determines eta orientation; air assumed outside).
+    (determines eta orientation). `cur_ior`/`below_ior` come from the
+    interior medium stack (nested dielectrics); defaults assume air.
     """
     f0_dielec = (0.08 * specular_scale)[..., None] * jnp.ones_like(base_color)
     specular_f0 = f0_dielec * (1.0 - metallic[..., None]) \
         + base_color * metallic[..., None]
     diffuse = base_color * (1.0 - metallic[..., None])
-    eta = jnp.where(front, 1.0 / jnp.maximum(ior, 1.0 + 1e-4),
-                    jnp.maximum(ior, 1.0 + 1e-4))
+    mat_ior = jnp.maximum(ior, 1.0 + 1e-4)
+    if cur_ior is None:
+        eta = jnp.where(front, 1.0 / mat_ior, mat_ior)
+    else:
+        # entering: from the current medium into this material; exiting:
+        # from the current medium (this material) into the one below the
+        # stack top — keeps nested dielectrics (glass-in-water) correct.
+        bi = below_ior if below_ior is not None else jnp.ones_like(cur_ior)
+        eta = jnp.where(front, cur_ior / mat_ior,
+                        cur_ior / jnp.maximum(bi, 1.0))
     alpha = jnp.clip(roughness * roughness, 0.0, 1.0)
     return BSDFData(
         diffuse=diffuse,

@@ -74,8 +74,11 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
     active = jnp.ones((n,), bool)
     prev_pdf = jnp.zeros((n,), f32)        # BSDF pdf of previous scatter
     prev_delta = jnp.ones((n,), bool)      # prev bounce was delta (or camera)
-    in_medium = jnp.zeros((n,), bool)
-    medium_sigma = jnp.zeros((n, 3), f32)
+    # Interior list: 2-slot medium stack of material ids (-1 = air), the
+    # InteriorList analog (Rendering/Materials/InteriorList.hlsli, 2 packed
+    # slots; priority rules deferred).
+    med0 = jnp.full((n,), -1, jnp.int32)   # top (current medium)
+    med1 = jnp.full((n,), -1, jnp.int32)
     cone_width = jnp.zeros((n,), f32)
     ray_count = jnp.zeros((), jnp.int32)
 
@@ -124,7 +127,17 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         # ----- surface + volume transmittance (Beer-Lambert,
         #       HomogeneousVolumeSampler.hlsli; PathTracer.hlsli:538-547) ----
         cone_width = cone_width + cone_spread * hit.t
-        surf = load_surface(scene, hit, o, d, cone_width)
+        in_medium = med0 >= 0
+        medium_sigma = jnp.take(scene.materials.volume_absorption,
+                                jnp.maximum(med0, 0), axis=0)
+        cur_ior = jnp.where(in_medium,
+                            jnp.take(scene.materials.ior,
+                                     jnp.maximum(med0, 0)), 1.0)
+        below_ior = jnp.where(med1 >= 0,
+                              jnp.take(scene.materials.ior,
+                                       jnp.maximum(med1, 0)), 1.0)
+        surf = load_surface(scene, hit, o, d, cone_width,
+                            cur_ior=cur_ior, below_ior=below_ior)
         thp = thp * jnp.where(in_medium[..., None],
                               jnp.exp(-medium_sigma * hit.t[..., None]), 1.0)
 
@@ -221,16 +234,16 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         prev_pdf = bs["pdf"]
         prev_delta = bs["is_delta"]
 
-        # Medium transitions on transmission through solid surfaces.
+        # Medium transitions: push on entering, pop on exiting (2-slot
+        # InteriorList analog).
         transmitted = bs["wi"][..., 2] < 0.0
         mid = surf.mat_id
         thin = jnp.take(scene.materials.thin, mid) > 0.5
         entering = transmitted & surf.front & ~thin
         exiting = transmitted & ~surf.front & ~thin
-        in_medium = jnp.where(entering, True,
-                              jnp.where(exiting, False, in_medium))
-        sigma = jnp.take(scene.materials.volume_absorption, mid, axis=0)
-        medium_sigma = jnp.where(entering[..., None], sigma, medium_sigma)
+        new_med0 = jnp.where(entering, mid, jnp.where(exiting, med1, med0))
+        new_med1 = jnp.where(entering, med0, jnp.where(exiting, -1, med1))
+        med0, med1 = new_med0, new_med1
 
         # Ray cone spread growth by lobe roughness (TexLODHelpers.hlsli use
         # at PathTracer.hlsli:284-293).

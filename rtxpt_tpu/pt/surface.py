@@ -31,7 +31,7 @@ class Surface:
 
 
 def load_surface(scene: SceneData, hit: Hit, ray_o, ray_d,
-                 cone_width) -> Surface:
+                 cone_width, cur_ior=None, below_ior=None) -> Surface:
     """Build shading data for (masked) hits. Lanes with hit.miss hold
     garbage-but-finite values; callers mask with ~hit.miss."""
     geo = scene.geometry
@@ -103,7 +103,8 @@ def load_surface(scene: SceneData, hit: Hit, ray_o, ray_d,
     emissive = jnp.where(front[..., None], emissive, 0.0)
 
     bsdf = make_bsdf_data(base_color, metallic, roughness, ior, transmission,
-                          diffuse_transmission, specular_scale, front)
+                          diffuse_transmission, specular_scale, front,
+                          cur_ior=cur_ior, below_ior=below_ior)
     return Surface(pos=pos, geo_n=geo_n, sh_n=sh_n, uv=uv, front=front,
                    mat_id=mid, emissive=emissive, bsdf=bsdf, mip_level=mip)
 
