@@ -41,6 +41,13 @@ def main(argv=None):
                                 description="TPU-native path tracer")
     p.add_argument("--scene", default="cornell",
                    help="procedural name or .gltf/.glb path")
+    p.add_argument("--preset", choices=["fast", "balanced", "quality",
+                                        "reference"], default=None,
+                   help="performance preset (overridden by explicit flags)")
+    p.add_argument("--sky", action="store_true",
+                   help="add a procedural sky environment")
+    p.add_argument("--envmap", default=None,
+                   help="equirect HDR/.npy environment image path")
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--spp", type=int, default=16)
@@ -87,6 +94,15 @@ def main(argv=None):
     from rtxpt_tpu.utils.image import save_png
 
     host = build_scene(args.scene, args)
+    if args.sky:
+        from rtxpt_tpu.lighting.sky import make_sky
+        host.envmap_image = make_sky()
+    elif args.envmap:
+        if args.envmap.endswith(".npy"):
+            host.envmap_image = np.load(args.envmap)
+        else:
+            from rtxpt_tpu.utils.image import load_png
+            host.envmap_image = load_png(args.envmap)
     t0 = time.time()
     scene = prepare(host)
     print(f"[prepare] {scene.geometry.num_triangles} tris, "
@@ -94,6 +110,13 @@ def main(argv=None):
           file=sys.stderr)
 
     cam = default_camera(host, args.width, args.height)
+    if args.preset:
+        from rtxpt_tpu.config import PRESETS
+        pre = PRESETS[args.preset]
+        if "--bounces" not in (argv or sys.argv):
+            args.bounces = pre.pt.max_bounces
+        if "--spp" not in (argv or sys.argv):
+            args.spp = pre.render.spp
     cfg = PathTracerConfig(
         max_bounces=args.bounces,
         nee={"off": NEEMode.OFF, "uniform": NEEMode.UNIFORM,
