@@ -175,21 +175,65 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
 
         wo = m.to_local(-d, surf.sh_n)
 
-        # ----- NEE (PathTracerNEE.hlsli:303 HandleNEE) -----
+        # ----- NEE (PathTracerNEE.hlsli:303 HandleNEE; WRS over candidates
+        #       :54-85 when nee_candidates > 1: K light samples stream into
+        #       a reservoir by unshadowed target weight, ONE shadow ray) ---
         if use_nee:
             seed_nee = rng.pixel_seed(px, py, bounce, EFFECT_NEE)
-            u_sel, u1, u2, u_mix = _lds(cfg, sample_idx, seed_nee,
-                                        (0, 2, 3, 4))
-            if use_neeat:
-                ls = na.sample_adaptive(neeat_state, scene.lights,
-                                        scene.envmap, surf.pos, px, py,
-                                        u_mix, u_sel, u1, u2)
+
+            def _light_candidate(ci):
+                base = 8 * ci
+                u_sel, u1, u2, u_mix = _lds(
+                    cfg, sample_idx, seed_nee,
+                    (base, base + 2, base + 3, base + 4))
+                if use_neeat:
+                    lsc = na.sample_adaptive(neeat_state, scene.lights,
+                                             scene.envmap, surf.pos, px, py,
+                                             u_mix, u_sel, u1, u2)
+                else:
+                    lsc = sample_light(scene.lights, scene.envmap, surf.pos,
+                                       u_sel, u1, u2, uniform=nee_uniform)
+                wi_lc = m.to_local(lsc["wi"], surf.sh_n)
+                f_lc = B.bsdf_eval(surf.bsdf, wo, wi_lc)
+                return lsc, wi_lc, f_lc
+
+            k_cand = max(int(cfg.nee_candidates), 1)
+            if k_cand == 1:
+                ls, wi_l, f_l = _light_candidate(0)
+                pdf_b = B.bsdf_pdf(surf.bsdf, wo, wi_l)
             else:
-                ls = sample_light(scene.lights, scene.envmap, surf.pos,
-                                  u_sel, u1, u2, uniform=nee_uniform)
-            wi_l = m.to_local(ls["wi"], surf.sh_n)
-            f_l = B.bsdf_eval(surf.bsdf, wo, wi_l)
-            pdf_b = B.bsdf_pdf(surf.bsdf, wo, wi_l)
+                w_sum = jnp.zeros((n,), f32)
+                ls = wi_l = f_l = None
+                p_hat_sel = jnp.zeros((n,), f32)
+                for ci in range(k_cand):
+                    lsc, wi_lc, f_lc = _light_candidate(ci)
+                    p_hat = m.luminance(f_lc * lsc["Li"]) \
+                        / jnp.maximum(lsc["pdf"], 1e-12)
+                    p_hat = jnp.where(lsc["valid"], p_hat, 0.0)
+                    w_sum = w_sum + p_hat
+                    u_acc = _ld(cfg, sample_idx, seed_nee, 8 * ci + 5)
+                    if ls is None:
+                        accept = p_hat > 0.0
+                        ls, wi_l, f_l = lsc, wi_lc, f_lc
+                        p_hat_sel = p_hat
+                    else:
+                        accept = (u_acc * jnp.maximum(w_sum, 1e-20)) < p_hat
+                        ls = jax.tree.map(
+                            lambda a_, b_: jnp.where(
+                                accept.reshape(accept.shape + (1,) * (
+                                    b_.ndim - 1)), b_, a_), ls, lsc)
+                        wi_l = jnp.where(accept[:, None], wi_lc, wi_l)
+                        f_l = jnp.where(accept[:, None], f_lc, f_l)
+                        p_hat_sel = jnp.where(accept, p_hat, p_hat_sel)
+                # RIS: contribution uses W = w_sum/(K*p_hat_sel); fold into
+                # an effective pdf so the downstream math is unchanged.
+                eff = jnp.where(p_hat_sel > 1e-12,
+                                k_cand * p_hat_sel
+                                / jnp.maximum(w_sum, 1e-12), 0.0)
+                ls = dict(ls)
+                ls["pdf"] = ls["pdf"] * eff
+                ls["valid"] = ls["valid"] & (eff > 0.0)
+                pdf_b = B.bsdf_pdf(surf.bsdf, wo, wi_l)
             do_nee = (hit_mask & ls["valid"]
                       & (m.luminance(f_l) > 0.0))
             shadow_o = ray_offset(surf.pos, surf.geo_n, ls["wi"])

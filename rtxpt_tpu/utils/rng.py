@@ -160,7 +160,8 @@ def shuffled_scrambled_sobol_u32(index, seed, dim: int):
     block, d = divmod(dim, SOBOL_NDIM)
     seed = _u32(seed)
     if block:
-        seed = hash_combine(seed, U32(block * 0x55555555 + 0x68BC21EB))
+        seed = hash_combine(seed, U32((block * 0x55555555 + 0x68BC21EB)
+                                      & 0xFFFFFFFF))
     shuffle_seed = lowbias32(seed ^ U32(0xA511E9B3))
     scramble_seed = hash_combine(seed, U32(d + 1))
     shuffled = nested_uniform_scramble(_u32(index), shuffle_seed)
