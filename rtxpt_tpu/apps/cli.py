@@ -66,6 +66,15 @@ def main(argv=None):
     p.add_argument("--aux", action="store_true",
                    help="dump albedo/normal/depth guide buffers")
     p.add_argument("--seed", type=int, default=0, help="first sample index")
+    p.add_argument("--realtime", type=int, default=0, metavar="FRAMES",
+                   help="real-time mode: run N 1-spp frames through the "
+                        "denoiser/TAA pipeline, save the last")
+    p.add_argument("--denoiser", choices=["none", "relax"], default="relax",
+                   help="denoiser for --realtime")
+    p.add_argument("--stable-planes", action="store_true",
+                   help="real-time path-space decomposition (delta chains)")
+    p.add_argument("--taa", action="store_true")
+    p.add_argument("--bloom", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--devices", type=int, default=0,
                    help="shard across N devices (0 = single device)")
@@ -127,6 +136,35 @@ def main(argv=None):
     )
 
     t0 = time.time()
+    if args.realtime:
+        from rtxpt_tpu.config import DenoiserMode, RenderConfig
+        from rtxpt_tpu.pt import realtime
+
+        rc = RenderConfig(
+            width=args.width, height=args.height,
+            denoiser=(DenoiserMode.RELAX if args.denoiser == "relax"
+                      else DenoiserMode.NONE),
+            enable_taa=args.taa, enable_bloom=args.bloom,
+            exposure=args.exposure, tonemap=args.tonemap)
+        state = realtime.init_state(args.height, args.width)
+        frame_fn = (realtime.render_frame_stable_planes if args.stable_planes
+                    else realtime.render_frame)
+        for fidx in range(args.realtime):
+            img, hdr, state = frame_fn(scene, cam, cfg, rc, state)
+        dt = time.time() - t0
+        print(f"[realtime] {args.realtime} frames in {dt:.2f}s "
+              f"({dt/args.realtime*1e3:.1f} ms/frame avg incl. compile)",
+              file=sys.stderr)
+        save_png(args.out, np.asarray(img))
+        print(f"[out] {args.out}", file=sys.stderr)
+        if args.hdr:
+            np.save(args.hdr, np.asarray(hdr))
+        if args.metrics:
+            with open(args.metrics, "w") as f:
+                json.dump({"mode": "realtime", "frames": args.realtime,
+                           "seconds": dt,
+                           "ms_per_frame": dt / args.realtime * 1e3}, f)
+        return 0
     if args.devices:
         from rtxpt_tpu.parallel.mesh import make_mesh, render_sample_sharded
         mesh = make_mesh(args.devices)

@@ -92,6 +92,34 @@ def bake_textures(images: List[np.ndarray]) -> TextureAtlas:
     )
 
 
+def sample_texture_stochastic(atlas: TextureAtlas, tex_id, uv, lod, u_jitter):
+    """Stochastic filtering (RTXTF analog, reference Config.h:95
+    RTXPT_STOCHASTIC_TEXTURE_FILTERING_ENABLE): ONE texel fetch with the
+    bilinear/trilinear footprint realized by jittering the sample position —
+    unbiased in expectation, 4x fewer gathers; the resulting noise folds
+    into the denoiser like any other estimator noise.
+
+    u_jitter: [N,2] uniforms."""
+    tid = jnp.clip(tex_id, 0, atlas.count - 1)
+    nm = jnp.take(atlas.n_mips, tid)
+    # stochastic trilinear: jitter the lod by +-0.5 as well
+    level = jnp.clip(jnp.floor(lod + u_jitter[..., 0]).astype(jnp.int32),
+                     0, nm - 1)
+    w0 = jnp.take(atlas.width, tid)
+    h0 = jnp.take(atlas.height, tid)
+    wl = jnp.maximum(w0 >> level, 1)
+    hl = jnp.maximum(h0 >> level, 1)
+    off = jnp.take_along_axis(jnp.take(atlas.mip_offset, tid, axis=0),
+                              level[..., None], axis=-1)[..., 0]
+    # jittered nearest = bilinear in expectation
+    u = (uv[..., 0] + (u_jitter[..., 0] - 0.5) / wl.astype(jnp.float32)) % 1.0
+    v = (uv[..., 1] + (u_jitter[..., 1] - 0.5) / hl.astype(jnp.float32)) % 1.0
+    xi = jnp.clip((u * wl).astype(jnp.int32), 0, wl - 1)
+    yi = jnp.clip((v * hl).astype(jnp.int32), 0, hl - 1)
+    col = jnp.take(atlas.data, off + yi * wl + xi, axis=0)
+    return jnp.where((tex_id >= 0)[..., None], col, 1.0)
+
+
 def sample_texture(atlas: TextureAtlas, tex_id, uv, lod):
     """Bilinear fetch at the nearest MIP. tex_id [N] (-1 -> white), uv [N,2]
     (repeat wrap), lod [N] float. Returns [N,4]."""
