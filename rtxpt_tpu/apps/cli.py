@@ -80,6 +80,9 @@ def main(argv=None):
                    help="shard across N devices (0 = single device)")
     p.add_argument("--metrics", default=None,
                    help="write perf metrics JSON here")
+    p.add_argument("--denoise-still", action="store_true",
+                   help="photo mode: run the spatial denoiser on the final "
+                        "accumulated image (OptiX-denoised-screenshot analog)")
     args = p.parse_args(argv)
     if args.spp < 1:
         p.error("--spp must be >= 1")
@@ -187,6 +190,22 @@ def main(argv=None):
     mrays = rays / dt / 1e6
     print(f"[render] {args.width}x{args.height}@{args.spp}spp in {dt:.2f}s "
           f"({rays} rays, {mrays:.2f} Mrays/s incl. compile)", file=sys.stderr)
+
+    if args.denoise_still:
+        # Photo mode (reference: Sample.cpp:2782 DenoisedScreenshot via the
+        # OptiX CLI denoiser): spatial-only pass of our own denoiser using
+        # freshly traced guide buffers.
+        from rtxpt_tpu.pt.integrator import render_sample_jit
+        from rtxpt_tpu.render import denoise as dn
+        aux_out = render_sample_jit(scene, cam, cfg, args.width, args.height,
+                                    jnp.uint32(args.seed), True)
+        albedo = jnp.maximum(aux_out["albedo"], 1e-3)
+        illum = jnp.asarray(hdr) / albedo
+        variance = jnp.ones((args.height, args.width), jnp.float32) * 0.25
+        for it in range(4):
+            illum, variance = dn.atrous_iteration(
+                illum, variance, aux_out["normal"], aux_out["depth"], it)
+        hdr = np.asarray(illum * albedo)
 
     exposure = args.exposure
     if args.auto_exposure:

@@ -59,6 +59,19 @@ class FrameMetrics:
         out["frames"] = len(fr)
         return out
 
+    @staticmethod
+    def device_memory() -> Dict[str, int]:
+        """HBM usage snapshot (the VRAM-budget query analog,
+        SampleBaseApp.cpp:125-138)."""
+        import jax
+
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            return {k: int(v) for k, v in stats.items()
+                    if isinstance(v, (int, float))}
+        except Exception:
+            return {}
+
     def dump_json(self, path: str):
         with open(path, "w") as f:
             json.dump({"frames": self.frames, "avg": self.averages()}, f,
