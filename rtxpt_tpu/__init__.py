@@ -17,3 +17,24 @@ ReLAX-class denoising — designed TPU-first:
 __version__ = "0.1.0"
 
 from rtxpt_tpu import config as config
+
+
+def __getattr__(name):
+    """Lazy public API surface (avoids importing jax at package import)."""
+    import importlib
+
+    api = {
+        "prepare": ("rtxpt_tpu.prepare", "prepare"),
+        "render": ("rtxpt_tpu.pt.integrator", "render"),
+        "render_sample": ("rtxpt_tpu.pt.integrator", "render_sample"),
+        "render_adaptive": ("rtxpt_tpu.pt.integrator", "render_adaptive"),
+        "load_gltf": ("rtxpt_tpu.scene.gltf", "load_gltf"),
+        "look_at": ("rtxpt_tpu.scene.camera", "look_at"),
+        "tonemap": ("rtxpt_tpu.render.postprocess", "tonemap"),
+        "denoise": ("rtxpt_tpu.render.denoise", "denoise"),
+        "make_sky": ("rtxpt_tpu.lighting.sky", "make_sky"),
+    }
+    if name in api:
+        mod, attr = api[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

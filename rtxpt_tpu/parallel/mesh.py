@@ -85,6 +85,54 @@ def _render_pixels_jit(scene, cam, cfg, px, py, sidx):
     return _trace_pixels(scene, cam, cfg, px, py, sidx)
 
 
+def make_mesh_2d(tiles: int, spp: int, devices=None) -> Mesh:
+    """2D mesh ('tiles', 'spp'): pixel sharding on one axis, sample
+    replication on the other (the composed scaling recipe of SURVEY §2.6)."""
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    assert tiles * spp <= len(devices)
+    return Mesh(np.asarray(devices[:tiles * spp]).reshape(tiles, spp),
+                ("tiles", "spp"))
+
+
+def render_tile_spp_sharded(scene, cam, cfg: PathTracerConfig, width: int,
+                            height: int, base_sample: int, mesh: Mesh):
+    """Pixels sharded over 'tiles', samples over 'spp' (GSPMD): each
+    (tile, sample) device computes its pixel slice at its sample index;
+    the mean over the spp axis is a sharded-reduction XLA inserts.
+    Returns (hdr [H,W,3], ray_count)."""
+    from jax.sharding import NamedSharding
+
+    n_tiles = mesh.shape["tiles"]
+    n_spp = mesh.shape["spp"]
+    px, py = _pixel_grid(width, height)
+    npix = px.shape[0]
+    pad = (-npix) % n_tiles
+    if pad:
+        px = jnp.concatenate([px, jnp.zeros((pad,), jnp.int32)])
+        py = jnp.concatenate([py, jnp.zeros((pad,), jnp.int32)])
+    shard_px = NamedSharding(mesh, P(None, "tiles"))
+    repl = NamedSharding(mesh, P())
+    sidx = jnp.arange(base_sample, base_sample + n_spp,
+                      dtype=jnp.uint32)
+    sidx = jax.device_put(sidx, NamedSharding(mesh, P("spp")))
+    pxb = jax.device_put(jnp.tile(px[None], (n_spp, 1)), shard_px)
+    pyb = jax.device_put(jnp.tile(py[None], (n_spp, 1)), shard_px)
+    scene = jax.device_put(scene, repl)
+    cam = jax.device_put(cam, repl)
+
+    L, rays = _render_tile_spp_jit(scene, cam, cfg, pxb, pyb, sidx)
+    return L[:npix].reshape(height, width, 3), rays
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _render_tile_spp_jit(scene, cam, cfg, pxb, pyb, sidx):
+    L, rays = jax.vmap(
+        lambda px_, py_, s_: _trace_pixels(scene, cam, cfg, px_, py_, s_)
+    )(pxb, pyb, sidx)
+    return jnp.mean(L, axis=0), jnp.sum(rays)
+
+
 def render_spp_sharded(scene, cam, cfg: PathTracerConfig, width: int,
                        height: int, base_sample: int, mesh: Mesh):
     """Each device renders the full frame at its own sample index; mean via

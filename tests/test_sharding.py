@@ -56,3 +56,19 @@ def test_uneven_pixel_count_sharding(cornell_scene):
     single = render_sample_jit(scene, cam, cfg, 19, 13, jnp.uint32(0))["L"]
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_tile_spp_2d_mesh(cornell_scene):
+    """2D mesh (4 tiles x 2 spp) equals the sequential 2-sample mean."""
+    from rtxpt_tpu.parallel.mesh import make_mesh_2d, render_tile_spp_sharded
+
+    host, scene = cornell_scene
+    cam = default_camera(host, 16, 16)
+    cfg = PathTracerConfig(max_bounces=1, ray_chunk=16 * 16)
+    mesh = make_mesh_2d(4, 2)
+    hdr, rays = render_tile_spp_sharded(scene, cam, cfg, 16, 16, 0, mesh)
+    a = render_sample_jit(scene, cam, cfg, 16, 16, jnp.uint32(0))["L"]
+    b = render_sample_jit(scene, cam, cfg, 16, 16, jnp.uint32(1))["L"]
+    np.testing.assert_allclose(np.asarray(hdr), np.asarray((a + b) / 2),
+                               rtol=1e-4, atol=1e-5)
+    assert int(rays) > 0
