@@ -136,8 +136,9 @@ def render_frame_stable_planes(scene: SceneData, cam: Camera,
                           sidx_p, want_aux=True)
         radiance = out["L"]
         if rc.denoiser.value:
-            motion = motion_vectors(state.prev_camera, out["wpos"],
-                                    out["depth"], w, h)
+            motion = motion_vectors(state.prev_camera,
+                                    out["wpos"].reshape(h, w, 3),
+                                    out["depth"].reshape(h, w), w, h)
             den, ds = dn.denoise(
                 (radiance - out["emission"]).reshape(h, w, 3),
                 out["albedo"].reshape(h, w, 3),

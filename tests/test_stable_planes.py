@@ -92,3 +92,19 @@ def test_stable_planes_frame_matches_reference_mean(cornell_scene):
     ref, _, _ = render(scene, cam, pt_cfg, W, H, spp=frames)
     ref = np.asarray(ref)
     assert abs(sp.mean() - ref.mean()) / ref.mean() < 0.05
+
+
+def test_stable_planes_with_denoiser_multiframe(cornell_scene):
+    """Regression: flat-vs-image buffer shapes in the per-plane denoise
+    path (frame >= 2 reprojects with the previous camera)."""
+    host, scene = cornell_scene
+    cam = default_camera(host, W, H)
+    pt_cfg = PathTracerConfig(max_bounces=2)
+    rc = RenderConfig(width=W, height=H, denoiser=DenoiserMode.RELAX,
+                      tonemap="none")
+    state = realtime.init_state(H, W)
+    for _ in range(2):
+        _, hdr, state = realtime.render_frame_stable_planes(
+            scene, cam, pt_cfg, rc, state)
+    import numpy as np2
+    assert np2.isfinite(np2.asarray(hdr)).all()
