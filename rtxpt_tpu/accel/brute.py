@@ -97,14 +97,22 @@ def _intersect_chunk(tris: BruteTris, o, d, tmin, tmax, any_hit: bool):
     valid = (ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
              & (t > tmin[:, None]) & (t < tmax[:, None]))
     t_m = jnp.where(valid, t, jnp.inf)
-    j = jnp.argmin(t_m, axis=1)
-    rows = jnp.arange(o.shape[0])
-    t_best = t_m[rows, j]
+    # Winner extraction WITHOUT gathers (XLA row-gathers are slow on TPU):
+    # min-reduce for t, iota-min for the index, then masked sum-reduce picks.
+    t_best = jnp.min(t_m, axis=1)
     hit = jnp.isfinite(t_best)
+    n_t = t_m.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 1)
+    j = jnp.min(jnp.where(t_m <= t_best[:, None], iota, n_t), axis=1)
+    sel = iota == j[:, None]
+
+    def pick(x):
+        return jnp.sum(jnp.where(sel, x, 0.0), axis=1)
+
     prim = jnp.where(hit, j.astype(jnp.int32), -1)
-    uu = jnp.where(hit, u[rows, j], 0.0)
-    vv = jnp.where(hit, v[rows, j], 0.0)
-    front = jnp.where(hit, det[rows, j] > 0.0, False)
+    uu = jnp.where(hit, pick(u), 0.0)
+    vv = jnp.where(hit, pick(v), 0.0)
+    front = jnp.where(hit, pick(det) > 0.0, False)
     return dict(
         t=jnp.where(hit, t_best, tmax),
         prim=prim,

@@ -135,21 +135,11 @@ def _render_tile_spp_jit(scene, cam, cfg, pxb, pyb, sidx):
 
 def render_spp_sharded(scene, cam, cfg: PathTracerConfig, width: int,
                        height: int, base_sample: int, mesh: Mesh):
-    """Each device renders the full frame at its own sample index; mean via
-    psum over ICI. Returns (hdr [H,W,3] replicated, ray_count)."""
-    axis = mesh.axis_names[0]
+    """Each device renders the full frame at its own sample index; the
+    mean over the sample axis is the cross-device reduction XLA inserts
+    (GSPMD; a (1 x n) case of render_tile_spp_sharded). Returns
+    (hdr [H,W,3], ray_count)."""
     n_dev = mesh.devices.size
-    px, py = _pixel_grid(width, height)
-    base = jnp.asarray(base_sample).astype(jnp.uint32)
-
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(), P(), P(), P(), P()),
-             out_specs=(P(), P()))
-    def shard_fn(scene_, cam_, px_, py_, base_):
-        my = jax.lax.axis_index(axis).astype(jnp.uint32)
-        L, rays = _trace_pixels(scene_, cam_, cfg, px_, py_, base_ + my)
-        return (jax.lax.psum(L, axis) / n_dev,
-                jax.lax.psum(rays, axis))
-
-    L, rays = shard_fn(scene, cam, px, py, base)
-    return L.reshape(height, width, 3), rays
+    mesh2 = make_mesh_2d(1, n_dev, devices=list(mesh.devices.flat))
+    return render_tile_spp_sharded(scene, cam, cfg, width, height,
+                                   base_sample, mesh2)
