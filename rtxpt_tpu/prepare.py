@@ -53,7 +53,10 @@ def prepare(host: HostScene) -> SceneData:
     bvh = build_bvh(pos, idx)                       # LBVH (accel/lbvh.py)
     envmap = bake_envmap(host.envmap_image, host.envmap_scale,
                          host.envmap_rotation)      # EnvMapBaker analog
-    sd = sd.replace(bvh=bvh, envmap=envmap, tri_opacity=tri_opacity)
+    from rtxpt_tpu.scene.scene import build_packs
+    tri_pack, mat_pack = build_packs(sd.geometry, sd.materials)
+    sd = sd.replace(bvh=bvh, envmap=envmap, tri_opacity=tri_opacity,
+                    tri_pack=tri_pack, mat_pack=mat_pack)
     lights = bake_lights(sd, envmap, scene_radius(pos))  # LightsBaker analog
     textures = None
     if host.textures:

@@ -36,16 +36,26 @@ def load_surface(scene: SceneData, hit: Hit, ray_o, ray_d,
     garbage-but-finite values; callers mask with ~hit.miss."""
     geo = scene.geometry
     prim = jnp.maximum(hit.prim, 0)
-    tri = jnp.take(geo.indices, prim, axis=0)              # [N,3]
-    v0 = jnp.take(geo.positions, tri[..., 0], axis=0)
-    v1 = jnp.take(geo.positions, tri[..., 1], axis=0)
-    v2 = jnp.take(geo.positions, tri[..., 2], axis=0)
-    n0 = jnp.take(geo.normals, tri[..., 0], axis=0)
-    n1 = jnp.take(geo.normals, tri[..., 1], axis=0)
-    n2 = jnp.take(geo.normals, tri[..., 2], axis=0)
-    t0 = jnp.take(geo.uvs, tri[..., 0], axis=0)
-    t1 = jnp.take(geo.uvs, tri[..., 1], axis=0)
-    t2 = jnp.take(geo.uvs, tri[..., 2], axis=0)
+    if scene.tri_pack is not None:
+        # fused per-triangle row: ONE gather instead of 10 (TPU gathers
+        # dominate; see accel/brute.py and docs/PERF_NOTES.md)
+        g = jnp.take(scene.tri_pack, prim, axis=0)         # [N,25]
+        v0, v1, v2 = g[:, 0:3], g[:, 3:6], g[:, 6:9]
+        n0, n1, n2 = g[:, 9:12], g[:, 12:15], g[:, 15:18]
+        t0, t1, t2 = g[:, 18:20], g[:, 20:22], g[:, 22:24]
+        mid = g[:, 24].astype(jnp.int32)
+    else:
+        tri = jnp.take(geo.indices, prim, axis=0)          # [N,3]
+        v0 = jnp.take(geo.positions, tri[..., 0], axis=0)
+        v1 = jnp.take(geo.positions, tri[..., 1], axis=0)
+        v2 = jnp.take(geo.positions, tri[..., 2], axis=0)
+        n0 = jnp.take(geo.normals, tri[..., 0], axis=0)
+        n1 = jnp.take(geo.normals, tri[..., 1], axis=0)
+        n2 = jnp.take(geo.normals, tri[..., 2], axis=0)
+        t0 = jnp.take(geo.uvs, tri[..., 0], axis=0)
+        t1 = jnp.take(geo.uvs, tri[..., 1], axis=0)
+        t2 = jnp.take(geo.uvs, tri[..., 2], axis=0)
+        mid = jnp.take(geo.tri_material, prim)
 
     u = hit.bary[..., 0:1]
     v = hit.bary[..., 1:2]
@@ -63,16 +73,26 @@ def load_surface(scene: SceneData, hit: Hit, ray_o, ray_d,
     geo_n = jnp.where(toward, geo_n, -geo_n)
     sh_n = jnp.where(m.dot(sh_n, geo_n) > 0.0, sh_n, -sh_n)
 
-    mid = jnp.take(geo.tri_material, prim)
     mats = scene.materials
-    base_color = jnp.take(mats.base_color, mid, axis=0)
-    metallic = jnp.take(mats.metallic, mid)
-    roughness = jnp.take(mats.roughness, mid)
-    ior = jnp.take(mats.ior, mid)
-    transmission = jnp.take(mats.transmission, mid)
-    diffuse_transmission = jnp.take(mats.diffuse_transmission, mid)
-    specular_scale = jnp.take(mats.specular_f0_scale, mid)
-    emissive = jnp.take(mats.emissive, mid, axis=0)
+    if scene.mat_pack is not None:
+        mp = jnp.take(scene.mat_pack, mid, axis=0)         # [N,17]
+        base_color = mp[:, 0:3]
+        metallic = mp[:, 3]
+        roughness = mp[:, 4]
+        ior = mp[:, 5]
+        transmission = mp[:, 6]
+        diffuse_transmission = mp[:, 7]
+        emissive = mp[:, 8:11]
+        specular_scale = mp[:, 11]
+    else:
+        base_color = jnp.take(mats.base_color, mid, axis=0)
+        metallic = jnp.take(mats.metallic, mid)
+        roughness = jnp.take(mats.roughness, mid)
+        ior = jnp.take(mats.ior, mid)
+        transmission = jnp.take(mats.transmission, mid)
+        diffuse_transmission = jnp.take(mats.diffuse_transmission, mid)
+        specular_scale = jnp.take(mats.specular_f0_scale, mid)
+        emissive = jnp.take(mats.emissive, mid, axis=0)
 
     # Texture lookups (atlas) hook in here; ray-cone LOD:
     # lod ~ log2(cone_width / sqrt(tri_area_uv/tri_area_world)); textures are

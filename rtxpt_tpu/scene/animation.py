@@ -75,8 +75,11 @@ def refresh(host: HostScene, animations: List[InstanceAnimation],
     pos = np.asarray(sd.geometry.positions)
     idx = np.asarray(sd.geometry.indices)
     bvh = build_bvh(pos, idx)
+    from rtxpt_tpu.scene.scene import build_packs
+    tri_pack, mat_pack = build_packs(sd.geometry, sd.materials)
     sd = sd.replace(bvh=bvh, envmap=prev.envmap, textures=prev.textures,
-                    tri_opacity=prev.tri_opacity)
+                    tri_opacity=prev.tri_opacity,
+                    tri_pack=tri_pack, mat_pack=mat_pack)
     # emissive triangles may have moved: re-bake the light list
     lights = bake_lights(sd, prev.envmap, scene_radius(pos))
     return sd.replace(lights=lights)

@@ -129,6 +129,41 @@ class SceneData:
     envmap: Optional["object"] = None     # lighting.envmap.EnvMap
     textures: Optional["object"] = None   # scene.textures.TextureAtlas
     tri_opacity: Optional[jnp.ndarray] = None  # [T] u8 OMM classes (omm.py)
+    # Fused gather tables (TPU gathers are expensive; one row fetch per hit
+    # replaces ~13 separate takes in load_surface — see build_packs):
+    tri_pack: Optional[jnp.ndarray] = None   # [T,25] v0v1v2|n0n1n2|uv012|mat
+    mat_pack: Optional[jnp.ndarray] = None   # [M,17] material scalars
+
+
+def build_packs(geometry: Geometry, materials: Materials):
+    """Build the fused per-triangle and per-material gather tables."""
+    idx = geometry.indices
+    p = geometry.positions
+    nrm = geometry.normals
+    uv = geometry.uvs
+    cols = [jnp.take(p, idx[:, 0], axis=0),
+            jnp.take(p, idx[:, 1], axis=0),
+            jnp.take(p, idx[:, 2], axis=0),
+            jnp.take(nrm, idx[:, 0], axis=0),
+            jnp.take(nrm, idx[:, 1], axis=0),
+            jnp.take(nrm, idx[:, 2], axis=0),
+            jnp.take(uv, idx[:, 0], axis=0),
+            jnp.take(uv, idx[:, 1], axis=0),
+            jnp.take(uv, idx[:, 2], axis=0),
+            geometry.tri_material.astype(jnp.float32)[:, None]]
+    tri_pack = jnp.concatenate(cols, axis=1)          # [T, 25]
+    m = materials
+    mat_pack = jnp.concatenate([
+        m.base_color,                                  # 0:3
+        m.metallic[:, None], m.roughness[:, None],     # 3,4
+        m.ior[:, None], m.transmission[:, None],       # 5,6
+        m.diffuse_transmission[:, None],               # 7
+        m.emissive,                                    # 8:11
+        m.specular_f0_scale[:, None], m.thin[:, None],  # 11,12
+        m.alpha_cutoff[:, None],                       # 13
+        m.volume_absorption,                           # 14:17
+    ], axis=1)                                         # [M, 17]
+    return tri_pack, mat_pack
 
 
 # ---------------------------------------------------------------------------
