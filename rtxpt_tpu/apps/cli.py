@@ -76,6 +76,9 @@ def main(argv=None):
     p.add_argument("--taa", action="store_true")
     p.add_argument("--bloom", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--camera-json", default=None,
+                   help="camera sidecar: loaded if it exists, else saved "
+                        "after the render (Sample.cpp:919-987 analog)")
     p.add_argument("--devices", type=int, default=0,
                    help="shard across N devices (0 = single device)")
     p.add_argument("--metrics", default=None,
@@ -121,7 +124,15 @@ def main(argv=None):
           f"{scene.lights.count} lights, {time.time()-t0:.2f}s",
           file=sys.stderr)
 
+    if args.camera_json:
+        from rtxpt_tpu.render.checkpoint import load_camera
+        loaded = load_camera(args.camera_json)
+        if loaded:
+            host.camera = loaded
     cam = default_camera(host, args.width, args.height)
+    if args.camera_json and host.camera:
+        from rtxpt_tpu.render.checkpoint import save_camera
+        save_camera(args.camera_json, host.camera)
     if args.preset:
         from rtxpt_tpu.config import PRESETS
         pre = PRESETS[args.preset]

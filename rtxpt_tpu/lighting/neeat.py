@@ -89,15 +89,13 @@ def sample_adaptive(state: NEEATState, lights: LightList, envmap: EnvMap,
     # Re-evaluate the chosen light deterministically (index + uv) so both
     # branches share one shading path.
     from rtxpt_tpu.pt.restir import eval_light_sample
-    wi, dist, Li, _src = eval_light_sample(lights, envmap, li,
-                                           jnp.stack([u1, u2], -1),
-                                           shade_pos)
+    wi, dist, Li, src_pdf = eval_light_sample(lights, envmap, li,
+                                              jnp.stack([u1, u2], -1),
+                                              shade_pos)
     # mixture selection pmf -> full pdf: scale the per-kind solid-angle
     # jacobian which eval_light_sample folded in for sel_pdf = power[li].
     sel_global = jnp.take(lights.power, li)
     sel_mix = select_pdf(state, lights, tile, li)
-    _, _, _, src_pdf = eval_light_sample(lights, envmap, li,
-                                         jnp.stack([u1, u2], -1), shade_pos)
     pdf = src_pdf * sel_mix / jnp.maximum(sel_global, 1e-12)
 
     kind = jnp.take(lights.kind, li)

@@ -89,6 +89,23 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
     ) if want_aux else None
 
     sample_idx = jnp.asarray(sample_idx).astype(jnp.uint32)
+
+    # OMM-analog alpha testing: MIXED triangles re-trace on alpha failure
+    # (scene/omm.py); scenes without alpha-tested geometry use the raw
+    # queries.
+    if scene.tri_opacity is not None and scene.textures is not None:
+        from rtxpt_tpu.scene.omm import (
+            intersect_any_alpha, intersect_closest_alpha)
+        closest_fn = lambda o_, d_, tn_, tx_: intersect_closest_alpha(
+            scene, o_, d_, tn_, tx_)
+        any_fn = lambda o_, d_, tn_, tx_: intersect_any_alpha(
+            scene, o_, d_, tn_, tx_)
+    else:
+        closest_fn = lambda o_, d_, tn_, tx_: intersect_closest(
+            scene.bvh, o_, d_, tn_, tx_)
+        any_fn = lambda o_, d_, tn_, tx_: intersect_any(
+            scene.bvh, o_, d_, tn_, tx_)
+
     use_nee = cfg.nee != NEEMode.OFF and scene.lights is not None
     nee_uniform = cfg.nee == NEEMode.UNIFORM
     use_neeat = (cfg.nee == NEEMode.NEEAT and neeat_state is not None
@@ -102,9 +119,8 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
     for bounce in range(cfg.max_bounces + 1):
         # ----- closest hit -----
         ray_count = ray_count + jnp.sum(active.astype(jnp.int32))
-        hit = intersect_closest(scene.bvh, o, d,
-                                jnp.zeros((n,), f32),
-                                jnp.full((n,), cfg.max_ray_travel, f32))
+        hit = closest_fn(o, d, jnp.zeros((n,), f32),
+                         jnp.full((n,), cfg.max_ray_travel, f32))
         hit_mask = active & ~hit.miss
         miss_mask = active & hit.miss
 
@@ -238,10 +254,8 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
                       & (m.luminance(f_l) > 0.0))
             shadow_o = ray_offset(surf.pos, surf.geo_n, ls["wi"])
             ray_count = ray_count + jnp.sum(do_nee.astype(jnp.int32))
-            occluded = intersect_any(
-                scene.bvh,
-                jnp.where(do_nee[..., None], shadow_o, shadow_o),
-                ls["wi"], jnp.zeros((n,), f32),
+            occluded = any_fn(
+                shadow_o, ls["wi"], jnp.zeros((n,), f32),
                 jnp.where(do_nee, ls["dist"] * (1.0 - 1e-4), 0.0))
             if cfg.enable_mis:
                 w_nee = jnp.where(ls["is_delta"], 1.0,

@@ -156,12 +156,13 @@ def eval_light_sample(lights: LightList, envmap: EnvMap, li, uv, shade_pos):
 
 
 def _target_pdf(gb: GBuffer, lights, envmap, li, uv):
-    """p_hat = luminance of unshadowed contribution f*Li (incl. cosine)."""
-    wi, dist, Li, _src = eval_light_sample(lights, envmap, li, uv, gb.pos)
+    """p_hat = luminance of unshadowed contribution f*Li (incl. cosine).
+    Returns (p_hat, wi, dist, src_pdf) from ONE light-sample evaluation."""
+    wi, dist, Li, src = eval_light_sample(lights, envmap, li, uv, gb.pos)
     wo_l = m.to_local(gb.view, gb.normal)
     wi_l = m.to_local(wi, gb.normal)
     f = B.bsdf_eval(_surface_bsdf(gb), wo_l, wi_l)
-    return m.luminance(f * Li), wi, dist
+    return m.luminance(f * Li), wi, dist, src
 
 
 def _reservoir_update(res: Reservoir, cand_li, cand_uv, w, u_accept,
@@ -194,19 +195,17 @@ def initial_candidates(gb: GBuffer, lights: LightList, envmap: EnvMap,
                       0, lights.count - 1).astype(jnp.int32)
         src_pdf_sel = jnp.take(lights.power, li)
         uv = jnp.stack([u1, u2], -1)
-        p_hat, _, _ = _target_pdf(gb, lights, envmap, li, uv)
-        # source pdf in the same (index,uv) measure: sel_pdf (uv uniform)
-        # -> RIS weight = p_hat / p_source, with area/solid-angle jacobians
-        # folded consistently into p_hat via eval_light_sample's pdf.
-        _, _, _, src_pdf = eval_light_sample(lights, envmap, li, uv, gb.pos)
+        # RIS weight = p_hat / p_source, with area/solid-angle jacobians
+        # folded consistently via eval_light_sample's pdf.
+        p_hat, _, _, src_pdf = _target_pdf(gb, lights, envmap, li, uv)
         w = jnp.where(src_pdf > 1e-11, p_hat / src_pdf, 0.0)
         res = _reservoir_update(res, li, uv, w, u_acc)
     return _finalize(res, gb, lights, envmap)
 
 
 def _finalize(res: Reservoir, gb, lights, envmap):
-    p_hat_y, _, _ = _target_pdf(gb, lights, envmap,
-                                jnp.maximum(res.y_light, 0), res.y_uv)
+    p_hat_y, _, _, _ = _target_pdf(gb, lights, envmap,
+                                   jnp.maximum(res.y_light, 0), res.y_uv)
     w_out = jnp.where((res.y_light >= 0) & (p_hat_y > 1e-11),
                       res.w_sum / (jnp.maximum(res.m_count, 1.0)
                                    * jnp.maximum(p_hat_y, 1e-11)),
@@ -231,8 +230,9 @@ def _merge(res_a: Reservoir, res_b: Reservoir, gb, lights, envmap,
            u_accept, m_clamp: float):
     """Merge reservoir b (e.g. temporal/neighbor) into a at a's surface."""
     m_b = jnp.minimum(res_b.m_count, m_clamp)
-    p_hat_b, _, _ = _target_pdf(gb, lights, envmap,
-                                jnp.maximum(res_b.y_light, 0), res_b.y_uv)
+    p_hat_b, _, _, _ = _target_pdf(gb, lights, envmap,
+                                   jnp.maximum(res_b.y_light, 0),
+                                   res_b.y_uv)
     w_b = jnp.where(res_b.y_light >= 0,
                     p_hat_b * res_b.w_out * m_b, 0.0)
     merged = _reservoir_update(res_a, res_b.y_light, res_b.y_uv, w_b,

@@ -74,6 +74,13 @@ def bake_opacity(host_scene, materials, textures_np) -> Optional[np.ndarray]:
     return np.asarray(classes, np.uint8)
 
 
+def intersect_any_alpha(scene, o, d, tmin, tmax):
+    """Visibility with alpha testing: a MIXED hit whose alpha fails the
+    cutoff does not occlude — re-trace past it (bounded)."""
+    hit = intersect_closest_alpha(scene, o, d, tmin, tmax)
+    return ~hit.miss
+
+
 def intersect_closest_alpha(scene, o, d, tmin, tmax):
     """Closest-hit with alpha testing: re-trace past MIXED hits whose
     texture alpha fails the material cutoff (Bridge::AlphaTest analog,
@@ -107,9 +114,8 @@ def intersect_closest_alpha(scene, o, d, tmin, tmax):
         rgba = sample_texture(scene.textures, tex, uv,
                               jnp.zeros((n,), jnp.float32))
         fail = mixed & (rgba[..., 3] < cut) & (cut >= 0.0)
-        if not bool(jnp.any(fail)) and not isinstance(fail, jax.core.Tracer):
-            break
-        # re-trace from just past the rejected hit
+        # re-trace from just past the rejected hit (bounded fixed loop; a
+        # traced early-out is not possible under jit)
         cur_tmin = jnp.where(fail, hit.t + 1e-4, cur_tmin)
         hit2 = intersect_closest(scene.bvh, o, d, cur_tmin, tmax)
         hit = jax.tree.map(
