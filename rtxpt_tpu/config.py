@@ -82,6 +82,10 @@ class RenderConfig:
     enable_taa: bool = False
     enable_bloom: bool = False
     accumulation_limit: int = 0      # 0 = unlimited progressive accumulation
+    # Render-vs-display resolution split (the DLSS-SR substitute: trace at
+    # render_scale * display res, temporal-upscale to display; reference:
+    # Sample.h:343-344 m_renderSize/m_displaySize).
+    render_scale: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -62,10 +62,34 @@ def motion_vectors(prev_cam: Optional[Camera], wpos, depth, width, height):
                      jnp.stack([mx, my], -1), 0.0)
 
 
+def _upscale_bilinear(img, height: int, width: int):
+    """Bilinear resize [h,w,C] -> [height,width,C] (upscaler base; the
+    temporal part comes from TAA at display resolution)."""
+    h, w = img.shape[:2]
+    yy = (jnp.arange(height, dtype=jnp.float32) + 0.5) * h / height - 0.5
+    xx = (jnp.arange(width, dtype=jnp.float32) + 0.5) * w / width - 0.5
+    from rtxpt_tpu.render.denoise import _bilinear_sample
+    yg = jnp.tile(yy[:, None], (1, width))
+    xg = jnp.tile(xx[None, :], (height, 1))
+    if img.ndim == 2:
+        return _bilinear_sample(img[..., None], yg, xg)[..., 0]
+    return _bilinear_sample(img, yg, xg)
+
+
 def render_frame(scene: SceneData, cam: Camera, pt_cfg: PathTracerConfig,
                  rc: RenderConfig, state: RealtimeState):
-    """One real-time frame. Returns (display_image, hdr, new_state)."""
-    out = render_sample_jit(scene, cam, pt_cfg, rc.width, rc.height,
+    """One real-time frame. Returns (display_image, hdr, new_state).
+
+    With rc.render_scale < 1 the wavefront runs at the reduced render
+    resolution and the frame is upscaled to display resolution before TAA
+    (temporal upscaling — the DLSS-SR substitute)."""
+    rw = max(int(rc.width * rc.render_scale), 8)
+    rh = max(int(rc.height * rc.render_scale), 8)
+    render_cam = cam
+    if (rw, rh) != (rc.width, rc.height):
+        render_cam = cam.replace(width=jnp.float32(rw),
+                                 height=jnp.float32(rh))
+    out = render_sample_jit(scene, render_cam, pt_cfg, rw, rh,
                             jnp.uint32(state.frame_index), True)
     radiance = out["L"]
     albedo = out["albedo"]
@@ -84,6 +108,13 @@ def render_frame(scene: SceneData, cam: Camera, pt_cfg: PathTracerConfig,
         hdr = denoised + emission
     else:
         hdr, dstate = radiance, state.denoiser
+
+    if (rw, rh) != (rc.width, rc.height):
+        scale_y = rc.height / rh
+        scale_x = rc.width / rw
+        hdr = _upscale_bilinear(hdr, rc.height, rc.width)
+        motion = _upscale_bilinear(motion, rc.height, rc.width) \
+            * jnp.asarray([scale_x, scale_y])
 
     if rc.enable_taa:
         hdr, taa_hist = taa_resolve(hdr, motion, state.taa_history)

@@ -105,3 +105,32 @@ def test_motion_vectors_translation(cornell_scene):
     my = motion[..., 1][sel]
     assert np.abs(my).mean() < 0.2
     assert mx.mean() > 0.3  # strafing +x moves image content left
+
+
+def test_render_scale_upscaling(cornell_scene):
+    """DLSS-SR substitute: render at 0.5x, upscale to display; output is
+    display-sized, finite, and structurally similar to native."""
+    host, scene = cornell_scene
+    cam = default_camera(host, W, H)
+    pt_cfg = PathTracerConfig(max_bounces=2)
+    rc_lo = RenderConfig(width=W, height=H, denoiser=DenoiserMode.RELAX,
+                         enable_taa=True, tonemap="none", render_scale=0.5)
+    state = realtime.init_state(H, W)
+    for _ in range(3):
+        img, hdr, state = realtime.render_frame(scene, cam, pt_cfg, rc_lo,
+                                                state)
+    hdr = np.asarray(hdr)
+    assert hdr.shape == (H, W, 3)
+    assert np.isfinite(hdr).all()
+    rc_hi = RenderConfig(width=W, height=H, denoiser=DenoiserMode.RELAX,
+                         tonemap="none")
+    s2 = realtime.init_state(H, W)
+    for _ in range(3):
+        _, ref, s2 = realtime.render_frame(scene, cam, pt_cfg, rc_hi, s2)
+    ref = np.asarray(ref)
+    # upscaled image approximates native (blurrier but same lighting);
+    # clamp first — the tiny 11-radiance emitter dominates unclamped means
+    # and quantizes differently across resolutions
+    a = np.clip(hdr, 0, 1).mean()
+    b = np.clip(ref, 0, 1).mean()
+    assert abs(a - b) / b < 0.15, (a, b)
