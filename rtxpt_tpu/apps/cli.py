@@ -83,6 +83,10 @@ def main(argv=None):
                    help="shard across N devices (0 = single device)")
     p.add_argument("--metrics", default=None,
                    help="write perf metrics JSON here")
+    p.add_argument("--debug-view", default=None,
+                   choices=["albedo", "normal", "depth", "emission"],
+                   help="render a guide-buffer visualization instead of the "
+                        "beauty image (SampleUI debug views analog)")
     p.add_argument("--denoise-still", action="store_true",
                    help="photo mode: run the spatial denoiser on the final "
                         "accumulated image (OptiX-denoised-screenshot analog)")
@@ -201,6 +205,21 @@ def main(argv=None):
     mrays = rays / dt / 1e6
     print(f"[render] {args.width}x{args.height}@{args.spp}spp in {dt:.2f}s "
           f"({rays} rays, {mrays:.2f} Mrays/s incl. compile)", file=sys.stderr)
+
+    if args.debug_view:
+        from rtxpt_tpu.pt.integrator import render_sample_jit
+        from rtxpt_tpu.render.debug_viz import visualize
+        aux_out = render_sample_jit(scene, cam, cfg, args.width, args.height,
+                                    jnp.uint32(args.seed), True)
+        img = np.asarray(visualize(args.debug_view,
+                                   albedo=aux_out["albedo"],
+                                   normal=aux_out["normal"],
+                                   depth=aux_out["depth"],
+                                   emission=aux_out["emission"]))
+        save_png(args.out, img)
+        print(f"[out] {args.out} (debug view: {args.debug_view})",
+              file=sys.stderr)
+        return 0
 
     if args.denoise_still:
         # Photo mode (reference: Sample.cpp:2782 DenoisedScreenshot via the
