@@ -103,7 +103,9 @@ def test_motion_vectors_translation(cornell_scene):
     sel = depth > 0
     mx = motion[..., 0][sel]
     my = motion[..., 1][sel]
-    assert np.abs(my).mean() < 0.2
+    # |my| carries the subpixel sample jitter (hit points are jittered,
+    # projection lands within +-0.5px): E[|my|] ~= 0.25 for uniform jitter.
+    assert np.abs(my).mean() < 0.35
     assert mx.mean() > 0.3  # strafing +x moves image content left
 
 
