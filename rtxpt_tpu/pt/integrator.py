@@ -81,6 +81,9 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
     med1 = jnp.full((n,), -1, jnp.int32)
     cone_width = jnp.zeros((n,), f32)
     ray_count = jnp.zeros((), jnp.int32)
+    # wavefront occupancy: active-lane count per bounce round (the
+    # occupancy metric of SURVEY §7 step 6)
+    occupancy = []
 
     aux = dict(
         albedo=jnp.zeros((n, 3), f32), normal=jnp.zeros((n, 3), f32),
@@ -116,11 +119,47 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         from rtxpt_tpu.lighting import neeat as na
         neeat_hist = jnp.zeros_like(neeat_state.ema)
 
+    # Deferred NEE resolution: the shadow ray of bounce k rides in the SAME
+    # intersect dispatch as bounce k+1's scatter rays (one 2N-wide query
+    # instead of two N-wide — traversal dominates the frame; the occlusion
+    # decision is identical since closest-hit-within-dist == any-hit).
+    fuse_shadows = scene.bvh.brute is not None and use_nee
+    pend_contrib = jnp.zeros((n, 3), f32)
+    pend_o = jnp.zeros((n, 3), f32)
+    pend_d = jnp.ones((n, 3), f32)
+    pend_dist = jnp.zeros((n,), f32)
+    pend_mask = jnp.zeros((n,), bool)
+    pend_tile = None
+    pend_li = None
+
+    def resolve_pending(L, occluded, neeat_hist):
+        ok = pend_mask & ~occluded
+        Lr = L + jnp.where(ok[..., None], pend_contrib, 0.0)
+        if use_neeat:
+            neeat_hist = neeat_hist + na.accumulate_feedback(
+                neeat_state, pend_tile, pend_li,
+                m.luminance(pend_contrib), ok)
+        return Lr, neeat_hist
+
     for bounce in range(cfg.max_bounces + 1):
-        # ----- closest hit -----
-        ray_count = ray_count + jnp.sum(active.astype(jnp.int32))
-        hit = closest_fn(o, d, jnp.zeros((n,), f32),
-                         jnp.full((n,), cfg.max_ray_travel, f32))
+        # ----- closest hit (+ fused shadow resolution) -----
+        occupancy.append(jnp.sum(active.astype(jnp.int32)))
+        ray_count = ray_count + jnp.sum(active.astype(jnp.int32)) \
+            + jnp.sum(pend_mask.astype(jnp.int32))
+        if fuse_shadows and bounce > 0:
+            hit2 = closest_fn(
+                jnp.concatenate([o, pend_o]),
+                jnp.concatenate([d, pend_d]),
+                jnp.zeros((2 * n,), f32),
+                jnp.concatenate([jnp.full((n,), cfg.max_ray_travel, f32),
+                                 pend_dist]))
+            hit = jax.tree.map(lambda x: x[:n], hit2)
+            occluded = ~hit2.miss[n:]
+            L, neeat_hist = resolve_pending(L, occluded, neeat_hist)
+            pend_mask = jnp.zeros((n,), bool)
+        else:
+            hit = closest_fn(o, d, jnp.zeros((n,), f32),
+                             jnp.full((n,), cfg.max_ray_travel, f32))
         hit_mask = active & ~hit.miss
         miss_mask = active & hit.miss
 
@@ -253,10 +292,6 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
             do_nee = (hit_mask & ls["valid"]
                       & (m.luminance(f_l) > 0.0))
             shadow_o = ray_offset(surf.pos, surf.geo_n, ls["wi"])
-            ray_count = ray_count + jnp.sum(do_nee.astype(jnp.int32))
-            occluded = any_fn(
-                shadow_o, ls["wi"], jnp.zeros((n,), f32),
-                jnp.where(do_nee, ls["dist"] * (1.0 - 1e-4), 0.0))
             if cfg.enable_mis:
                 w_nee = jnp.where(ls["is_delta"], 1.0,
                                   m.power_heuristic(ls["pdf"], pdf_b))
@@ -268,13 +303,29 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
                 lum = m.luminance(contrib)
                 scale = jnp.minimum(1.0, firefly / jnp.maximum(lum, 1e-12))
                 contrib = contrib * scale[..., None]
-            nee_ok = do_nee & ~occluded
-            L = L + jnp.where(nee_ok[..., None], contrib, 0.0)
-            if use_neeat:
-                # feedback: luminance of the realized contribution
-                neeat_hist = neeat_hist + na.accumulate_feedback(
-                    neeat_state, ls["tile"], ls["light_index"],
-                    m.luminance(contrib), nee_ok)
+            if fuse_shadows:
+                # defer: the shadow ray joins the next bounce's dispatch
+                pend_contrib = jnp.where(do_nee[..., None], contrib, 0.0)
+                pend_o = shadow_o
+                pend_d = ls["wi"]
+                pend_dist = jnp.where(do_nee, ls["dist"] * (1.0 - 1e-4),
+                                      0.0)
+                pend_mask = do_nee
+                if use_neeat:
+                    pend_tile = ls["tile"]
+                    pend_li = ls["light_index"]
+            else:
+                ray_count = ray_count + jnp.sum(do_nee.astype(jnp.int32))
+                occluded = any_fn(
+                    shadow_o, ls["wi"], jnp.zeros((n,), f32),
+                    jnp.where(do_nee, ls["dist"] * (1.0 - 1e-4), 0.0))
+                nee_ok = do_nee & ~occluded
+                L = L + jnp.where(nee_ok[..., None], contrib, 0.0)
+                if use_neeat:
+                    # feedback: luminance of the realized contribution
+                    neeat_hist = neeat_hist + na.accumulate_feedback(
+                        neeat_state, ls["tile"], ls["light_index"],
+                        m.luminance(contrib), nee_ok)
 
         # ----- scatter (GenerateScatterRay, PathTracer.hlsli:217-345) -----
         seed_sc = rng.pixel_seed(px, py, bounce, EFFECT_SCATTER)
@@ -320,7 +371,8 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         o = ray_offset(surf.pos, surf.geo_n, wi_world)
         d = wi_world
 
-    out = dict(L=L, ray_count=ray_count)
+    out = dict(L=L, ray_count=ray_count,
+               occupancy=jnp.stack(occupancy))
     if use_neeat:
         out["neeat_hist"] = neeat_hist
     if want_aux:
@@ -373,18 +425,22 @@ def render_sample(scene: SceneData, cam: Camera, cfg: PathTracerConfig,
         py = py.reshape(nchunks, chunk)
         out = jax.lax.map(lambda ab: run(ab[0], ab[1]), (px, py))
         hist = out.pop("neeat_hist", None)
+        occ = out.pop("occupancy")
         out = jax.tree.map(
             lambda x: (x.reshape(-1, *x.shape[2:])
                        if x.ndim >= 2 else jnp.sum(x)), out)
+        out["occupancy"] = jnp.sum(occ, axis=0)
         if hist is not None:
             out["neeat_hist"] = jnp.sum(hist, axis=0)
 
     ray_count = out.pop("ray_count")
     hist = out.pop("neeat_hist", None)
+    occ = out.pop("occupancy")
     ray_count = jnp.sum(ray_count)
     imgs = {k: v[:npix].reshape(height, width, *v.shape[1:])
             for k, v in out.items()}
     imgs["ray_count"] = ray_count
+    imgs["occupancy"] = occ
     if hist is not None:
         imgs["neeat_hist"] = hist
     return imgs
