@@ -38,12 +38,21 @@ class RealtimeState(NamedTuple):
     taa_history: Optional[jnp.ndarray]
     prev_camera: Optional[Camera]
     frame_index: int
+    neeat: Optional[object] = None            # lighting.neeat.NEEATState
 
 
-def init_state(height: int, width: int) -> RealtimeState:
+def init_state(height: int, width: int,
+               scene: Optional[SceneData] = None,
+               pt_cfg: Optional[PathTracerConfig] = None) -> RealtimeState:
+    neeat = None
+    if (scene is not None and pt_cfg is not None
+            and pt_cfg.nee.name == "NEEAT" and scene.lights is not None):
+        from rtxpt_tpu.lighting import neeat as na
+        neeat = na.init_state(width, height, int(scene.lights.count))
     return RealtimeState(denoiser=dn.init_state(height, width),
                          denoiser_p1=dn.init_state(height, width),
-                         taa_history=None, prev_camera=None, frame_index=0)
+                         taa_history=None, prev_camera=None, frame_index=0,
+                         neeat=neeat)
 
 
 def motion_vectors(prev_cam: Optional[Camera], wpos, depth, width, height):
@@ -90,7 +99,12 @@ def render_frame(scene: SceneData, cam: Camera, pt_cfg: PathTracerConfig,
         render_cam = cam.replace(width=jnp.float32(rw),
                                  height=jnp.float32(rh))
     out = render_sample_jit(scene, render_cam, pt_cfg, rw, rh,
-                            jnp.uint32(state.frame_index), True)
+                            jnp.uint32(state.frame_index), True,
+                            state.neeat)
+    new_neeat = state.neeat
+    if state.neeat is not None and "neeat_hist" in out:
+        from rtxpt_tpu.lighting import neeat as na
+        new_neeat = na.update(state.neeat, out["neeat_hist"])
     radiance = out["L"]
     albedo = out["albedo"]
     normal = out["normal"]
@@ -128,7 +142,8 @@ def render_frame(scene: SceneData, cam: Camera, pt_cfg: PathTracerConfig,
     new_state = RealtimeState(denoiser=dstate,
                               denoiser_p1=state.denoiser_p1,
                               taa_history=taa_hist, prev_camera=cam,
-                              frame_index=state.frame_index + 1)
+                              frame_index=state.frame_index + 1,
+                              neeat=new_neeat)
     return img, hdr, new_state
 
 
