@@ -123,3 +123,22 @@ def test_render_loaded_gltf(tmp_path):
     # red-dominant material
     lit = hdr[hdr.sum(-1) > 0.01]
     assert lit[:, 0].mean() > lit[:, 1].mean() * 2
+
+
+def test_export_roundtrip(tmp_path):
+    """Exporter -> loader round trip renders identically to procedural."""
+    from rtxpt_tpu.scene.procedural import cornell_box, default_camera
+    from rtxpt_tpu.scene.gltf_export import export_gltf
+    from rtxpt_tpu.prepare import prepare
+    from rtxpt_tpu.pt.integrator import render
+    from rtxpt_tpu.config import PathTracerConfig
+
+    host = cornell_box()
+    path = str(tmp_path / "cornell.gltf")
+    export_gltf(host, path)
+    back = load_gltf(path)
+    a, _, _ = render(prepare(back), default_camera(back, 16, 16),
+                     PathTracerConfig(max_bounces=2), 16, 16, spp=2)
+    b, _, _ = render(prepare(host), default_camera(host, 16, 16),
+                     PathTracerConfig(max_bounces=2), 16, 16, spp=2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
