@@ -106,3 +106,30 @@ def test_degenerate_identical_centroids():
     d = jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32)
     hit = intersect_closest(bvh, o, d, jnp.asarray([1e-3]), jnp.asarray([1e9]))
     assert int(hit.prim[0]) >= 0
+
+
+def test_brute_ray_chunking(monkeypatch):
+    """Force the brute intersector's multi-chunk path (big NxT footprint)
+    and compare against the single-chunk result."""
+    from rtxpt_tpu.accel import brute as brute_mod
+
+    sc = random_triangles(300, seed=21).flatten()
+    pos = np.asarray(sc.geometry.positions)
+    idx = np.asarray(sc.geometry.indices)
+    tris = brute_mod.build_brute(pos, idx)
+    rng = np.random.default_rng(22)
+    n = 1000
+    targets = pos[idx[rng.integers(0, 300, n), 0]]
+    o = jnp.asarray(rng.uniform(-15, 15, (n, 3)), jnp.float32)
+    d = jnp.asarray(targets, jnp.float32) - o
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    tmin = jnp.zeros((n,))
+    tmax = jnp.full((n,), 1e9)
+
+    ref = brute_mod.intersect_closest_brute(tris, o, d, tmin, tmax)
+    monkeypatch.setattr(brute_mod, "_MAX_PAIRS", 300 * 128)  # 128 rays/chunk
+    chunked = brute_mod.intersect_closest_brute(tris, o, d, tmin, tmax)
+    np.testing.assert_array_equal(np.asarray(ref.prim),
+                                  np.asarray(chunked.prim))
+    np.testing.assert_allclose(np.asarray(ref.t), np.asarray(chunked.t),
+                               rtol=1e-5)
