@@ -133,3 +133,35 @@ def test_brute_ray_chunking(monkeypatch):
                                   np.asarray(chunked.prim))
     np.testing.assert_allclose(np.asarray(ref.t), np.asarray(chunked.t),
                                rtol=1e-5)
+
+
+def test_traversal_path_large_scene():
+    """>BRUTE_MAX_TRIS forces the skip-link BVH traversal path; verify it
+    against numpy brute force (the suite's small scenes all dispatch to
+    the MXU brute intersector otherwise)."""
+    from rtxpt_tpu.accel.brute import BRUTE_MAX_TRIS
+
+    ntri = BRUTE_MAX_TRIS + 1000
+    sc = random_triangles(ntri, seed=31, extent=20.0).flatten()
+    pos = np.asarray(sc.geometry.positions)
+    idx = np.asarray(sc.geometry.indices)
+    bvh = build_bvh(pos, idx)
+    assert bvh.brute is None  # traversal path active
+
+    rng = np.random.default_rng(32)
+    n = 128
+    # jitter off the exact vertices: an exact-vertex aim sits on the
+    # u=v=0 boundary where f32 vs f64 rounding legitimately disagree
+    targets = pos[idx[rng.integers(0, ntri, n), 0]] \
+        + rng.normal(0, 0.1, (n, 3))
+    o = rng.uniform(-30, 30, (n, 3)).astype(np.float32)
+    d = (targets - o).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    bp, bt = _brute_force(pos, idx, o, d)
+    hit = intersect_closest(bvh, jnp.asarray(o), jnp.asarray(d),
+                            jnp.full((n,), 1e-3), jnp.full((n,), 1e9))
+    assert (np.asarray(hit.prim) == bp).all()
+    mask = bp >= 0
+    assert mask.mean() > 0.3
+    np.testing.assert_allclose(np.asarray(hit.t)[mask], bt[mask],
+                               rtol=1e-4, atol=1e-4)
