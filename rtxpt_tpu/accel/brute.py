@@ -121,7 +121,31 @@ def _intersect_chunk(tris: BruteTris, o, d, tmin, tmax, any_hit: bool):
     )
 
 
+def _use_pallas(tris: BruteTris) -> bool:
+    """Opt-in (RTXPT_TPU_PALLAS_BRUTE=1): the fused Pallas kernel matches
+    the XLA path exactly and wins isolated microbenches, but loses in-frame
+    until the [K,4T] operand table is cached at scene-prep time instead of
+    being rebuilt per call (round-2 item; see docs/PERF_NOTES.md)."""
+    import os
+
+    if os.environ.get("RTXPT_TPU_PALLAS_BRUTE") != "1":
+        return False
+    from rtxpt_tpu.accel.brute_pallas import PALLAS_MAX_TRIS
+
+    if tris.num_triangles > PALLAS_MAX_TRIS:
+        return False
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False
+
+
 def intersect_closest_brute(tris: BruteTris, o, d, tmin, tmax) -> Hit:
+    if _use_pallas(tris):
+        from rtxpt_tpu.accel.brute_pallas import intersect_brute_pallas
+
+        s = intersect_brute_pallas(tris, o, d, tmin, tmax)
+        return Hit(t=s["t"], prim=s["prim"], bary=s["uv"], front=s["front"])
     n = o.shape[0]
     t_count = tris.num_triangles
     chunk = max(min(n, _MAX_PAIRS // max(t_count, 1)), 1)
