@@ -47,10 +47,32 @@ class BruteTris:
     v0xe2_t: jnp.ndarray   # [3,T]
     v0xe1_t: jnp.ndarray   # [3,T]
     v0n: jnp.ndarray       # [T]    (v0 . n)
+    # Pre-baked [K, 4*Tpad] operand table for the Pallas kernel
+    # (accel/brute_pallas.py) — built once at scene prep.
+    pallas_rhs: object = None
 
     @property
     def num_triangles(self) -> int:
         return self.v0n.shape[0]
+
+
+def brute_from_edges(v0: np.ndarray, e1: np.ndarray,
+                     e2: np.ndarray) -> BruteTris:
+    """Build operands (incl. the cached Pallas table) from host arrays."""
+    n = np.cross(e1, e2)
+    tris = BruteTris(
+        e1_t=jnp.asarray(e1.T.copy()),
+        e2_t=jnp.asarray(e2.T.copy()),
+        n_t=jnp.asarray(n.T.copy()),
+        v0xe2_t=jnp.asarray(np.cross(v0, e2).T.copy()),
+        v0xe1_t=jnp.asarray(np.cross(v0, e1).T.copy()),
+        v0n=jnp.asarray(np.einsum("tj,tj->t", v0, n)),
+    )
+    from rtxpt_tpu.accel.brute_pallas import PALLAS_MAX_TRIS, pack_tris_np
+    if len(v0) <= PALLAS_MAX_TRIS:
+        tris = tris.replace(pallas_rhs=jnp.asarray(
+            pack_tris_np(v0, e1, e2, n)))
+    return tris
 
 
 def build_brute(positions, indices) -> BruteTris:
@@ -59,17 +81,7 @@ def build_brute(positions, indices) -> BruteTris:
     v0 = positions[indices[:, 0]]
     v1 = positions[indices[:, 1]]
     v2 = positions[indices[:, 2]]
-    e1 = v1 - v0
-    e2 = v2 - v0
-    n = np.cross(e1, e2)
-    return BruteTris(
-        e1_t=jnp.asarray(e1.T.copy()),
-        e2_t=jnp.asarray(e2.T.copy()),
-        n_t=jnp.asarray(n.T.copy()),
-        v0xe2_t=jnp.asarray(np.cross(v0, e2).T.copy()),
-        v0xe1_t=jnp.asarray(np.cross(v0, e1).T.copy()),
-        v0n=jnp.asarray(np.einsum("tj,tj->t", v0, n)),
-    )
+    return brute_from_edges(v0, v1 - v0, v2 - v0)
 
 
 def _intersect_chunk(tris: BruteTris, o, d, tmin, tmax, any_hit: bool):
@@ -122,17 +134,19 @@ def _intersect_chunk(tris: BruteTris, o, d, tmin, tmax, any_hit: bool):
 
 
 def _use_pallas(tris: BruteTris) -> bool:
-    """Opt-in (RTXPT_TPU_PALLAS_BRUTE=1): the fused Pallas kernel matches
-    the XLA path exactly and wins isolated microbenches, but loses in-frame
-    until the [K,4T] operand table is cached at scene-prep time instead of
-    being rebuilt per call (round-2 item; see docs/PERF_NOTES.md)."""
+    """Opt-in (RTXPT_TPU_PALLAS_BRUTE=1). The kernel matches the XLA path
+    exactly and wins isolated microbenches, but in-frame XLA fuses the
+    intersect into neighboring ops while the kernel pays fixed per-call
+    costs (rhs DMA per grid block + launch) that dominate at small T.
+    It becomes the default once shading fuses INTO the kernel so each
+    call does enough work (docs/PERF_NOTES.md round-2 item)."""
     import os
 
     if os.environ.get("RTXPT_TPU_PALLAS_BRUTE") != "1":
         return False
     from rtxpt_tpu.accel.brute_pallas import PALLAS_MAX_TRIS
 
-    if tris.num_triangles > PALLAS_MAX_TRIS:
+    if tris.num_triangles > PALLAS_MAX_TRIS or tris.pallas_rhs is None:
         return False
     try:
         return jax.default_backend() not in ("cpu", "gpu")

@@ -117,8 +117,9 @@ def _call(tri_pack, rays, lim, n_chunks: int):
     )(tri_pack, rays, lim)
 
 
-def pack_tris(brute):
-    """BruteTris -> rhs [K, 4*Tpad] in per-chunk [det|u|v|t] groups.
+def pack_tris_np(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
+                 n: np.ndarray) -> np.ndarray:
+    """Host-side [K, 4*Tpad] operand table in per-chunk [det|u|v|t] groups.
 
     Linearization (accel/brute.py factorization):
       det   = d.(-n)
@@ -126,32 +127,37 @@ def pack_tris(brute):
       v_num = d.(-v0xe1) + oxd.(-e1)
       t_num = o.(n)      + 1*(-v0n)
     """
-    t = brute.num_triangles
+    t = len(v0)
     tpad = max(int(np.ceil(t / _TC)) * _TC, _TC)
-    n_chunks = tpad // _TC
-    # jnp throughout: this runs under jit (scene arrays are traced).
-    rhs = jnp.zeros((_K, 4 * tpad), jnp.float32)
-    for c in range(n_chunks):
+    rhs = np.zeros((_K, 4 * tpad), np.float32)
+    v0xe2 = np.cross(v0, e2).T
+    v0xe1 = np.cross(v0, e1).T
+    v0n = np.einsum("tj,tj->t", v0, n)
+    e1t, e2t, nt = e1.T, e2.T, n.T
+    for c in range(tpad // _TC):
         lo = c * _TC
         hi = min(lo + _TC, t)
         w = hi - lo
         if w <= 0:
             continue
         base = 4 * c * _TC
-        rhs = rhs.at[0:3, base:base + w].set(-brute.n_t[:, lo:hi])
-        rhs = rhs.at[0:3, base + _TC:base + _TC + w].set(
-            brute.v0xe2_t[:, lo:hi])
-        rhs = rhs.at[3:6, base + _TC:base + _TC + w].set(
-            brute.e2_t[:, lo:hi])
-        rhs = rhs.at[0:3, base + 2 * _TC:base + 2 * _TC + w].set(
-            -brute.v0xe1_t[:, lo:hi])
-        rhs = rhs.at[3:6, base + 2 * _TC:base + 2 * _TC + w].set(
-            -brute.e1_t[:, lo:hi])
-        rhs = rhs.at[6:9, base + 3 * _TC:base + 3 * _TC + w].set(
-            brute.n_t[:, lo:hi])
-        rhs = rhs.at[9, base + 3 * _TC:base + 3 * _TC + w].set(
-            -brute.v0n[lo:hi])
-    return rhs, n_chunks
+        rhs[0:3, base:base + w] = -nt[:, lo:hi]
+        rhs[0:3, base + _TC:base + _TC + w] = v0xe2[:, lo:hi]
+        rhs[3:6, base + _TC:base + _TC + w] = e2t[:, lo:hi]
+        rhs[0:3, base + 2 * _TC:base + 2 * _TC + w] = -v0xe1[:, lo:hi]
+        rhs[3:6, base + 2 * _TC:base + 2 * _TC + w] = -e1t[:, lo:hi]
+        rhs[6:9, base + 3 * _TC:base + 3 * _TC + w] = nt[:, lo:hi]
+        rhs[9, base + 3 * _TC:base + 3 * _TC + w] = -v0n[lo:hi]
+    return rhs
+
+
+def pack_tris(brute):
+    """Return (rhs [K, 4*Tpad], n_chunks) — the table is baked at
+    scene-prep time (brute_from_edges)."""
+    if brute.pallas_rhs is None:
+        raise ValueError(
+            "BruteTris.pallas_rhs missing; build via brute_from_edges")
+    return brute.pallas_rhs, brute.pallas_rhs.shape[1] // (4 * _TC)
 
 
 def pack_rays(o, d):

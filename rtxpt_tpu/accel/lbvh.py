@@ -280,17 +280,9 @@ def _pack(node_min, node_max, node_prim, node_miss, order, v0, v1, v2):
     from rtxpt_tpu.accel import brute as brute_mod
     brute = None
     if len(v0) <= brute_mod.BRUTE_MAX_TRIS:
-        e1o = v1 - v0
-        e2o = v2 - v0
-        no = np.cross(e1o, e2o)
-        brute = brute_mod.BruteTris(
-            e1_t=jnp.asarray(e1o.T.astype(np.float32).copy()),
-            e2_t=jnp.asarray(e2o.T.astype(np.float32).copy()),
-            n_t=jnp.asarray(no.T.astype(np.float32).copy()),
-            v0xe2_t=jnp.asarray(np.cross(v0, e2o).T.astype(np.float32).copy()),
-            v0xe1_t=jnp.asarray(np.cross(v0, e1o).T.astype(np.float32).copy()),
-            v0n=jnp.asarray(np.einsum("tj,tj->t", v0, no).astype(np.float32)),
-        )
+        brute = brute_mod.brute_from_edges(
+            v0.astype(np.float32), (v1 - v0).astype(np.float32),
+            (v2 - v0).astype(np.float32))
 
     return ThreadedBVH(
         nodes=jnp.asarray(packed),
