@@ -353,9 +353,11 @@ def bsdf_sample(data: BSDFData, wo, u_lobe, u1, u2):
     w_delta_t = (data.transmission_color
                  * (data.transmission * (1.0 - Fd))[..., None]
                  / jnp.maximum(pt, 1e-9)[..., None])
+    # At TIR fresnel_dielectric returns Fd == 1, so the (1-Fd) transmission
+    # factor would zero the reflected ray; TIR reflectance is exactly 1, so
+    # the full lobe budget reflects (reference keeps TIR paths alive).
     w_delta_t = jnp.where(tir[..., None],
-                          (1.0 - Fd[..., None]) * jnp.ones_like(w_delta_t)
-                          * data.transmission_color
+                          data.transmission_color
                           * (data.transmission[..., None])
                           / jnp.maximum(pt, 1e-9)[..., None],
                           w_delta_t)

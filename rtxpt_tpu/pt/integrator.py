@@ -167,8 +167,27 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         if scene.envmap is not None and (first_emissive or bounce > 0):
             env_L = env_eval(scene.envmap, d)
             if cfg.enable_mis and use_nee:
-                p_env = env_select_pdf(scene.lights, nee_uniform) \
-                    * env_pdf(scene.envmap, d)
+                if use_neeat:
+                    # NEE-AT samples the env light via the per-tile mixture
+                    # selection and a UNIFORM-uv direction (eval_light_sample
+                    # jacobian 1/(2*pi^2*sin(theta))) — the MIS counterpart
+                    # here must match that strategy, not the global
+                    # power-CDF * texel-CDF pdf (else weights don't sum to 1
+                    # and env lighting biases; mirrors the triangle-hit
+                    # rescale below).
+                    from rtxpt_tpu.lighting.envmap import _dir_to_uv
+                    tile0 = na.tile_of(neeat_state, px, py)
+                    env_li = jnp.maximum(scene.lights.env_light, 0)
+                    sel_mix = na.select_pdf(neeat_state, scene.lights,
+                                            tile0, env_li)
+                    _, v_env = _dir_to_uv(scene.envmap, d)
+                    sin_t = jnp.maximum(jnp.sin(v_env * jnp.pi), 1e-4)
+                    p_env = jnp.where(
+                        scene.lights.env_light >= 0,
+                        sel_mix / (2.0 * jnp.pi * jnp.pi * sin_t), 0.0)
+                else:
+                    p_env = env_select_pdf(scene.lights, nee_uniform) \
+                        * env_pdf(scene.envmap, d)
                 w_env = jnp.where(prev_delta, 1.0,
                                   m.power_heuristic(prev_pdf, p_env))
             else:
@@ -293,6 +312,12 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
                       & (m.luminance(f_l) > 0.0))
             shadow_o = ray_offset(surf.pos, surf.geo_n, ls["wi"])
             if cfg.enable_mis:
+                # Known approximation with nee_candidates > 1: this side
+                # uses the realized RIS effective pdf while the emissive-hit
+                # side (light_pdf_for_tri_hit) uses the single-candidate
+                # pdf — the same approximation the reference makes for
+                # WRS+MIS (PathTracerNEE.hlsli "approximate" MIS mode);
+                # exact K-candidate marginals are intractable per hit.
                 w_nee = jnp.where(ls["is_delta"], 1.0,
                                   m.power_heuristic(ls["pdf"], pdf_b))
             else:

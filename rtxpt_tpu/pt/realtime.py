@@ -139,9 +139,13 @@ def render_frame(scene: SceneData, cam: Camera, pt_cfg: PathTracerConfig,
         hdr = bloom(hdr)
 
     img = tonemap(hdr, rc.exposure, rc.tonemap)
+    # Store the RENDER-resolution camera: wpos/depth (and therefore next
+    # frame's motion vectors) live in render space; projecting with the
+    # display-res camera would mix display-space pixel coords with
+    # render-space indices (~8 px of phantom motion at 0.5x scale).
     new_state = RealtimeState(denoiser=dstate,
                               denoiser_p1=state.denoiser_p1,
-                              taa_history=taa_hist, prev_camera=cam,
+                              taa_history=taa_hist, prev_camera=render_cam,
                               frame_index=state.frame_index + 1,
                               neeat=new_neeat)
     return img, hdr, new_state

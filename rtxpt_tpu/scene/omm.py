@@ -116,7 +116,9 @@ def intersect_closest_alpha(scene, o, d, tmin, tmax):
         fail = mixed & (rgba[..., 3] < cut) & (cut >= 0.0)
         # re-trace from just past the rejected hit (bounded fixed loop; a
         # traced early-out is not possible under jit)
-        cur_tmin = jnp.where(fail, hit.t + 1e-4, cur_tmin)
+        # Relative epsilon: an absolute +1e-4 underflows in f32 for t >~1e3
+        # (t + 1e-4 == t) and the retrace re-finds the same rejected hit.
+        cur_tmin = jnp.where(fail, hit.t * (1.0 + 1e-4) + 1e-5, cur_tmin)
         hit2 = intersect_closest(scene.bvh, o, d, cur_tmin, tmax)
         hit = jax.tree.map(
             lambda a, b: jnp.where(
