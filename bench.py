@@ -30,7 +30,7 @@ def main():
     scene = prepare(host)
     cam = default_camera(host, width, height)
     cfg = PathTracerConfig(max_bounces=4, nee=NEEMode.POWER,
-                           ray_chunk=1 << 17)
+                           ray_chunk=1 << 18)
 
     # Warmup (compile) — excluded from timing.
     out = render_sample_jit(scene, cam, cfg, width, height, jnp.uint32(0))

@@ -62,4 +62,12 @@ def prepare(host: HostScene) -> SceneData:
     if host.textures:
         from rtxpt_tpu.scene.textures import bake_textures
         textures = bake_textures(host.textures)
-    return sd.replace(lights=lights, textures=textures)
+    # Fused Pallas bounce-kernel tables (the TPU hot path; pt/bounce_pallas)
+    bounce_tables = None
+    if textures is None and tri_opacity is None:
+        from rtxpt_tpu.pt.bounce_pallas import build_bounce_tables
+        bounce_tables = build_bounce_tables(
+            pos, np.asarray(sd.geometry.normals), idx,
+            np.asarray(sd.geometry.tri_material), sd.materials, lights)
+    return sd.replace(lights=lights, textures=textures,
+                      bounce_tables=bounce_tables)

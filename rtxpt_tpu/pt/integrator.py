@@ -67,6 +67,14 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
           sample_idx traced scalar/[] uint32.
     Returns dict(L [N,3], aux guide buffers when want_aux, ray_count []).
     """
+    # Fused Pallas bounce kernel (pt/bounce_pallas.py) — the TPU hot path.
+    # Eligibility is structural (tables baked at prepare, no textures/env/
+    # NEE-AT); everything else takes the general XLA wavefront below.
+    from rtxpt_tpu.pt import bounce_pallas as bp
+    if bp.eligible(scene, cfg, neeat_state):
+        return bp.trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py,
+                                     sample_idx, want_aux=want_aux,
+                                     first_emissive=first_emissive)
     n = o.shape[0]
     f32 = jnp.float32
     L = jnp.zeros((n, 3), f32)

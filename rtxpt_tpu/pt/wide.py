@@ -153,16 +153,21 @@ def make_bsdf_w(base_color, metallic, roughness, ior, transmission,
                  eta=eta, transmission_color=one)
 
 
+def _pow5(x):
+    x2 = x * x
+    return x2 * x2 * x
+
+
 def fresnel_schlick_scalar(f0, cos_h):
     """Scalar-f0 Schlick with the presence gate of bsdf.fresnel_schlick."""
-    w = jnp.power(jnp.clip(1.0 - cos_h, 0.0, 1.0), 5.0)
+    w = _pow5(jnp.clip(1.0 - cos_h, 0.0, 1.0))
     present = (f0 > 1e-6).astype(w.dtype)
     return f0 + (1.0 - f0) * w * present
 
 
 def fresnel_schlick3(f0, cos_h):
     """vec3-f0 Schlick; presence gated on F0 luminance (bsdf.py:80-91)."""
-    w = jnp.power(jnp.clip(1.0 - cos_h, 0.0, 1.0), 5.0)
+    w = _pow5(jnp.clip(1.0 - cos_h, 0.0, 1.0))
     present = (luminance3(f0) > 1e-6).astype(w.dtype)
     return f0 + (1.0 - f0) * (w * present)
 
@@ -454,7 +459,8 @@ def sample_light_fields_w(lf: LightFieldsW, sel_pdf, shade_pos, u1, u2):
                                        lf.em)))
     pdf = jnp.where(is_tri, pdf_tri, sel_pdf)
     is_delta = is_point | is_spot | is_dir
-    valid = (jnp.where(is_tri, valid_tri, jnp.ones_like(is_tri))
-             & (pdf > 1e-12) & (sel_pdf > 0.0))
+    # (~is_tri | valid_tri), written with logical ops: Mosaic can't select
+    # between i1 vectors ("unsupported target bitwidth for truncation").
+    valid = ((valid_tri | ~is_tri) & (pdf > 1e-12) & (sel_pdf > 0.0))
     return dict(wi=wi, dist=dist, Li=Li, pdf=pdf, is_delta=is_delta,
                 valid=valid)

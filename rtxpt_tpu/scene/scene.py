@@ -133,6 +133,9 @@ class SceneData:
     # replaces ~13 separate takes in load_surface — see build_packs):
     tri_pack: Optional[jnp.ndarray] = None   # [T,25] v0v1v2|n0n1n2|uv012|mat
     mat_pack: Optional[jnp.ndarray] = None   # [M,17] material scalars
+    # Fused Pallas bounce-kernel tables (pt/bounce_pallas.BounceTables);
+    # None when the scene is ineligible for the kernel fast path.
+    bounce_tables: Optional["object"] = None
 
 
 def build_packs(geometry: Geometry, materials: Materials):

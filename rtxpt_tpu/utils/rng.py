@@ -72,8 +72,13 @@ def pcg_hash(x):
 
 
 def u32_to_unit_float(x):
-    """uint32 -> f32 in [0, 1) with 24 bits of mantissa entropy."""
-    return (_u32(x) >> 8).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+    """uint32 -> f32 in [0, 1) with 24 bits of mantissa entropy.
+
+    Routed through int32 (exact: value < 2^24 after the shift) because
+    Mosaic has no u32->f32 cast — this function also runs inside the
+    fused Pallas bounce kernel."""
+    return (_u32(x) >> 8).astype(jnp.int32).astype(jnp.float32) \
+        * jnp.float32(1.0 / (1 << 24))
 
 
 # ---------------------------------------------------------------------------
