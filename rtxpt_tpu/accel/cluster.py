@@ -1,0 +1,262 @@
+"""Two-level clustered acceleration structure for large scenes (host build).
+
+The TPU-native replacement for DXR TLAS/BLAS traversal at Bistro scale
+(reference: Rtxpt/Shaders/PathTracerBridgeDonut.hlsli:996 traceScatterRay /
+:1034 traceVisibilityRay behind a hardware BVH). Instead of a per-ray
+pointer-chasing tree — hostile to the TPU's dense-tile execution model —
+the scene becomes a flat array of Morton-ordered triangle *clusters*:
+
+  * triangles are sorted by the Morton code of their centroid (done in
+    prepare(); all per-triangle arrays share the permutation), then cut
+    into clusters of CT=128 consecutive triangles;
+  * each cluster gets an AABB (culled against per-ray-group conservative
+    frustums in accel/cull.py, pure XLA) and one 64 KB operand block that
+    the bounce kernel DMAs from HBM on demand (pt/bounce_clustered.py);
+  * within a visited cluster, intersection is the matmul-factored
+    Möller-Trumbore of accel/brute.py: ONE [16,4*CT] x [16,128] MXU pass
+    per 128-ray row yields det|u|v|t for all (ray, triangle) pairs.
+
+Numerical design: the matmul runs at DEFAULT (bf16-pass) precision for
+speed — 3.3x faster than HIGHEST on v5e — which is only safe because all
+positional coefficients are built in CLUSTER-LOCAL coordinates (origin at
+the cluster AABB center), so rounding error scales with the cluster
+extent, not the scene extent. The bf16 pass only *selects* the winning
+triangle (with conservative edge margins); the kernel then re-derives
+exact t/u/v/normal per ray from the winner's f32 v0/e1/e2 rows carried in
+the same block ("exact refit" — see bounce_clustered._refit_row).
+
+Even in cluster-local coordinates a single bf16 pass is not enough: the
+coefficient products are O(cluster extent) but cancel to O(triangle
+extent), amplifying bf16's 2^-8 rounding into percent-level u/v error
+(verified on TPU: ~4% of primary hits lost). The fix is a SPLIT-bf16
+matmul at zero extra MXU cost: every coefficient c is stored as
+c_hi + c_lo (bf16 hi word + bf16-rounded residual) and the kernel stacks
+the K=32 contraction [c_hi; c_hi; c_lo] x [r_hi; r_lo; r_hi] — still one
+MXU pass (K=32 <= 128), but the three partial products accumulate in f32,
+leaving ~2^-17 relative error (the dropped c_lo*r_lo term is ~2^-18).
+
+Cluster block layout [BLK_ROWS=32, 4*CT=512] f32 (one DMA per visit):
+  rows 0..9   coefficient HI rows k (bf16-exact): lane q*CT+j holds
+              coefficient k of quantity q in (det,u,v,t) for triangle j;
+              the ray operand is [d | o'xd | o' | 1] with o' = o - center
+  rows 10..19 coefficient LO rows (bf16(c - c_hi))
+  row 20      cluster center broadcast: lanes [0:CT)=cx [CT:2CT)=cy
+              [2CT:3CT)=cz
+  rows 21..28 packed attributes: logical attr row i lives at
+              [21 + i//4, (i%4)*CT : (i%4+1)*CT]
+  rows 29..31 zero pad
+
+Logical attribute rows (AT_* constants below; positions cluster-local).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+CT = 128                 # triangles per cluster (one lane group)
+BLK_ROWS = 32
+CENTER_ROW = 20
+ATTR_BASE = 21
+LANES = 4 * CT
+MAX_CLUSTERS = 8192      # 8192 * 64KB = 512MB HBM; ~1M triangles
+
+# Logical attribute-row map (packed 4-per-physical-row at rows 17..24)
+AT_V0 = 0                # 0:3  v0 (cluster-local)
+AT_E1 = 3                # 3:6
+AT_E2 = 6                # 6:9
+AT_GN = 9                # 9:12 unit geometric normal
+AT_N0 = 12               # 12:15 shading normal v0
+AT_N1 = 15
+AT_N2 = 18
+AT_MID = 21              # material id
+AT_LPDF = 22             # baked light-selection pdf of this tri's light
+AT_LAREA = 23            # light area
+AT_ISLIGHT = 24
+AT_LOCALJ = 25           # triangle index within the cluster (iota)
+AT_VALID = 26            # 1 for real triangles, 0 for padding
+AT_ROWS = 27
+
+
+@struct.dataclass
+class ClusterTables:
+    """Device tables for the clustered bounce kernels."""
+
+    blocks: jnp.ndarray     # [C, BLK_ROWS, LANES] f32
+    aabb_lo: jnp.ndarray    # [C, 3] f32
+    aabb_hi: jnp.ndarray    # [C, 3] f32
+    mat_rows: jnp.ndarray   # [MT_ROWS, 128]
+    light_rows: jnp.ndarray  # [LROWS, 128]
+    n_clusters: int = struct.field(pytree_node=False, default=0)
+    n_tris: int = struct.field(pytree_node=False, default=0)
+    n_lights: int = struct.field(pytree_node=False, default=0)
+
+
+def bf16_round(x: np.ndarray) -> np.ndarray:
+    """Round-to-nearest-even f32 -> bf16 -> f32 (numpy emulation)."""
+    u = np.ascontiguousarray(x, np.float32).view(np.uint32)
+    rounded = (u + 0x7FFF + ((u >> 16) & 1)) & 0xFFFF0000
+    return rounded.astype(np.uint32).view(np.float32)
+
+
+def morton_codes(x: np.ndarray) -> np.ndarray:
+    """30-bit Morton codes for points x [N,3] (10 bits/axis)."""
+    lo = x.min(0)
+    ext = np.maximum(x.max(0) - lo, 1e-12)
+    q = np.clip(((x - lo) / ext) * 1023.0, 0, 1023).astype(np.uint32)
+
+    def spread(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+
+
+def morton_permutation(positions: np.ndarray, indices: np.ndarray
+                       ) -> np.ndarray:
+    """Triangle permutation sorting centroids along the Morton curve."""
+    v0 = positions[indices[:, 0]]
+    v1 = positions[indices[:, 1]]
+    v2 = positions[indices[:, 2]]
+    cen = (v0 + v1 + v2) / 3.0
+    return np.argsort(morton_codes(cen), kind="stable").astype(np.int64)
+
+
+def build_cluster_tables(positions, normals, indices, tri_material,
+                         materials, lights) -> Optional[ClusterTables]:
+    """Bake cluster blocks. Triangles must already be Morton-ordered
+    (prepare() applies morton_permutation to all per-tri arrays).
+    Returns None when the scene is ineligible (see pt/bounce_clustered
+    eligibility: table caps, env light)."""
+    from rtxpt_tpu.pt.bounce_pallas import (
+        MAX_LIGHTS, MAX_MATERIALS, pack_lights, pack_materials)
+
+    positions = np.asarray(positions, np.float32)
+    normals = np.asarray(normals, np.float32)
+    indices = np.asarray(indices, np.int32)
+    tri_material = np.asarray(tri_material, np.int32)
+    t = len(indices)
+    n_mats = len(np.asarray(materials.base_color))
+    n_lights = int(np.asarray(lights.num))
+    n_clusters = -(-t // CT)
+    if (t == 0 or n_clusters > MAX_CLUSTERS or n_mats > MAX_MATERIALS
+            or n_lights > MAX_LIGHTS):
+        return None
+    if int(np.asarray(lights.env_light)) >= 0:
+        return None
+
+    v0 = positions[indices[:, 0]]
+    v1 = positions[indices[:, 1]]
+    v2 = positions[indices[:, 2]]
+    e1 = v1 - v0
+    e2 = v2 - v0
+    n = np.cross(e1, e2)
+    gn = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+
+    tri_light = np.asarray(lights.tri_light)[:t]
+    has_l = tri_light >= 0
+    li = np.maximum(tri_light, 0)
+    lpdf = np.where(has_l, np.asarray(lights.power)[li], 0.0)
+    larea = np.where(has_l, np.asarray(lights.extra)[li, 0], 1.0)
+
+    tpad = n_clusters * CT
+    pad = tpad - t
+
+    def pp(x):
+        if pad == 0:
+            return x
+        return np.concatenate(
+            [x, np.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
+
+    v0p, e1p, e2p, np_, gnp = pp(v0), pp(e1), pp(e2), pp(n), pp(gn)
+    n0p = pp(normals[indices[:, 0]])
+    n1p = pp(normals[indices[:, 1]])
+    n2p = pp(normals[indices[:, 2]])
+    midp = pp(tri_material.astype(np.float32))
+    lpdfp, lareap = pp(lpdf.astype(np.float32)), pp(larea.astype(np.float32))
+    islp = pp(has_l.astype(np.float32))
+    validp = pp(np.ones((t,), np.float32))
+
+    # Per-cluster AABB over real triangles (padding contributes nothing).
+    vs = np.stack([pp(v0), pp(v0 + e1), pp(v0 + e2)], axis=1)  # [tpad,3,3]
+    vs = vs.reshape(n_clusters, CT * 3, 3)
+    validc = validp.reshape(n_clusters, CT, 1)
+    big = np.float32(1e30)
+    vmask = np.repeat(validc, 3, axis=1) > 0.5
+    lo = np.where(vmask, vs, big).min(axis=1)
+    hi = np.where(vmask, vs, -big).max(axis=1)
+    center = ((lo + hi) * 0.5).astype(np.float32)           # [C,3]
+
+    cen_tri = np.repeat(center, CT, axis=0)                  # [tpad,3]
+    v0l = v0p - cen_tri * validp[:, None]   # keep padding at 0
+    v0xe2 = np.cross(v0l, e2p)
+    v0xe1 = np.cross(v0l, e1p)
+    v0n = np.einsum("tj,tj->t", v0l, np_)
+
+    blocks = np.zeros((n_clusters, BLK_ROWS, LANES), np.float32)
+
+    def coef(q, k3, vals):
+        """blocks[:, k3:k3+vals.shape[-1]-ish ...] for quantity q."""
+        w = vals.shape[1] if vals.ndim == 2 else 1
+        vv = vals.reshape(n_clusters, CT, -1)
+        for k in range(vv.shape[2]):
+            blocks[:, k3 + k, q * CT:(q + 1) * CT] = vv[:, :, k]
+
+    coef(0, 0, -np_)                 # det: -n . d
+    coef(1, 0, v0xe2)                # u:  (v0'xe2).d + e2.(o'xd)
+    coef(1, 3, e2p)
+    coef(2, 0, -v0xe1)               # v
+    coef(2, 3, -e1p)
+    coef(3, 6, np_)                  # t:  n.o' - v0'.n
+    coef(3, 9, -v0n[:, None])
+
+    # split-bf16: rows 0..9 -> (hi, lo) with hi bf16-exact
+    c_full = blocks[:, 0:10, :].copy()
+    c_hi = bf16_round(c_full)
+    blocks[:, 0:10, :] = c_hi
+    blocks[:, 10:20, :] = bf16_round(c_full - c_hi)
+
+    # center broadcast row
+    for a in range(3):
+        blocks[:, CENTER_ROW, a * CT:(a + 1) * CT] = center[:, a:a + 1]
+
+    # rows 17..24: packed logical attribute rows
+    attr = np.zeros((n_clusters, AT_ROWS, CT), np.float32)
+
+    def put3(i, arr):
+        attr[:, i:i + 3, :] = arr.reshape(
+            n_clusters, CT, 3).transpose(0, 2, 1)
+
+    def put1(i, arr):
+        attr[:, i, :] = arr.reshape(n_clusters, CT)
+
+    put3(AT_V0, v0l)
+    put3(AT_E1, e1p)
+    put3(AT_E2, e2p)
+    put3(AT_GN, gnp)
+    put3(AT_N0, n0p)
+    put3(AT_N1, n1p)
+    put3(AT_N2, n2p)
+    put1(AT_MID, midp)
+    put1(AT_LPDF, lpdfp)
+    put1(AT_LAREA, lareap)
+    put1(AT_ISLIGHT, islp)
+    put1(AT_LOCALJ, np.tile(np.arange(CT, dtype=np.float32),
+                            (n_clusters, 1)).reshape(-1))
+    put1(AT_VALID, validp)
+    for i in range(AT_ROWS):
+        blocks[:, ATTR_BASE + i // 4,
+               (i % 4) * CT:(i % 4 + 1) * CT] = attr[:, i, :]
+
+    return ClusterTables(
+        blocks=jnp.asarray(blocks),
+        aabb_lo=jnp.asarray(lo), aabb_hi=jnp.asarray(hi),
+        mat_rows=jnp.asarray(pack_materials(materials)),
+        light_rows=jnp.asarray(pack_lights(lights)),
+        n_clusters=n_clusters, n_tris=t, n_lights=n_lights)

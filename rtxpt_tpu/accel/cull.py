@@ -1,0 +1,129 @@
+"""Conservative per-ray-group cluster culling (pure XLA, runs per bounce).
+
+Produces the per-group candidate-cluster lists the clustered bounce
+kernels (pt/bounce_clustered.py) loop over with manual DMA. This is the
+traversal half of the two-level scheme (accel/cluster.py): dense
+interval-arithmetic slab tests on the VPU instead of per-ray pointer
+chasing — the grid of (ray-row, cluster) tests is tiny (G*8 x C) compared
+to the intersection work it prunes.
+
+For each 128-ray row we take component-interval bounds of origins O and
+directions D over the active lanes, then test against each cluster AABB B
+with a conservative interval slab test: per axis the shifted slab is
+S = [B.lo - O.hi, B.hi - O.lo] and a feasible t >= 0 with t*d in S for
+some d in D gives the per-axis entry/exit bounds
+
+  enter_a = S.lo>0: S.lo/max(D.hi,eps)   (infeasible if D.hi<=0)
+            S.hi<0: S.hi/min(D.lo,-eps)  (infeasible if D.lo>=0)
+            else:   0
+  exit_a  = D.lo>0: S.hi/D.lo ; D.hi<0: S.lo/D.hi ; else +inf
+
+(hit iff max_a enter <= min(min_a exit, tmax)). Exact for point intervals,
+conservative (never drops a truly-hit cluster) otherwise. Candidates are
+kept sorted by group-min enter distance and truncated to `kslots`
+(overflow is counted and reported — a nonzero overflow means some rays
+may miss geometry; raise kslots or sort rays for coherence).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(3e38)
+_EPS = 1e-20
+
+
+def _row_bounds(x, active, sign):
+    """Masked per-row bounds. x [3,G,R,128], active [G,R,128] ->
+    [3,G,R]."""
+    if sign > 0:
+        v = jnp.where(active[None], x, -_INF)
+        return jnp.max(v, axis=-1)
+    v = jnp.where(active[None], x, _INF)
+    return jnp.min(v, axis=-1)
+
+
+def _slab_chunk(olo, ohi, dlo, dhi, blo, bhi, tmax_row):
+    """Interval slab test of rows vs a cluster chunk.
+    olo.. [3,G,R]; blo,bhi [3,Cc]; tmax_row [G,R] -> enter [G,R,Cc] f32
+    (+inf where missed)."""
+    slo = blo[:, None, None, :] - ohi[..., None]    # [3,G,R,Cc]
+    shi = bhi[:, None, None, :] - olo[..., None]
+    dl = dlo[..., None]
+    dh = dhi[..., None]
+
+    pos = slo > 0.0
+    neg = shi < 0.0
+    enter = jnp.where(
+        pos, jnp.where(dh > _EPS, slo / jnp.maximum(dh, _EPS), _INF),
+        jnp.where(neg,
+                  jnp.where(dl < -_EPS, shi / jnp.minimum(dl, -_EPS), _INF),
+                  0.0))
+    exit_ = jnp.where(
+        dl > _EPS, shi / jnp.maximum(dl, _EPS),
+        jnp.where(dh < -_EPS, slo / jnp.minimum(dh, -_EPS), _INF))
+    t_en = jnp.max(enter, axis=0)                   # [G,R,Cc]
+    t_ex = jnp.minimum(jnp.min(exit_, axis=0), tmax_row[..., None])
+    return jnp.where(t_en <= t_ex, t_en, _INF)
+
+
+def cull_candidates(o, d, active, tmax, aabb_lo, aabb_hi, kslots: int,
+                    chunk: int = 512):
+    """Build per-group candidate lists.
+
+    o,d: [3,G,R,128]; active [G,R,128] bool; tmax: scalar or [G,R,128];
+    aabb_lo/hi [C,3]. Returns (cand [G,1,1+2*kslots] i32, overflow []).
+
+    cand row layout: [count, ids x K (sorted by entry distance),
+    rowmask x K (bit r set when ray-row r needs the cluster),
+    t_enter x K (f32 bits; the kernels prune visits whose entry distance
+    exceeds the group's worst committed hit)].
+    """
+    G, R = o.shape[1], o.shape[2]
+    C = aabb_lo.shape[0]
+    olo = _row_bounds(o, active, -1)
+    ohi = _row_bounds(o, active, +1)
+    dlo = _row_bounds(d, active, -1)
+    dhi = _row_bounds(d, active, +1)
+    if jnp.ndim(tmax) == 0:
+        tmax_row = jnp.full((G, R), tmax, jnp.float32)
+    else:
+        tmax_row = jnp.max(jnp.where(active, tmax, 0.0), axis=-1)
+    row_any = jnp.any(active, axis=-1)              # [G,R]
+    tmax_row = jnp.where(row_any, tmax_row, -_INF)  # empty row: never hits
+
+    blo = aabb_lo.T                                  # [3,C]
+    bhi = aabb_hi.T
+    enters = []
+    for c0 in range(0, C, chunk):
+        c1 = min(c0 + chunk, C)
+        enters.append(_slab_chunk(olo, ohi, dlo, dhi,
+                                  blo[:, c0:c1], bhi[:, c0:c1], tmax_row))
+    enter = jnp.concatenate(enters, axis=-1)         # [G,R,C]
+
+    hit_row = enter < _INF
+    rowmask = jnp.sum(
+        jnp.where(hit_row,
+                  (1 << jnp.arange(R, dtype=jnp.int32))[None, :, None], 0),
+        axis=1).astype(jnp.int32)                    # [G,C]
+    enter_g = jnp.min(enter, axis=1)                 # [G,C]
+    hit_g = enter_g < _INF
+
+    k = min(kslots, C)
+    neg, idx = jax.lax.top_k(-enter_g, k)            # nearest-first
+    ids = idx.astype(jnp.int32)                      # [G,k]
+    sel_hit = (-neg) < _INF
+    count = jnp.sum(sel_hit.astype(jnp.int32), axis=-1)          # [G]
+    total = jnp.sum(hit_g.astype(jnp.int32), axis=-1)
+    overflow = jnp.sum(jnp.maximum(total - count, 0))
+    rm = jnp.take_along_axis(rowmask, ids, axis=1)
+    te = jnp.take_along_axis(enter_g, ids, axis=1)
+    te_bits = jax.lax.bitcast_convert_type(te, jnp.int32)
+    if k < kslots:
+        padk = kslots - k
+        ids = jnp.pad(ids, ((0, 0), (0, padk)))
+        rm = jnp.pad(rm, ((0, 0), (0, padk)))
+        te_bits = jnp.pad(te_bits, ((0, 0), (0, padk)))
+    cand = jnp.concatenate([count[:, None], ids, rm, te_bits], axis=1)
+    return cand[:, None, :].astype(jnp.int32), overflow

@@ -50,6 +50,25 @@ def prepare(host: HostScene) -> SceneData:
 
     pos = np.asarray(sd.geometry.positions)
     idx = np.asarray(sd.geometry.indices)
+
+    # Large scenes: Morton-order the triangles so the clustered kernel's
+    # fixed-stride clusters (accel/cluster.py) are spatially tight. ALL
+    # per-triangle arrays share the permutation, so prim ids stay
+    # consistent across BVH/packs/lights.
+    from rtxpt_tpu.pt.bounce_pallas import PALLAS_MAX_TRIS
+    if len(idx) > PALLAS_MAX_TRIS:
+        from rtxpt_tpu.accel.cluster import morton_permutation
+        perm = morton_permutation(pos, idx)
+        g = sd.geometry
+        idx = idx[perm]
+        sd = sd.replace(geometry=g.replace(
+            indices=jnp.asarray(idx),
+            tri_material=jnp.asarray(np.asarray(g.tri_material)[perm]),
+            tri_subinstance=jnp.asarray(
+                np.asarray(g.tri_subinstance)[perm])))
+        if tri_opacity is not None:
+            tri_opacity = jnp.asarray(np.asarray(tri_opacity)[perm])
+
     bvh = build_bvh(pos, idx)                       # LBVH (accel/lbvh.py)
     envmap = bake_envmap(host.envmap_image, host.envmap_scale,
                          host.envmap_rotation)      # EnvMapBaker analog
@@ -64,10 +83,19 @@ def prepare(host: HostScene) -> SceneData:
         textures = bake_textures(host.textures)
     # Fused Pallas bounce-kernel tables (the TPU hot path; pt/bounce_pallas)
     bounce_tables = None
+    cluster_tables = None
     if textures is None and tri_opacity is None:
         from rtxpt_tpu.pt.bounce_pallas import build_bounce_tables
         bounce_tables = build_bounce_tables(
             pos, np.asarray(sd.geometry.normals), idx,
             np.asarray(sd.geometry.tri_material), sd.materials, lights)
+        if bounce_tables is None and len(idx) > PALLAS_MAX_TRIS:
+            # Large-scene tier: clustered streamed kernel
+            # (accel/cluster.py + pt/bounce_clustered.py).
+            from rtxpt_tpu.accel.cluster import build_cluster_tables
+            cluster_tables = build_cluster_tables(
+                pos, np.asarray(sd.geometry.normals), idx,
+                np.asarray(sd.geometry.tri_material), sd.materials, lights)
     return sd.replace(lights=lights, textures=textures,
-                      bounce_tables=bounce_tables)
+                      bounce_tables=bounce_tables,
+                      cluster_tables=cluster_tables)

@@ -1,0 +1,726 @@
+"""Clustered fused bounce kernels for LARGE scenes (Pallas TPU).
+
+Extends the fused-bounce design of pt/bounce_pallas.py past its
+VMEM-resident triangle cap by streaming Morton-ordered triangle clusters
+(accel/cluster.py) from HBM with manual double-buffered DMA, guided by
+per-ray-group candidate lists built in XLA each bounce (accel/cull.py).
+This is the TPU redesign of DXR TLAS/BLAS traversal for Bistro-scale
+scenes (reference: Rtxpt/Shaders/PathTracerBridgeDonut.hlsli:996,1034).
+
+Per bounce, two kernels ride the wavefront (the XLA glue between them is
+elementwise only):
+
+  kernel A (closest hit + shade):
+    for each candidate cluster (nearest-first): DMA its 64 KB block,
+    ONE bf16-pass [16,512]x[16,128] MXU matmul per 128-ray row yields
+    det|u|v|t for all (ray,tri) pairs in CLUSTER-LOCAL coordinates
+    (conservative edge margins — bf16 only *selects* the winner);
+    the winner's attribute columns arrive via a one-hot [27,128]@[128,128]
+    matmul and the per-ray best (t, cluster, attrs) lives in VMEM scratch.
+    After the loop the winner hit is REFIT in exact f32 from its
+    v0/e1/e2 rows, then the shared shading body
+    (bounce_pallas.surface_and_shade: volume absorption, emissive MIS,
+    NEE light sample + BSDF eval, scatter sample, RR) runs in-kernel;
+    the NEE shadow ray is emitted as output channels.
+
+  kernel B (shadow occlusion):
+    same candidate loop over the shadow rays' own culled lists, any-hit
+    only (no margins, no refit); XLA adds contrib * ~occluded to L.
+
+Eligibility mirrors bounce_pallas (<=128 materials/lights, no envmap
+light, no textures/alpha) with the triangle cap lifted to
+accel.cluster.MAX_CLUSTERS * CT.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rtxpt_tpu.accel import cluster as CL
+from rtxpt_tpu.accel.cluster import CT
+from rtxpt_tpu.accel.cull import cull_candidates
+from rtxpt_tpu.pt import bounce_pallas as bp
+from rtxpt_tpu.pt import wide as W
+from rtxpt_tpu.pt.bounce_pallas import (
+    _BIG, _R, FS_D, FS_L, FS_O, FS_PREVPDF, FS_THP, IS_ACTIVE, IS_MED0,
+    IS_MED1, IS_PREVDELTA, IS_PX, IS_PY, NF, NI, _cfg_key, _interpret,
+    _round_up, surface_and_shade)
+
+# Split-bf16-pass conservative margins (relative to |det|); the exact
+# refit re-tests the winner so these only need to prevent FALSE NEGATIVES
+# at shared edges. Margin-admitted candidates tie on t with the true hit
+# on the OTHER side of a shared edge (same plane), so the selection ranks
+# strictly-inside candidates ahead of margin-only ones (_TIE_BUMP) — see
+# the shared-diagonal crack note in tests/test_cluster.py.
+MARGIN = 2e-3
+_TIE_BUMP = 1e-4
+# Refit acceptance margin (barycentric units), with clamping: a winner
+# within this band is kept as an edge hit rather than dropped (dropping
+# would crack the mesh; keeping fattens silhouettes by <=0.1% of a tri).
+REFIT_EPS = 1e-3
+# Extra any-hit backoff absorbing the split-bf16 t rounding (~1e-5..1e-4
+# relative in bad magnitude ratios); systematic origin-offset shortening
+# is already handled upstream (offset-aware sdist in surface_and_shade).
+SHADOW_T_EPS = 2e-4
+
+# shadow-request output channels
+SH_O = 0          # 0:3 shadow origin
+SH_D = 3          # 3:6 direction
+SH_DIST = 6
+SH_CONTRIB = 7    # 7:10
+SH_DO = 10
+SH_ROWS = 11
+
+# best-hit scratch row map ([R, 32, 128]: per ray-row one [32,128] tile)
+_B_T = 0
+_B_CID = 1
+_B_ATTR = 2                      # 2 .. 2+CL.AT_ROWS
+_B_CEN = 2 + CL.AT_ROWS          # 29:32 cluster center
+
+# bounce_pallas logical attr index -> cluster-table attr row
+_ATTR_MAP = {bp.AT_N0: CL.AT_N0, bp.AT_N1: CL.AT_N1, bp.AT_N2: CL.AT_N2,
+             bp.AT_GN: CL.AT_GN, bp.AT_MID: CL.AT_MID,
+             bp.AT_LPDF: CL.AT_LPDF, bp.AT_LAREA: CL.AT_LAREA,
+             bp.AT_ISLIGHT: CL.AT_ISLIGHT}
+
+
+def default_kslots() -> int:
+    return int(os.environ.get("RTXPT_TPU_CLUSTER_KSLOTS", "64"))
+
+
+def _dma(cand_ref, blocks_hbm, slot, buf, sem, kslots):
+    c = cand_ref[0, 0, 1 + jnp.minimum(slot, kslots - 1)]
+    return pltpu.make_async_copy(blocks_hbm.at[c], buf, sem)
+
+
+def _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
+                    kslots, visit):
+    """Double-buffered nearest-first candidate loop; `visit(i, cur)` runs
+    under pl.when(i < count) with the cluster block VALUE in VMEM."""
+    count = cand_ref[0, 0, 0]
+
+    @pl.when(count > 0)
+    def _():
+        _dma(cand_ref, blocks_hbm, 0, buf0, sem0, kslots).start()
+
+    def step(i, cur, curs, nxt, nxts):
+        @pl.when(i < count)
+        def _():
+            _dma(cand_ref, blocks_hbm, i, cur, curs, kslots).wait()
+
+        @pl.when(i + 1 < count)
+        def _():
+            _dma(cand_ref, blocks_hbm, i + 1, nxt, nxts, kslots).start()
+
+        @pl.when(i < count)
+        def _():
+            visit(i, cur[:])
+
+    def body(i, carry):
+        jax.lax.cond(
+            i % 2 == 0,
+            lambda: step(i, buf0, sem0, buf1, sem1),
+            lambda: step(i, buf1, sem1, buf0, sem0))
+        return carry
+
+    jax.lax.fori_loop(0, kslots, body, 0)
+
+
+def _attr_mat(cur):
+    """Unpack the logical attribute rows [AT_ROWS, 128] from a block."""
+    ab = CL.ATTR_BASE
+    return jnp.concatenate([
+        cur[ab + j // 4:ab + 1 + j // 4, (j % 4) * CT:(j % 4) * CT + 128]
+        for j in range(CL.AT_ROWS)], axis=0)
+
+
+def _bf16_split(x):
+    """(hi, lo) with hi = bf16-exact part of x (elementwise, in-kernel)."""
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, x - hi
+
+
+def _row_cols(o, d, r, cx, cy, cz):
+    """[32,128] split-bf16 cluster-local ray operand for ray-row r:
+    rows 0..9 r_hi, 10..19 r_lo, 20..29 r_hi again, 30..31 zero — paired
+    with the block's stacked [c_hi; c_hi; c_lo] contraction (see
+    accel/cluster.py split-bf16 note)."""
+    f32 = jnp.float32
+    ox = o[0][r:r + 1] - cx
+    oy = o[1][r:r + 1] - cy
+    oz = o[2][r:r + 1] - cz
+    dx = d[0][r:r + 1]
+    dy = d[1][r:r + 1]
+    dz = d[2][r:r + 1]
+    cxd0 = oy * dz - oz * dy
+    cxd1 = oz * dx - ox * dz
+    cxd2 = ox * dy - oy * dx
+    rvec = jnp.concatenate(
+        [dx, dy, dz, cxd0, cxd1, cxd2, ox, oy, oz,
+         jnp.ones((1, 128), f32)], axis=0)           # [10,128]
+    r_hi, r_lo = _bf16_split(rvec)
+    return jnp.concatenate(
+        [r_hi, r_lo, r_hi, jnp.zeros((2, 128), f32)], axis=0)
+
+
+def _quantities(cur, cols):
+    """Split-bf16 intersection quantities for one (row, cluster) visit:
+    one K=32 MXU pass computes c_hi*r_hi + c_hi*r_lo + c_lo*r_hi in f32
+    accumulation (~2^-17 relative error — bf16 speed, f32-class quality).
+    Returns det,u_num,v_num,t_num as [CT,128] (tris x rays)."""
+    chi = cur[0:10, :]
+    clo = cur[10:20, :]
+    cstack = jnp.concatenate(
+        [chi, chi, clo, jnp.zeros((2, CL.LANES), jnp.float32)], axis=0)
+    prod = jax.lax.dot_general(
+        cstack, cols, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # DEFAULT precision
+    return (prod[0:CT], prod[CT:2 * CT], prod[2 * CT:3 * CT],
+            prod[3 * CT:4 * CT])
+
+
+def _kernel_a(scal_ref, cand_ref, fs_ref, is_ref, mat_ref, light_ref,
+              blocks_hbm, fs_out, is_out, sh_out, hit_out,
+              buf0, buf1, best_ref, sem0, sem1, *,
+              cfg_key, kslots, n_lights, first_emissive):
+    f32 = jnp.float32
+    max_travel = cfg_key[5]
+    sample_idx = scal_ref[0, 0]
+    bounce = scal_ref[0, 1].astype(jnp.int32)
+
+    fs = fs_ref[:]
+    is_ = is_ref[:]
+    o = fs[FS_O:FS_O + 3]
+    d = fs[FS_D:FS_D + 3]
+    act = is_[IS_ACTIVE] > 0                         # [R,128]
+
+    # reset persistent scratch for this grid step
+    init = jnp.concatenate(
+        [jnp.full((1, 128), _BIG, f32), jnp.zeros((31, 128), f32)], axis=0)
+    for r in range(_R):
+        best_ref[r] = init
+
+    def visit(i, cur):
+        # Early pruning: candidates arrive sorted by conservative entry
+        # distance; once every ACTIVE ray in the group has committed a
+        # nearer hit, the remaining (farther) clusters cannot matter.
+        bound = jnp.full((1, 128), 0.0, f32)
+        for r in range(_R):
+            bt = best_ref[r, _B_T:_B_T + 1, :]
+            bound = jnp.maximum(
+                bound, jnp.where(act[r:r + 1], bt, 0.0))
+        # positive-float bit patterns are order-preserving, so the SMEM
+        # t_enter (stored as raw f32 bits) compares directly against the
+        # max of the bound's bit pattern — Mosaic has no scalar bitcast.
+        bound_bits = jnp.max(
+            jax.lax.bitcast_convert_type(bound, jnp.int32))
+        t_en_bits = cand_ref[0, 0, 1 + 2 * kslots
+                             + jnp.minimum(i, kslots - 1)]
+
+        @pl.when(t_en_bits <= bound_bits)
+        def _():
+            _visit_body(i, cur)
+
+    def _visit_body(i, cur):
+        amat = _attr_mat(cur)                        # [AT_ROWS,128]
+        cr = CL.CENTER_ROW
+        cx = cur[cr:cr + 1, 0:128]
+        cy = cur[cr:cr + 1, 128:256]
+        cz = cur[cr:cr + 1, 256:384]
+        c_f = cand_ref[0, 0, 1 + jnp.minimum(i, kslots - 1)].astype(f32)
+        cidv = jnp.full((1, 128), 0.0, f32) + c_f
+        rm = cand_ref[0, 0, 1 + kslots + jnp.minimum(i, kslots - 1)]
+        for r in range(_R):
+            row_on = ((rm >> r) & 1) == 1
+
+            @pl.when(row_on)
+            def _(r=r):
+                _visit_row(r, cur, amat, cx, cy, cz, cidv)
+
+    def _visit_row(r, cur, amat, cx, cy, cz, cidv):
+        if True:
+            cols = _row_cols(o, d, r, cx, cy, cz)
+            det, un, vn, tn = _quantities(cur, cols)
+            s = jnp.where(det >= 0.0, 1.0, -1.0)
+            absd = det * s
+            su = un * s
+            sv = vn * s
+            st = tn * s
+            mm = MARGIN * absd
+            valid = ((absd > 1e-30) & (su >= -mm) & (sv >= -mm)
+                     & (su + sv <= absd + mm + mm)
+                     & (st > 0.0) & (st < max_travel * absd))
+            strict = (su >= 0.0) & (sv >= 0.0) & (su + sv <= absd)
+            tt = st / jnp.maximum(absd, 1e-30)
+            # margin-only candidates rank behind strict ones at t-ties
+            tt = tt * jnp.where(strict, 1.0, 1.0 + _TIE_BUMP)
+            t_m = jnp.where(valid, tt, _BIG)
+            t_c = jnp.min(t_m, axis=0, keepdims=True)          # [1,128]
+            b = best_ref[r]
+            improved = t_c < b[_B_T:_B_T + 1]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (CT, 128), 0)
+            jrow = jnp.min(jnp.where(t_m <= t_c, iota, CT), axis=0,
+                           keepdims=True)
+            sel = (iota == jrow).astype(f32)                    # [tris,rays]
+            attr_c = jax.lax.dot_general(
+                amat, sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)            # [27,128]
+            new = jnp.concatenate([t_c, cidv, attr_c, cx, cy, cz], axis=0)
+            best_ref[r] = jnp.where(improved, new, b)
+
+    _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
+                    kslots, visit)
+
+    # ----- exact f32 refit of the winner hit (per ray-row) -----
+    rows_t, rows_u, rows_v, rows_front, rows_prim = [], [], [], [], []
+    best_rows = []
+    for r in range(_R):
+        b = best_ref[r]
+        best_rows.append(b)
+        had = b[_B_T:_B_T + 1] < _BIG
+        a0 = _B_ATTR
+
+        def row3(i):
+            # [3,1,128] vec3 with [1,128] components (2D: Mosaic-safe)
+            return jnp.stack([b[i:i + 1], b[i + 1:i + 2], b[i + 2:i + 3]],
+                             axis=0)
+
+        v0 = row3(a0 + CL.AT_V0)
+        e1 = row3(a0 + CL.AT_E1)
+        e2 = row3(a0 + CL.AT_E2)
+        cen = row3(_B_CEN)
+        ocl = jnp.stack([o[0][r:r + 1], o[1][r:r + 1],
+                         o[2][r:r + 1]], axis=0) - cen
+        dr = jnp.stack([d[0][r:r + 1], d[1][r:r + 1],
+                        d[2][r:r + 1]], axis=0)
+        pvec = W.cross3(dr, e2)
+        detx = W.dot3(e1, pvec)
+        ok = jnp.abs(detx) > 1e-30
+        inv = jnp.where(ok, 1.0 / jnp.where(ok, detx, 1.0), 0.0)
+        tvec = ocl - v0
+        u = W.dot3(tvec, pvec) * inv
+        qvec = W.cross3(tvec, e1)
+        v = W.dot3(dr, qvec) * inv
+        tx = W.dot3(e2, qvec) * inv
+        exact_ok = (ok & (u >= -REFIT_EPS) & (v >= -REFIT_EPS)
+                    & (u + v <= 1.0 + REFIT_EPS)
+                    & (tx > 0.0) & (tx < max_travel))
+        isvalid = b[a0 + CL.AT_VALID:a0 + CL.AT_VALID + 1] > 0.5
+        hitr = had & exact_ok & isvalid
+        u = jnp.clip(u, 0.0, 1.0)
+        v = jnp.clip(v, 0.0, 1.0)
+        scale = 1.0 / jnp.maximum(u + v, 1.0)
+        u = u * scale
+        v = v * scale
+        rows_t.append(jnp.where(hitr, tx, _BIG))
+        rows_u.append(u)
+        rows_v.append(v)
+        rows_front.append(jnp.where(hitr, detx, -1.0))
+        lj = b[a0 + CL.AT_LOCALJ:a0 + CL.AT_LOCALJ + 1]
+        rows_prim.append(jnp.where(
+            hitr, b[_B_CID:_B_CID + 1] * float(CT) + lj, -1.0))
+
+    t = jnp.concatenate(rows_t, axis=0)              # [R,128]
+    bu = jnp.concatenate(rows_u, axis=0)
+    bv = jnp.concatenate(rows_v, axis=0)
+    det_pick = jnp.concatenate(rows_front, axis=0)
+    prim_f = jnp.concatenate(rows_prim, axis=0)
+    hit = t < _BIG
+    front = det_pick > 0.0
+
+    def attr(i, k=1):
+        base = _B_ATTR + _ATTR_MAP[i]
+        if k == 1:
+            return jnp.concatenate(
+                [b[base:base + 1] for b in best_rows], axis=0)
+        return jnp.stack([
+            jnp.concatenate([b[base + j:base + j + 1] for b in best_rows],
+                            axis=0) for j in range(k)], axis=0)
+
+    s = surface_and_shade(
+        o=o, d=d, t=t, hit=hit, front=front, bu=bu, bv=bv, attr=attr,
+        thp=fs[FS_THP:FS_THP + 3], L=fs[FS_L:FS_L + 3],
+        prev_pdf=fs[FS_PREVPDF], active=is_[IS_ACTIVE] > 0,
+        prev_delta=is_[IS_PREVDELTA] > 0,
+        med0=is_[IS_MED0], med1=is_[IS_MED1],
+        px=is_[IS_PX], py=is_[IS_PY], sample_idx=sample_idx, bounce=bounce,
+        mat_ref=mat_ref, light_ref=light_ref, cfg_key=cfg_key,
+        n_lights=n_lights, first_emissive=first_emissive)
+
+    fs_out[:] = jnp.concatenate(
+        [s["o_new"], s["wi_world"], s["thp"], s["L"], s["prev_pdf"][None]],
+        axis=0)
+    is_out[:] = jnp.stack(
+        [s["active"].astype(jnp.int32), s["prev_delta"].astype(jnp.int32),
+         s["med0"], s["med1"], is_[IS_PX], is_[IS_PY]], axis=0)
+    sh_out[:] = jnp.concatenate(
+        [s["shadow_o"], s["shadow_d"], s["sdist"][None], s["contrib"],
+         s["do_nee"].astype(f32)[None]], axis=0)
+    hit_out[:] = jnp.stack(
+        [jnp.where(hit, t, 0.0), prim_f, bu, bv,
+         front.astype(f32), s["do_nee"].astype(f32)], axis=0)
+
+
+def _kernel_b(cand_ref, sh_ref, blocks_hbm, occ_out,
+              buf0, buf1, sem0, sem1, *, kslots):
+    """Any-hit over the shadow rays' candidate lists -> occluded 0/1."""
+    sh = sh_ref[:]
+    so = sh[SH_O:SH_O + 3]
+    sd = sh[SH_D:SH_D + 3]
+    dist = sh[SH_DIST] * (1.0 - SHADOW_T_EPS)
+    # lanes with no shadow request start "occluded" so fully-resolved
+    # groups skip remaining visits (the XLA L-update masks by do anyway)
+    occ_out[:] = jnp.where(sh[SH_DO:SH_DO + 1][0] > 0.5, 0.0, 1.0
+                           ) * jnp.ones((_R, 128), jnp.float32)
+
+    def visit(i, cur):
+        @pl.when(jnp.min(occ_out[:]) < 0.5)
+        def _():
+            _visit_body(i, cur)
+
+    def _visit_body(i, cur):
+        cr = CL.CENTER_ROW
+        cx = cur[cr:cr + 1, 0:128]
+        cy = cur[cr:cr + 1, 128:256]
+        cz = cur[cr:cr + 1, 256:384]
+        rm = cand_ref[0, 0, 1 + kslots + jnp.minimum(i, kslots - 1)]
+        for r in range(_R):
+            row_on = ((rm >> r) & 1) == 1
+
+            @pl.when(row_on)
+            def _(r=r):
+                _visit_row(r, cur, cx, cy, cz)
+
+    def _visit_row(r, cur, cx, cy, cz):
+        if True:
+            cols = _row_cols(so, sd, r, cx, cy, cz)
+            det, un, vn, tn = _quantities(cur, cols)
+            s = jnp.where(det >= 0.0, 1.0, -1.0)
+            absd = det * s
+            su = un * s
+            sv = vn * s
+            st = tn * s
+            dr = dist[r:r + 1]
+            valid = ((absd > 1e-30) & (su >= 0.0) & (sv >= 0.0)
+                     & (su + sv <= absd)
+                     & (st > 0.0) & (st < dr * absd))
+            occ_r = jnp.max(valid.astype(jnp.float32), axis=0,
+                            keepdims=True)
+            cur_occ = occ_out[:]
+            rowmask = jax.lax.broadcasted_iota(
+                jnp.int32, (_R, 128), 0) == r
+            occ_out[:] = jnp.where(rowmask,
+                                   jnp.maximum(cur_occ, occ_r), cur_occ)
+
+    _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
+                    kslots, visit)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg_key", "kslots", "n_lights", "first_emissive",
+                     "interpret"))
+def _kernel_a_call(scal, cand, fs, is_, mat_rows, light_rows, blocks,
+                   cfg_key, kslots, n_lights, first_emissive,
+                   interpret=False):
+    nrows = fs.shape[1]
+    grid = nrows // _R
+    kern = functools.partial(
+        _kernel_a, cfg_key=cfg_key, kslots=kslots, n_lights=n_lights,
+        first_emissive=first_emissive)
+    const2 = lambda b: (0, 0)
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 2), const2, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, cand.shape[2]), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((NF, _R, 128), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NI, _R, 128), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(mat_rows.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(light_rows.shape, const2,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((NF, _R, 128), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NI, _R, 128), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SH_ROWS, _R, 128), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, _R, 128), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NF, nrows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((NI, nrows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((SH_ROWS, nrows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((6, nrows, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
+            pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
+            pltpu.VMEM((_R, 32, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(scal, cand, fs, is_, mat_rows, light_rows, blocks)
+
+
+@functools.partial(jax.jit, static_argnames=("kslots", "interpret"))
+def _kernel_b_call(cand, sh, blocks, kslots, interpret=False):
+    nrows = sh.shape[1]
+    grid = nrows // _R
+    kern = functools.partial(_kernel_b, kslots=kslots)
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 1, cand.shape[2]), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((SH_ROWS, _R, 128), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((_R, 128), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nrows, 128), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
+            pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(cand, sh, blocks)
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
+def eligible(scene, cfg, neeat_state) -> bool:
+    """Static eligibility for the clustered path (structure only)."""
+    if os.environ.get("RTXPT_TPU_PALLAS_CLUSTER") == "0":
+        return False
+    if getattr(scene, "cluster_tables", None) is None:
+        return False
+    if scene.textures is not None or scene.tri_opacity is not None:
+        return False
+    if neeat_state is not None:
+        return False
+    if cfg.nee.value not in (0, 1, 2):
+        return False
+    if int(cfg.nee_candidates) > 1:
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    if backend == "cpu" and os.environ.get(
+            "RTXPT_TPU_PALLAS_INTERPRET") != "1":
+        return False
+    return backend not in ("gpu",)
+
+
+def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
+                          want_aux: bool = False,
+                          first_emissive: bool = True):
+    """Large-scene fused wavefront; same contract as trace_paths."""
+    tbl: CL.ClusterTables = scene.cluster_tables
+    n = o.shape[0]
+    f32 = jnp.float32
+    lanes = _R * 128
+    npad = _round_up(max(n, lanes), lanes)
+    nrows = npad // 128
+    n_groups = nrows // _R
+    kslots = min(default_kslots(), tbl.n_clusters)
+
+    def pad1(x, fill=0.0):
+        if npad == n:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((npad - n, *x.shape[1:]), fill, x.dtype)])
+
+    def rows3(x, fill=0.0):
+        return pad1(x, fill).T.reshape(3, nrows, 128)
+
+    def rows1(x, fill=0.0):
+        return pad1(x, fill).reshape(nrows, 128)
+
+    fs = jnp.concatenate([
+        rows3(o), rows3(d, 1.0),
+        jnp.ones((3, nrows, 128), f32),
+        jnp.zeros((3, nrows, 128), f32),
+        jnp.zeros((1, nrows, 128), f32),
+    ], axis=0)
+    ones_mask = pad1(jnp.ones((n,), jnp.int32)).reshape(1, nrows, 128)
+    is_ = jnp.concatenate([
+        ones_mask,
+        jnp.ones((1, nrows, 128), jnp.int32),
+        jnp.full((2, nrows, 128), -1, jnp.int32),
+        rows1(px).astype(jnp.int32)[None],
+        rows1(py).astype(jnp.int32)[None],
+    ], axis=0)
+
+    sample_idx = jnp.asarray(sample_idx).astype(jnp.uint32)
+    key = _cfg_key(cfg)
+    interp = _interpret()
+    use_nee = key[0] in (1, 2) and tbl.n_lights > 0
+
+    def g4(x3):
+        return x3.reshape(3, n_groups, _R, 128)
+
+    # ----- wavefront sorting (the SER analog, SURVEY §2.6) -----
+    # Scatter rays between bounces are spatially incoherent, which blows
+    # up per-group candidate lists (kslots overflow = dropped geometry)
+    # and per-visit waste. Sorting lanes by (origin-cell Morton, direction
+    # octant) restores group coherence, and ordering terminated lanes
+    # last gives compaction for free: their groups get count=0 lists.
+    # Cost: one 2M-key argsort + row-gather permutation per bounce —
+    # O(10ms) vs O(100ms) kernel time. Reference: SER
+    # (PathTracerSample.hlsl:136-151 / SERUtils.hlsli:22-50).
+    slo = jnp.min(tbl.aabb_lo, axis=0)
+    sext = jnp.maximum(jnp.max(tbl.aabb_hi, axis=0) - slo, 1e-6)
+
+    def _spread6(v):
+        v = (v | (v << 8)) & 0x00F00F
+        v = (v | (v << 4)) & 0x0C30C3
+        v = (v | (v << 2)) & 0x249249
+        return v
+
+    def _sort_wavefront(fs, is_, src):
+        of = fs[FS_O:FS_O + 3].reshape(3, npad)
+        df = fs[FS_D:FS_D + 3].reshape(3, npad)
+        active = is_[IS_ACTIVE].reshape(npad) > 0
+        q = jnp.clip(((of - slo[:, None]) / sext[:, None]) * 63.0,
+                     0.0, 63.0).astype(jnp.int32)
+        cell = ((_spread6(q[0]) << 2) | (_spread6(q[1]) << 1)
+                | _spread6(q[2]))
+        octant = ((df[0] > 0).astype(jnp.int32)
+                  | ((df[1] > 0).astype(jnp.int32) << 1)
+                  | ((df[2] > 0).astype(jnp.int32) << 2))
+        skey = jnp.where(active, (cell << 3) | octant, jnp.int32(2**30))
+        order = jnp.argsort(skey)
+        fsT = fs.reshape(NF, npad).T
+        isT = is_.reshape(NI, npad).T
+        fs2 = jnp.take(fsT, order, axis=0).T.reshape(NF, nrows, 128)
+        is2 = jnp.take(isT, order, axis=0).T.reshape(NI, nrows, 128)
+        src2 = jnp.take(src.reshape(npad), order).reshape(nrows, 128)
+        return fs2, is2, src2
+
+    src = jnp.arange(npad, dtype=jnp.int32).reshape(nrows, 128)
+    sort_rays = bool(getattr(cfg, "sort_rays", True))
+
+    ray_count = jnp.zeros((), jnp.int32)
+    overflow = jnp.zeros((), jnp.int32)
+    occupancy = []
+    hit0 = None
+    for bounce in range(cfg.max_bounces):
+        if sort_rays and bounce > 0:
+            fs, is_, src = _sort_wavefront(fs, is_, src)
+        active_in = is_[IS_ACTIVE]
+        occupancy.append(jnp.sum(active_in))
+        act = (active_in > 0).reshape(n_groups, _R, 128)
+        cand, ovf = cull_candidates(
+            g4(fs[FS_O:FS_O + 3]), g4(fs[FS_D:FS_D + 3]), act,
+            jnp.float32(cfg.max_ray_travel),
+            tbl.aabb_lo, tbl.aabb_hi, kslots)
+        overflow = overflow + ovf
+        scal = jnp.stack([sample_idx, jnp.uint32(bounce)]).reshape(1, 2)
+        fs, is_, sh, hitb = _kernel_a_call(
+            scal, cand, fs, is_, tbl.mat_rows, tbl.light_rows, tbl.blocks,
+            key, kslots, tbl.n_lights, first_emissive, interpret=interp)
+        ray_count = ray_count + jnp.sum(active_in)
+        if bounce == 0:
+            hit0 = hitb
+        if use_nee:
+            do = sh[SH_DO] > 0.5
+            if sort_rays:
+                # Shadow rays target per-lane random lights — group
+                # direction bounds span everything unless the shadow
+                # wavefront is sorted on its own (cell, octant) key.
+                sof = sh[SH_O:SH_O + 3].reshape(3, npad)
+                sdf = sh[SH_D:SH_D + 3].reshape(3, npad)
+                qs = jnp.clip(((sof - slo[:, None]) / sext[:, None])
+                              * 63.0, 0.0, 63.0).astype(jnp.int32)
+                cells = ((_spread6(qs[0]) << 2) | (_spread6(qs[1]) << 1)
+                         | _spread6(qs[2]))
+                octs = ((sdf[0] > 0).astype(jnp.int32)
+                        | ((sdf[1] > 0).astype(jnp.int32) << 1)
+                        | ((sdf[2] > 0).astype(jnp.int32) << 2))
+                skey = jnp.where(do.reshape(npad),
+                                 (cells << 3) | octs, jnp.int32(2**30))
+                sorder = jnp.argsort(skey)
+                shp = jnp.take(sh.reshape(SH_ROWS, npad).T, sorder,
+                               axis=0).T.reshape(SH_ROWS, nrows, 128)
+                sinv = jnp.argsort(sorder)
+            else:
+                shp = sh
+            dop = shp[SH_DO] > 0.5
+            cand_s, ovf2 = cull_candidates(
+                g4(shp[SH_O:SH_O + 3]), g4(shp[SH_D:SH_D + 3]),
+                dop.reshape(n_groups, _R, 128),
+                shp[SH_DIST].reshape(n_groups, _R, 128),
+                tbl.aabb_lo, tbl.aabb_hi, kslots)
+            overflow = overflow + ovf2
+            occ = _kernel_b_call(cand_s, shp, tbl.blocks, kslots,
+                                 interpret=interp)
+            if sort_rays:
+                occ = jnp.take(occ.reshape(npad), sinv).reshape(nrows, 128)
+            L = fs[FS_L:FS_L + 3] + jnp.where(
+                (do & (occ < 0.5))[None], sh[SH_CONTRIB:SH_CONTRIB + 3],
+                0.0)
+            fs = jnp.concatenate([fs[:FS_L], L, fs[FS_L + 3:]], axis=0)
+            ray_count = ray_count + jnp.sum(do.astype(jnp.int32))
+    occupancy.append(jnp.sum(is_[IS_ACTIVE]))
+
+    # undo the lane permutation (src is a permutation of 0..npad-1, so
+    # argsort(src) is its inverse)
+    if sort_rays and cfg.max_bounces > 1:
+        inv = jnp.argsort(src.reshape(npad))
+        Lp = fs[FS_L:FS_L + 3].reshape(3, npad)
+        L = jnp.take(Lp.T, inv, axis=0)[:n]
+    else:
+        L = fs[FS_L:FS_L + 3].reshape(3, npad).T[:n]
+    out = dict(L=L, ray_count=ray_count, occupancy=jnp.stack(occupancy),
+               cull_overflow=overflow)
+
+    if want_aux:
+        from rtxpt_tpu.accel.traverse import Hit
+        from rtxpt_tpu.pt.surface import load_surface
+        t0 = hit0[0].reshape(npad)[:n]
+        prim0 = hit0[1].reshape(npad)[:n].astype(jnp.int32)
+        uv0 = jnp.stack([hit0[2].reshape(npad)[:n],
+                         hit0[3].reshape(npad)[:n]], axis=-1)
+        front0 = hit0[4].reshape(npad)[:n] > 0.5
+        hit_s = Hit(t=jnp.where(prim0 >= 0, t0, cfg.max_ray_travel),
+                    prim=prim0, bary=uv0, front=front0)
+        hm = prim0 >= 0
+        surf = load_surface(scene, hit_s, o, d,
+                            cone_spread * jnp.maximum(t0, 0.0))
+        alb = surf.bsdf.diffuse + surf.bsdf.specular_f0
+        out["albedo"] = jnp.where(hm[..., None], alb, 1.0)
+        out["normal"] = jnp.where(hm[..., None], surf.sh_n, 0.0)
+        out["depth"] = jnp.where(hm, t0, 0.0)
+        out["wpos"] = jnp.where(hm[..., None], surf.pos, 0.0)
+        out["emission"] = jnp.where(hm[..., None], surf.emissive, 0.0)
+    return out

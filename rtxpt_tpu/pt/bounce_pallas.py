@@ -129,6 +129,48 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def pack_materials(materials) -> np.ndarray:
+    """[MT_ROWS, 128] lane table: one column per material."""
+    n_mats = len(np.asarray(materials.base_color))
+    mat = np.zeros((MT_ROWS, 128), np.float32)
+    mat[MT_BASE:MT_BASE + 3, :n_mats] = np.asarray(materials.base_color).T
+    mat[MT_METAL, :n_mats] = np.asarray(materials.metallic)
+    mat[MT_ROUGH, :n_mats] = np.asarray(materials.roughness)
+    mat[MT_IOR, :n_mats] = np.asarray(materials.ior)
+    mat[MT_TRANS, :n_mats] = np.asarray(materials.transmission)
+    mat[MT_DTRANS, :n_mats] = np.asarray(materials.diffuse_transmission)
+    mat[MT_EMISSIVE:MT_EMISSIVE + 3, :n_mats] = \
+        np.asarray(materials.emissive).T
+    mat[MT_SPEC, :n_mats] = np.asarray(materials.specular_f0_scale)
+    mat[MT_THIN, :n_mats] = np.asarray(materials.thin)
+    mat[MT_VOLABS:MT_VOLABS + 3, :n_mats] = \
+        np.asarray(materials.volume_absorption).T
+    return mat
+
+
+def pack_lights(lights) -> np.ndarray:
+    """[W.LROWS, 128] lane table: one column per light."""
+    n_lights = int(np.asarray(lights.num))
+    lt = np.zeros((W.LROWS, 128), np.float32)
+    lt[W.LROW_CDF, :] = 1.0
+    lt[W.LROW_KIND, :n_lights] = np.asarray(lights.kind)[:n_lights]
+    lt[W.LROW_P0:W.LROW_P0 + 3, :n_lights] = \
+        np.asarray(lights.p0)[:n_lights].T
+    lt[W.LROW_P1:W.LROW_P1 + 3, :n_lights] = \
+        np.asarray(lights.p1)[:n_lights].T
+    lt[W.LROW_P2:W.LROW_P2 + 3, :n_lights] = \
+        np.asarray(lights.p2)[:n_lights].T
+    lt[W.LROW_EM:W.LROW_EM + 3, :n_lights] = \
+        np.asarray(lights.emission)[:n_lights].T
+    lt[W.LROW_EXTRA:W.LROW_EXTRA + 4, :n_lights] = \
+        np.asarray(lights.extra)[:n_lights].T
+    lt[W.LROW_NORMAL:W.LROW_NORMAL + 3, :n_lights] = \
+        np.asarray(lights.normal)[:n_lights].T
+    lt[W.LROW_POWER, :n_lights] = np.asarray(lights.power)[:n_lights]
+    lt[W.LROW_CDF, :n_lights] = np.asarray(lights.cdf)[:n_lights]
+    return lt
+
+
 def build_bounce_tables(positions, normals, indices, tri_material,
                         materials, lights) -> Optional[BounceTables]:
     """Host-side table bake; returns None when the scene is ineligible."""
@@ -151,6 +193,9 @@ def build_bounce_tables(positions, normals, indices, tri_material,
     e1 = v1 - v0
     e2 = v2 - v0
     n = np.cross(e1, e2)
+
+    mat = pack_materials(materials)
+    lt = pack_lights(lights)
 
     tc = min(512, _round_up(t, 128))
     tpad = _round_up(t, tc)
@@ -193,40 +238,6 @@ def build_bounce_tables(positions, normals, indices, tri_material,
     attr[AT_LAREA, :t] = np.where(
         has_l, np.asarray(lights.extra)[li, 0], 1.0)
     attr[AT_ISLIGHT, :t] = has_l.astype(np.float32)
-
-    # ---- material rows ----
-    mat = np.zeros((MT_ROWS, 128), np.float32)
-    mat[MT_BASE:MT_BASE + 3, :n_mats] = np.asarray(materials.base_color).T
-    mat[MT_METAL, :n_mats] = np.asarray(materials.metallic)
-    mat[MT_ROUGH, :n_mats] = np.asarray(materials.roughness)
-    mat[MT_IOR, :n_mats] = np.asarray(materials.ior)
-    mat[MT_TRANS, :n_mats] = np.asarray(materials.transmission)
-    mat[MT_DTRANS, :n_mats] = np.asarray(materials.diffuse_transmission)
-    mat[MT_EMISSIVE:MT_EMISSIVE + 3, :n_mats] = \
-        np.asarray(materials.emissive).T
-    mat[MT_SPEC, :n_mats] = np.asarray(materials.specular_f0_scale)
-    mat[MT_THIN, :n_mats] = np.asarray(materials.thin)
-    mat[MT_VOLABS:MT_VOLABS + 3, :n_mats] = \
-        np.asarray(materials.volume_absorption).T
-
-    # ---- light rows ----
-    lt = np.zeros((W.LROWS, 128), np.float32)
-    lt[W.LROW_CDF, :] = 1.0
-    lt[W.LROW_KIND, :n_lights] = np.asarray(lights.kind)[:n_lights]
-    lt[W.LROW_P0:W.LROW_P0 + 3, :n_lights] = \
-        np.asarray(lights.p0)[:n_lights].T
-    lt[W.LROW_P1:W.LROW_P1 + 3, :n_lights] = \
-        np.asarray(lights.p1)[:n_lights].T
-    lt[W.LROW_P2:W.LROW_P2 + 3, :n_lights] = \
-        np.asarray(lights.p2)[:n_lights].T
-    lt[W.LROW_EM:W.LROW_EM + 3, :n_lights] = \
-        np.asarray(lights.emission)[:n_lights].T
-    lt[W.LROW_EXTRA:W.LROW_EXTRA + 4, :n_lights] = \
-        np.asarray(lights.extra)[:n_lights].T
-    lt[W.LROW_NORMAL:W.LROW_NORMAL + 3, :n_lights] = \
-        np.asarray(lights.normal)[:n_lights].T
-    lt[W.LROW_POWER, :n_lights] = np.asarray(lights.power)[:n_lights]
-    lt[W.LROW_CDF, :n_lights] = np.asarray(lights.cdf)[:n_lights]
 
     return BounceTables(
         tri_rows=jnp.asarray(tri_rows), attr_rows=jnp.asarray(attr),
@@ -352,28 +363,24 @@ def _ray_offset_w(pos, gn, direction):
     return pos + gn * (side * scale)
 
 
-def _bounce_kernel(scal_ref, fs_ref, is_ref, tri_ref, attr_ref, mat_ref,
-                   light_ref, fs_out, is_out, hit_out, *,
-                   cfg_key, tc, n_chunks, n_lights, first_emissive):
+def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
+                      thp, L, prev_pdf, active, prev_delta, med0, med1,
+                      px, py, sample_idx, bounce, mat_ref, light_ref,
+                      cfg_key, n_lights, first_emissive):
+    """Shared post-intersection bounce body: surface fetch, volume
+    absorption, emissive-hit MIS, NEE light sample + BSDF eval (shadow ray
+    RETURNED, not resolved), BSDF scatter sample, medium stack, RR.
+
+    `attr(i, k=1)` fetches per-ray winner attribute rows ([R,128] /
+    [k,R,128]). Returns a dict with the updated wavefront state and the
+    pending NEE request (caller resolves occlusion and adds `contrib`).
+
+    Reference: the megakernel loop body after the TraceRay call —
+    Rtxpt/Shaders/PathTracer/PathTracer.hlsli HandleHit / HandleNEE /
+    GenerateScatterRay (see module docstring)."""
     (nee_mode, enable_mis, firefly, rr_enable, min_rr, max_travel,
      low_discrepancy) = cfg_key
     f32 = jnp.float32
-    sample_idx = scal_ref[0, 0]
-    bounce = scal_ref[0, 1].astype(jnp.int32)
-
-    fs = fs_ref[:]
-    is_ = is_ref[:]
-    o = fs[FS_O:FS_O + 3]
-    d = fs[FS_D:FS_D + 3]
-    thp = fs[FS_THP:FS_THP + 3]
-    L = fs[FS_L:FS_L + 3]
-    prev_pdf = fs[FS_PREVPDF]
-    active = is_[IS_ACTIVE] > 0
-    prev_delta = is_[IS_PREVDELTA] > 0
-    med0 = is_[IS_MED0]
-    med1 = is_[IS_MED1]
-    px = is_[IS_PX]
-    py = is_[IS_PY]
 
     def lds(seed, dims):
         if low_discrepancy:
@@ -381,37 +388,11 @@ def _bounce_kernel(scal_ref, fs_ref, is_ref, tri_ref, attr_ref, mat_ref,
         return tuple(rng.uniform_sample(
             seed, rng.hash_combine(sample_idx, dd)) for dd in dims)
 
-    # ----- closest hit (per 128-ray group) -----
-    tmin = jnp.zeros((1, 128), f32)
-    ts, prims, us, vs, dets = [], [], [], [], []
-    attrs_g = []
-    for g in range(_R):
-        cols = _ray_cols(o, d, g)
-        tmax_g = jnp.full((1, 128), max_travel, f32)
-        t_g, p_g, u_g, v_g, det_g, attr_g = _intersect_group(
-            tri_ref, attr_ref, cols, tmin, tmax_g, tc, n_chunks)
-        ts.append(t_g); prims.append(p_g); us.append(u_g); vs.append(v_g)
-        dets.append(det_g); attrs_g.append(attr_g)
-    t = _stack_groups(ts)
-    prim_f = _stack_groups(prims)
-    bu = _stack_groups(us)
-    bv = _stack_groups(vs)
-    det_pick = _stack_groups(dets)
-
-    def attr(i, k=1):
-        if k == 1:
-            return _stack_groups([a[i:i + 1] for a in attrs_g])
-        return jnp.stack(
-            [_stack_groups([a[i + j:i + j + 1] for a in attrs_g])
-             for j in range(k)], axis=0)
-
-    hit = t < _BIG
     hit_mask = active & hit
     active = active & hit                     # miss terminates (no envmap)
 
     # ----- surface (load_surface analog; zero HBM gathers) -----
     pos = o + t * d
-    front = det_pick > 0.0
     gn = attr(AT_GN, 3)
     gn = jnp.where(front, gn, -gn)            # orient toward the ray
     n0 = attr(AT_N0, 3)
@@ -526,14 +507,16 @@ def _bounce_kernel(scal_ref, fs_ref, is_ref, tri_ref, attr_ref, mat_ref,
             lum = W.luminance3(contrib)
             contrib = contrib * jnp.minimum(
                 1.0, firefly / jnp.maximum(lum, 1e-12))
-        sdist = jnp.where(do_nee, ls["dist"] * (1.0 - 1e-4), 0.0)
-        occs = []
-        for g in range(_R):
-            cols = _ray_cols(shadow_o, ls["wi"], g)
-            occs.append(_occluded_group(tri_ref, cols, sdist[g:g + 1],
-                                        tc, n_chunks))
-        occluded = _stack_groups(occs) > 0.5
-        L = L + jnp.where(do_nee & ~occluded, contrib, 0.0)
+        # offset-aware occlusion distance (see integrator.py NEE note)
+        dist_eff = ls["dist"] - W.dot3(shadow_o - pos, ls["wi"])
+        sdist = jnp.where(do_nee, dist_eff * (1.0 - 1e-4), 0.0)
+        shadow_d = ls["wi"]
+    else:
+        do_nee = jnp.zeros(t.shape, bool)
+        shadow_o = pos
+        shadow_d = d
+        sdist = jnp.zeros_like(t)
+        contrib = jnp.zeros_like(thp)
 
     # ----- scatter (GenerateScatterRay analog) -----
     seed_sc = rng.pixel_seed(px, py, bounce, EFFECT_SCATTER)
@@ -568,11 +551,81 @@ def _bounce_kernel(scal_ref, fs_ref, is_ref, tri_ref, attr_ref, mat_ref,
 
     o_new = _ray_offset_w(pos, gn, wi_world)
 
+    return dict(
+        o_new=o_new, wi_world=wi_world, thp=thp, L=L, prev_pdf=prev_pdf,
+        active=active, prev_delta=prev_delta, med0=med0, med1=med1,
+        do_nee=do_nee, shadow_o=shadow_o, shadow_d=shadow_d, sdist=sdist,
+        contrib=contrib)
+
+
+def _bounce_kernel(scal_ref, fs_ref, is_ref, tri_ref, attr_ref, mat_ref,
+                   light_ref, fs_out, is_out, hit_out, *,
+                   cfg_key, tc, n_chunks, n_lights, first_emissive):
+    (nee_mode, enable_mis, firefly, rr_enable, min_rr, max_travel,
+     low_discrepancy) = cfg_key
+    f32 = jnp.float32
+    sample_idx = scal_ref[0, 0]
+    bounce = scal_ref[0, 1].astype(jnp.int32)
+
+    fs = fs_ref[:]
+    is_ = is_ref[:]
+    o = fs[FS_O:FS_O + 3]
+    d = fs[FS_D:FS_D + 3]
+
+    # ----- closest hit (per 128-ray group) -----
+    tmin = jnp.zeros((1, 128), f32)
+    ts, prims, us, vs, dets = [], [], [], [], []
+    attrs_g = []
+    for g in range(_R):
+        cols = _ray_cols(o, d, g)
+        tmax_g = jnp.full((1, 128), max_travel, f32)
+        t_g, p_g, u_g, v_g, det_g, attr_g = _intersect_group(
+            tri_ref, attr_ref, cols, tmin, tmax_g, tc, n_chunks)
+        ts.append(t_g); prims.append(p_g); us.append(u_g); vs.append(v_g)
+        dets.append(det_g); attrs_g.append(attr_g)
+    t = _stack_groups(ts)
+    prim_f = _stack_groups(prims)
+    bu = _stack_groups(us)
+    bv = _stack_groups(vs)
+    det_pick = _stack_groups(dets)
+
+    def attr(i, k=1):
+        if k == 1:
+            return _stack_groups([a[i:i + 1] for a in attrs_g])
+        return jnp.stack(
+            [_stack_groups([a[i + j:i + j + 1] for a in attrs_g])
+             for j in range(k)], axis=0)
+
+    hit = t < _BIG
+    front = det_pick > 0.0
+
+    s = surface_and_shade(
+        o=o, d=d, t=t, hit=hit, front=front, bu=bu, bv=bv, attr=attr,
+        thp=fs[FS_THP:FS_THP + 3], L=fs[FS_L:FS_L + 3],
+        prev_pdf=fs[FS_PREVPDF], active=is_[IS_ACTIVE] > 0,
+        prev_delta=is_[IS_PREVDELTA] > 0,
+        med0=is_[IS_MED0], med1=is_[IS_MED1],
+        px=is_[IS_PX], py=is_[IS_PY], sample_idx=sample_idx, bounce=bounce,
+        mat_ref=mat_ref, light_ref=light_ref, cfg_key=cfg_key,
+        n_lights=n_lights, first_emissive=first_emissive)
+
+    # ----- NEE shadow occlusion (in-kernel second matmul pass) -----
+    L = s["L"]
+    do_nee = s["do_nee"]
+    occs = []
+    for g in range(_R):
+        cols = _ray_cols(s["shadow_o"], s["shadow_d"], g)
+        occs.append(_occluded_group(tri_ref, cols, s["sdist"][g:g + 1],
+                                    tc, n_chunks))
+    occluded = _stack_groups(occs) > 0.5
+    L = L + jnp.where(do_nee & ~occluded, s["contrib"], 0.0)
+
     fs_out[:] = jnp.concatenate(
-        [o_new, wi_world, thp, L, prev_pdf[None]], axis=0)
+        [s["o_new"], s["wi_world"], s["thp"], L, s["prev_pdf"][None]],
+        axis=0)
     is_out[:] = jnp.stack(
-        [active.astype(jnp.int32), prev_delta.astype(jnp.int32),
-         med0, med1, px, py], axis=0)
+        [s["active"].astype(jnp.int32), s["prev_delta"].astype(jnp.int32),
+         s["med0"], s["med1"], is_[IS_PX], is_[IS_PY]], axis=0)
     hit_out[:] = jnp.stack(
         [jnp.where(hit, t, 0.0), prim_f, bu, bv,
          front.astype(f32), do_nee.astype(f32)], axis=0)

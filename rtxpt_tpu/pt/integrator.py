@@ -75,6 +75,13 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         return bp.trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py,
                                      sample_idx, want_aux=want_aux,
                                      first_emissive=first_emissive)
+    # Large scenes: clustered streamed kernels (pt/bounce_clustered.py).
+    from rtxpt_tpu.pt import bounce_clustered as bc
+    if bc.eligible(scene, cfg, neeat_state):
+        return bc.trace_paths_clustered(scene, cfg, o, d, cone_spread,
+                                        px, py, sample_idx,
+                                        want_aux=want_aux,
+                                        first_emissive=first_emissive)
     n = o.shape[0]
     f32 = jnp.float32
     L = jnp.zeros((n, 3), f32)
@@ -336,12 +343,19 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
                 lum = m.luminance(contrib)
                 scale = jnp.minimum(1.0, firefly / jnp.maximum(lum, 1e-12))
                 contrib = contrib * scale[..., None]
+            # Occlusion distance measured from the OFFSET origin: the
+            # self-intersection offset shifts the origin toward the light,
+            # so using the raw surface-to-light distance makes the sampled
+            # light's own triangle fall inside the (1-1e-4) window for
+            # distant surfaces and silently kills its NEE contribution.
+            sdist_eff = ls["dist"] - m.dot(shadow_o - surf.pos, ls["wi"],
+                                           False)
             if fuse_shadows:
                 # defer: the shadow ray joins the next bounce's dispatch
                 pend_contrib = jnp.where(do_nee[..., None], contrib, 0.0)
                 pend_o = shadow_o
                 pend_d = ls["wi"]
-                pend_dist = jnp.where(do_nee, ls["dist"] * (1.0 - 1e-4),
+                pend_dist = jnp.where(do_nee, sdist_eff * (1.0 - 1e-4),
                                       0.0)
                 pend_mask = do_nee
                 if use_neeat:
@@ -351,7 +365,7 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
                 ray_count = ray_count + jnp.sum(do_nee.astype(jnp.int32))
                 occluded = any_fn(
                     shadow_o, ls["wi"], jnp.zeros((n,), f32),
-                    jnp.where(do_nee, ls["dist"] * (1.0 - 1e-4), 0.0))
+                    jnp.where(do_nee, sdist_eff * (1.0 - 1e-4), 0.0))
                 nee_ok = do_nee & ~occluded
                 L = L + jnp.where(nee_ok[..., None], contrib, 0.0)
                 if use_neeat:
@@ -468,12 +482,15 @@ def render_sample(scene: SceneData, cam: Camera, cfg: PathTracerConfig,
 
     ray_count = out.pop("ray_count")
     hist = out.pop("neeat_hist", None)
+    ovf = out.pop("cull_overflow", None)
     occ = out.pop("occupancy")
     ray_count = jnp.sum(ray_count)
     imgs = {k: v[:npix].reshape(height, width, *v.shape[1:])
             for k, v in out.items()}
     imgs["ray_count"] = ray_count
     imgs["occupancy"] = occ
+    if ovf is not None:
+        imgs["cull_overflow"] = jnp.sum(ovf)
     if hist is not None:
         imgs["neeat_hist"] = hist
     return imgs

@@ -210,6 +210,128 @@ def random_triangles(n: int, seed: int = 0, extent: float = 10.0) -> HostScene:
     return scene
 
 
+def _quad_grid(p0, p1, p2, p3, nx: int, ny: int, mat: int):
+    """Subdivided quad (2*nx*ny triangles), bilinear interpolation of the
+    corners; normal from geometry (planar quads assumed)."""
+    p0, p1, p2, p3 = (np.asarray(p, np.float32) for p in (p0, p1, p2, p3))
+    us = np.linspace(0.0, 1.0, nx + 1, dtype=np.float32)
+    vs = np.linspace(0.0, 1.0, ny + 1, dtype=np.float32)
+    uu, vv = np.meshgrid(us, vs, indexing="ij")        # [nx+1, ny+1]
+    pos = ((1 - uu)[..., None] * (1 - vv)[..., None] * p0
+           + uu[..., None] * (1 - vv)[..., None] * p1
+           + uu[..., None] * vv[..., None] * p2
+           + (1 - uu)[..., None] * vv[..., None] * p3)
+    pos = pos.reshape(-1, 3)
+    n = np.cross(p1 - p0, p3 - p0)
+    n = n / max(np.linalg.norm(n), 1e-12)
+    nrm = np.tile(n[None], (len(pos), 1)).astype(np.float32)
+    uvc = np.stack([uu, vv], axis=-1).reshape(-1, 2).astype(np.float32)
+    i0 = (np.arange(nx)[:, None] * (ny + 1) + np.arange(ny)[None, :])
+    i0 = i0.reshape(-1)
+    a, b, c, d = i0, i0 + (ny + 1), i0 + (ny + 1) + 1, i0 + 1
+    idx = np.concatenate([np.stack([a, b, c], -1),
+                          np.stack([a, c, d], -1)]).astype(np.int32)
+    mt = np.full((len(idx),), mat, np.int32)
+    return pos, nrm, uvc, idx, mt
+
+
+def _box_grid(lo, hi, s: int, mat: int):
+    """Axis-aligned box with each face subdivided s x s (12*s^2 tris)."""
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    g = _quad_grid
+    return _merge([
+        g([x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1], s, s, mat),
+        g([x1, y0, z0], [x0, y0, z0], [x0, y1, z0], [x1, y1, z0], s, s, mat),
+        g([x1, y0, z1], [x1, y0, z0], [x1, y1, z0], [x1, y1, z1], s, s, mat),
+        g([x0, y0, z0], [x0, y0, z1], [x0, y1, z1], [x0, y1, z0], s, s, mat),
+        g([x0, y1, z1], [x1, y1, z1], [x1, y1, z0], [x0, y1, z0], s, s, mat),
+        g([x0, y0, z0], [x1, y0, z0], [x1, y0, z1], [x0, y0, z1], s, s, mat),
+    ])
+
+
+def city_scene(tri_budget: int = 350_000, seed: int = 0,
+               blocks: int = 8) -> HostScene:
+    """Programmer-art 'bistro-class' large scene: a blocks x blocks grid
+    of subdivided tower boxes on a subdivided ground plane, lit by a few
+    emissive street panels. Deterministic in (tri_budget, seed, blocks).
+
+    Exercises the clustered large-scene path (accel/cluster.py) at the
+    scale of the reference's Bistro configs (BASELINE.json configs 4-5);
+    triangle count lands within ~5% of tri_budget.
+    """
+    rng = np.random.default_rng(seed)
+    nb = blocks * blocks
+    # tris: ground 2*g^2 + nb * 12*s^2 + lights; solve s for the budget.
+    g = 24
+    s = max(1, int(np.sqrt(max(tri_budget - 2 * g * g, 12) / (12 * nb))))
+    GROUND, EMISSIVE, GLASS = 0, 5, 6
+    palette = [1, 2, 3, 4]
+    parts = [_quad_grid([0, 0, 0], [blocks * 10.0, 0, 0],
+                        [blocks * 10.0, 0, blocks * 10.0],
+                        [0, 0, blocks * 10.0], g, g, GROUND)]
+    for bi in range(blocks):
+        for bj in range(blocks):
+            cx = bi * 10.0 + 5.0
+            cz = bj * 10.0 + 5.0
+            w = rng.uniform(2.5, 4.0)
+            dpt = rng.uniform(2.5, 4.0)
+            h = rng.uniform(4.0, 22.0)
+            mat = palette[int(rng.integers(0, len(palette)))]
+            if rng.uniform() < 0.12:
+                mat = GLASS
+            parts.append(_box_grid([cx - w, 0.0, cz - dpt],
+                                   [cx + w, h, cz + dpt], s, mat))
+    # Street lamps: single-quad emissive panels (2 tris each -> one
+    # polymorphic light per tri; stays under the 128-light table cap).
+    lamps = min(24, nb)
+    for k in range(lamps):
+        bi = (k * 7) % blocks
+        bj = (k * 3 + 1) % blocks
+        cx = bi * 10.0 + 1.2
+        cz = bj * 10.0 + 1.2
+        y = 4.5
+        parts.append(_quad([cx - 0.6, y, cz - 0.6], [cx + 0.6, y, cz - 0.6],
+                           [cx + 0.6, y, cz + 0.6], [cx - 0.6, y, cz + 0.6],
+                           EMISSIVE))
+    pos, nrm, uv, idx, mat = _merge(parts)
+
+    mats = _materials([
+        dict(base_color=[0.45, 0.43, 0.40], roughness=0.9),     # ground
+        dict(base_color=[0.65, 0.55, 0.45], roughness=0.8),
+        dict(base_color=[0.55, 0.60, 0.65], roughness=0.5),
+        dict(base_color=[0.70, 0.35, 0.25], roughness=0.85),
+        dict(base_color=[0.75, 0.75, 0.78], metallic=1.0, roughness=0.25),
+        dict(base_color=[0.0, 0.0, 0.0], emissive=[400.0, 340.0, 220.0]),
+        dict(base_color=[0.9, 0.95, 1.0], roughness=0.05,
+             transmission=1.0, ior=1.5),                        # glass
+    ])
+    # Late-afternoon sun: a delta directional light keeps the scene
+    # NEE-lit at benchmark scale without an envmap (the clustered fast
+    # path excludes env lights — see bounce_clustered eligibility).
+    sun_d = np.asarray([0.45, -0.72, 0.3], np.float32)
+    sun_d /= np.linalg.norm(sun_d)
+    sun = AnalyticLights(
+        kind=jnp.asarray([LIGHT_DIRECTIONAL], jnp.int32),
+        position=jnp.zeros((1, 3), jnp.float32),
+        direction=jnp.asarray(sun_d[None], jnp.float32),
+        intensity=jnp.asarray([[3.0, 2.7, 2.2]], jnp.float32),
+        angular_size=jnp.zeros((1,), jnp.float32),
+        cos_inner=jnp.full((1,), -2.0, jnp.float32),
+        cos_outer=jnp.full((1,), -2.0, jnp.float32),
+    )
+    scene = HostScene(
+        instances=[MeshInstance(positions=pos, normals=nrm, uvs=uv,
+                                indices=idx, material=mat, name="city")],
+        materials=mats, analytic_lights=sun,
+    )
+    c = blocks * 5.0
+    scene.camera = dict(position=[c - 18.0, 6.0, c + 26.0],
+                        target=[c, 4.0, c],
+                        up=[0.0, 1.0, 0.0], fov_y_deg=55.0)
+    return scene
+
+
 def default_camera(scene: HostScene, width: int, height: int):
     c = scene.camera or dict(position=[0, 1, 3], target=[0, 0, 0],
                              up=[0, 1, 0], fov_y_deg=45.0)

@@ -136,6 +136,9 @@ class SceneData:
     # Fused Pallas bounce-kernel tables (pt/bounce_pallas.BounceTables);
     # None when the scene is ineligible for the kernel fast path.
     bounce_tables: Optional["object"] = None
+    # Clustered large-scene tables (accel/cluster.ClusterTables); built
+    # when the triangle count exceeds the VMEM-resident kernel cap.
+    cluster_tables: Optional["object"] = None
 
 
 def build_packs(geometry: Geometry, materials: Materials):

@@ -20,6 +20,23 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Fast/slow split (reference: Support/tests/tests.json runs a heavy matrix
+# out-of-band). `pytest -m "not slow"` is the <5 min CI gate; the full
+# suite (including these modules, ~25 min on CPU) is the nightly gate.
+_SLOW_MODULES = {
+    "test_integrator.py", "test_dielectrics.py", "test_realtime.py",
+    "test_matrix.py", "test_bounce_pallas.py", "test_cluster.py",
+    "test_stable_planes.py", "test_sharding.py", "test_harness.py",
+    "test_wrs_nee.py", "test_neeat.py", "test_gltf.py",
+    "test_omm_alpha.py", "test_restir_gi.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def cornell_scene():
