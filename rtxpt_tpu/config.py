@@ -66,6 +66,9 @@ class PathTracerConfig:
     # Wavefront execution
     sort_by_material: bool = False   # SER analog: sort ray stream by hit key
     ray_chunk: int = 1 << 16         # rays per wavefront chunk
+    # Clustered large-scene path (pt/bounce_clustered.py)
+    sort_rays: bool = True           # inter-bounce (cell, octant) ray sort
+    cluster_kslots: int = 0          # candidate clusters/group; 0 = default
 
 
 @dataclasses.dataclass(frozen=True)
