@@ -403,10 +403,10 @@ def _kernel_b(cand_ref, rayop_ref, blocks_hbm, occ_out,
     dist = rp[RP_ACT:RP_ACT + 1] * (1.0 - SHADOW_T_EPS)
     # lanes with no shadow request start "occluded" so fully-resolved
     # groups skip remaining visits (the XLA L-update masks by do anyway)
-    occ_out[:] = jnp.where(rp[RP_DO:RP_DO + 1] > 0.5, 0.0, 1.0)
+    occ_out[0] = jnp.where(rp[RP_DO:RP_DO + 1] > 0.5, 0.0, 1.0)
 
     def visit(i, cur):
-        @pl.when(jnp.min(occ_out[:]) < 0.5)
+        @pl.when(jnp.min(occ_out[0]) < 0.5)
         def _():
             _visit_body(i, cur)
 
@@ -426,7 +426,7 @@ def _kernel_b(cand_ref, rayop_ref, blocks_hbm, occ_out,
                  & (su + sv <= absd)
                  & (st > 0.0) & (st < dist * absd))
         occ_c = jnp.max(valid.astype(jnp.float32), axis=0, keepdims=True)
-        occ_out[:] = jnp.maximum(occ_out[:], occ_c)
+        occ_out[0] = jnp.maximum(occ_out[0], occ_c)
 
     _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
                     kslots, visit)
@@ -509,9 +509,10 @@ def _kernel_b_call(cand, rayop, blocks, kslots, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, _R * 128), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((1, 1, _R * 128), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_groups, _R * 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_groups, 1, _R * 128),
+                                       jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
             pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),

@@ -119,6 +119,34 @@ def load_surface(scene: SceneData, hit: Hit, ray_o, ray_d,
         metallic = jnp.where(has_mr, metallic * mrtex[..., 2], metallic)
         roughness = jnp.where(has_mr, roughness * mrtex[..., 1], roughness)
 
+        # Tangent-space normal mapping (reference: material decode at
+        # PathTracerBridgeDonut.hlsli:612-680 / Scene/Material shading
+        # normal path). The tangent frame comes from the triangle's UV
+        # parameterisation; degenerate UV mappings fall back to the
+        # interpolated normal.
+        mats_nt = jnp.take(mats.normal_tex, mid)
+        has_nt = mats_nt >= 0
+        ntex = sample_texture(scene.textures, mats_nt, uv, mip)
+        n_ts = ntex[..., :3] * 2.0 - 1.0               # [-1,1] tangent space
+        duv1 = t1 - t0
+        duv2 = t2 - t0
+        det_uv = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+        ok_uv = jnp.abs(det_uv) > 1e-12
+        r = jnp.where(ok_uv, 1.0 / jnp.where(ok_uv, det_uv, 1.0), 0.0)
+        tang = (duv2[..., 1:2] * e1 - duv1[..., 1:2] * e2) * r[..., None]
+        # Gram-Schmidt against the interpolated shading normal
+        tang = tang - sh_n * m.dot(tang, sh_n)
+        tlen = m.length(tang, False)
+        ok = ok_uv & (tlen > 1e-8)
+        tang = tang / jnp.maximum(tlen, 1e-8)[..., None]
+        bitan = jnp.cross(sh_n, tang) * jnp.sign(det_uv)[..., None]
+        n_pert = m.normalize(n_ts[..., 0:1] * tang
+                             + n_ts[..., 1:2] * bitan
+                             + jnp.maximum(n_ts[..., 2:3], 0.05) * sh_n)
+        # keep the perturbed normal in the geometric hemisphere
+        n_pert = jnp.where(m.dot(n_pert, geo_n) > 0.0, n_pert, sh_n)
+        sh_n = jnp.where((has_nt & ok)[..., None], n_pert, sh_n)
+
     # One-sided emission: front face only (PolymorphicLight kTriangle).
     emissive = jnp.where(front[..., None], emissive, 0.0)
 
