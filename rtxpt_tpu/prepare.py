@@ -96,6 +96,8 @@ def prepare(host: HostScene) -> SceneData:
             cluster_tables = build_cluster_tables(
                 pos, np.asarray(sd.geometry.normals), idx,
                 np.asarray(sd.geometry.tri_material), sd.materials, lights)
+    has_prio = bool(np.any(np.asarray(sd.materials.nested_priority) != 0))
     return sd.replace(lights=lights, textures=textures,
                       bounce_tables=bounce_tables,
-                      cluster_tables=cluster_tables)
+                      cluster_tables=cluster_tables,
+                      has_nested_priorities=has_prio)

@@ -43,6 +43,10 @@ EFFECT_LENS = 17
 EFFECT_SCATTER = 29
 EFFECT_NEE = 31
 EFFECT_RR = 37
+# Bounded false-hit skips per bounce for nested-dielectric priorities
+# (reference rejects in the traversal loop; 2 covers e.g. ice-in-water
+# where both interfaces of the occluded medium overlap the segment).
+MAX_FALSE_HIT_SKIPS = 2
 
 
 def _ld(cfg: PathTracerConfig, sample_idx, seed, dim: int):
@@ -175,6 +179,44 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         else:
             hit = closest_fn(o, d, jnp.zeros((n,), f32),
                              jnp.full((n,), cfg.max_ray_travel, f32))
+
+        # ----- nested-dielectric priorities: false-hit rejection -----
+        # (PathTracerNestedDielectrics.hlsli:48,118 / InteriorList.hlsli:
+        # 26-32). While inside a medium, boundaries of LOWER-priority
+        # media are false intersections: the interior list is updated but
+        # the surface is skipped (bounded retrace past it). Statically
+        # gated so priority-free scenes pay nothing.
+        if scene.has_nested_priorities:
+            mats_ = scene.materials
+            prio_tab = mats_.nested_priority
+            for _ in range(MAX_FALSE_HIT_SKIPS):
+                mh = jnp.take(scene.geometry.tri_material,
+                              jnp.maximum(hit.prim, 0))
+                boundary = ((jnp.take(mats_.thin, mh) < 0.5)
+                            & (jnp.take(mats_.transmission, mh) > 0.0))
+                p_hit = jnp.take(prio_tab, mh)
+                p_cur = jnp.where(med0 >= 0,
+                                  jnp.take(prio_tab, jnp.maximum(med0, 0)),
+                                  -1)
+                false_enter = boundary & hit.front & (p_hit < p_cur)
+                false_exit = boundary & ~hit.front & (mh != med0)
+                fh = active & ~hit.miss & (false_enter | false_exit)
+                # interior-list bookkeeping for the skipped boundary:
+                # entering tracks the occluded medium in the lower slot;
+                # exiting removes it from wherever it sits below the top.
+                p_m1 = jnp.where(med1 >= 0,
+                                 jnp.take(prio_tab, jnp.maximum(med1, 0)),
+                                 -1)
+                med1 = jnp.where(
+                    fh & false_enter & ((med1 < 0) | (p_hit > p_m1)), mh,
+                    jnp.where(fh & false_exit & (mh == med1), -1, med1))
+                tmin2 = jnp.where(fh, hit.t * (1.0 + 1e-4) + 1e-5, 0.0)
+                hit2 = closest_fn(o, d, tmin2,
+                                  jnp.where(fh, cfg.max_ray_travel, 0.0))
+                hit = jax.tree.map(
+                    lambda a, b: jnp.where(
+                        fh.reshape(fh.shape + (1,) * (a.ndim - 1)), b, a),
+                    hit, hit2)
         hit_mask = active & ~hit.miss
         miss_mask = active & hit.miss
 

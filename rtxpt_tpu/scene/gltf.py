@@ -167,7 +167,7 @@ def _materials_from_gltf(gltf: dict, tex_source: Dict[int, int]) -> Materials:
     m = Materials.create(n)
     bc, met, rough, ior, trans, emis, thin, alpha = \
         [], [], [], [], [], [], [], []
-    bct, emt, mrt, nmt = [], [], [], []
+    bct, emt, mrt, nmt, prio = [], [], [], [], []
     for mj in mats_json:
         pbr = mj.get("pbrMetallicRoughness", {})
         bc.append(pbr.get("baseColorFactor", [1, 1, 1, 1])[:3])
@@ -196,10 +196,11 @@ def _materials_from_gltf(gltf: dict, tex_source: Dict[int, int]) -> Materials:
         emt.append(tex_idx(mj.get("emissiveTexture")))
         mrt.append(tex_idx(pbr.get("metallicRoughnessTexture")))
         nmt.append(tex_idx(mj.get("normalTexture")))
+        prio.append(int(mj.get("extras", {}).get("nestedPriority", 0)))
     if not mats_json:
         bc, met, rough, ior = [[0.8] * 3], [0.0], [0.7], [1.5]
         trans, emis, thin, alpha = [0.0], [[0, 0, 0]], [1.0], [-1.0]
-        bct, emt, mrt, nmt = [-1], [-1], [-1], [-1]
+        bct, emt, mrt, nmt, prio = [-1], [-1], [-1], [-1], [0]
     return m.replace(
         base_color=jnp.asarray(np.asarray(bc, np.float32)),
         metallic=jnp.asarray(np.asarray(met, np.float32)),
@@ -213,6 +214,7 @@ def _materials_from_gltf(gltf: dict, tex_source: Dict[int, int]) -> Materials:
         emissive_tex=jnp.asarray(np.asarray(emt, np.int32)),
         metal_rough_tex=jnp.asarray(np.asarray(mrt, np.int32)),
         normal_tex=jnp.asarray(np.asarray(nmt, np.int32)),
+        nested_priority=jnp.asarray(np.asarray(prio, np.int32)),
     )
 
 

@@ -59,12 +59,18 @@ class Materials:
     emissive_tex: jnp.ndarray      # [M] texture id or -1
     metal_rough_tex: jnp.ndarray   # [M] texture id or -1
     normal_tex: jnp.ndarray        # [M] texture id or -1
+    # Nested-dielectric priority (reference: PTMaterialData nestedPriority,
+    # PathTracerNestedDielectrics.hlsli:48): when a ray inside a medium
+    # hits the boundary of a LOWER-priority medium, the hit is a false
+    # intersection and is skipped. 0 = default; vacuum is -1 implicitly.
+    nested_priority: jnp.ndarray = None  # [M] i32
 
     @staticmethod
     def create(n: int) -> "Materials":
         z = lambda *s: jnp.zeros((n, *s), jnp.float32)
         zi = lambda: jnp.full((n,), -1, jnp.int32)
         return Materials(
+            nested_priority=jnp.zeros((n,), jnp.int32),
             base_color=jnp.full((n, 3), 0.5, jnp.float32),
             metallic=z(), roughness=jnp.full((n,), 0.5, jnp.float32),
             ior=jnp.full((n,), 1.5, jnp.float32), transmission=z(),
@@ -139,6 +145,10 @@ class SceneData:
     # Clustered large-scene tables (accel/cluster.ClusterTables); built
     # when the triangle count exceeds the VMEM-resident kernel cap.
     cluster_tables: Optional["object"] = None
+    # Static: any material has nested_priority != 0 -> the integrator runs
+    # the false-hit rejection retrace (PathTracerNestedDielectrics analog).
+    has_nested_priorities: bool = struct.field(pytree_node=False,
+                                               default=False)
 
 
 def build_packs(geometry: Geometry, materials: Materials):
