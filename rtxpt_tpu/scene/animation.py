@@ -83,3 +83,73 @@ def refresh(host: HostScene, animations: List[InstanceAnimation],
     # emissive triangles may have moved: re-bake the light list
     lights = bake_lights(sd, prev.envmap, scene_radius(pos))
     return sd.replace(lights=lights)
+
+
+def refresh_refit(host: HostScene, animations: List[InstanceAnimation],
+                  t: float, prev: SceneData,
+                  tables=None) -> SceneData:
+    """Per-frame scene update by device-side BVH REFIT (the BLAS
+    update-vs-rebuild split of Sample.cpp:1170-1198): topology (instance
+    list, triangulation) must be unchanged — only vertex positions move.
+    All heavy work (AABB repropagation, triangle repack, light-vertex
+    scatter) runs as fused jnp passes on device; the host only applies
+    the [4,4] instance transforms.
+
+    Returns (scene, tables): `tables` is the RefitTables schedule
+    (accel/refit.build_refit_tables), built once per topology — pass it
+    back in on subsequent frames to amortize.
+
+    Approximation: light powers/CDF are kept (exact for rigid motion,
+    approximate under skinning area change) — run `refresh` periodically
+    to re-bake if needed.
+    """
+    import jax.numpy as jnp
+    from rtxpt_tpu.accel.refit import build_refit_tables, refit_bvh
+
+    for anim in animations:
+        host.instances[anim.instance].transform = \
+            anim.transform_fn(t).astype(np.float32)
+    flat = host.flatten()
+    pos = jnp.asarray(flat.geometry.positions)
+    nrm = jnp.asarray(flat.geometry.normals)
+
+    if tables is None:
+        tables = build_refit_tables(prev.bvh)
+    bvh = refit_bvh(prev.bvh, tables, pos, prev.geometry.indices)
+    geometry = prev.geometry.replace(positions=pos, normals=nrm)
+    tri_pack = prev.tri_pack
+    if tri_pack is not None:
+        from rtxpt_tpu.scene.scene import build_packs
+        tri_pack, _ = build_packs(geometry, prev.materials)
+
+    lights = prev.lights
+    if lights is not None and int(np.asarray(lights.num)) > 0:
+        idx = prev.geometry.indices
+        ntri = idx.shape[0]
+        tl = lights.tri_light[:ntri]
+        # non-light triangles scatter out-of-bounds and are dropped
+        li = jnp.where(tl >= 0, tl, lights.p0.shape[0])
+        v0 = jnp.take(pos, idx[:, 0], axis=0)
+        e1 = jnp.take(pos, idx[:, 1], axis=0) - v0
+        e2 = jnp.take(pos, idx[:, 2], axis=0) - v0
+        n = jnp.cross(e1, e2)
+        nlen = jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                           1e-20)
+        area = 0.5 * nlen[:, 0]
+        # triangle lights store (v0, e1, e2) + unit normal + area
+        # (lights_baker.bake_lights emissive-triangle rows)
+        lights = lights.replace(
+            p0=lights.p0.at[li].set(v0, mode="drop"),
+            p1=lights.p1.at[li].set(e1, mode="drop"),
+            p2=lights.p2.at[li].set(e2, mode="drop"),
+            normal=lights.normal.at[li].set(n / nlen, mode="drop"),
+            extra=lights.extra.at[li, 0].set(area, mode="drop"))
+
+    # The fused Pallas bounce/cluster tables bake absolute geometry — a
+    # stale table would render the unmoved scene. Invalidate (the XLA
+    # wavefront path serves animated frames; device-side table refit is
+    # a future optimization).
+    sd = prev.replace(geometry=geometry, bvh=bvh, tri_pack=tri_pack,
+                      lights=lights, bounce_tables=None,
+                      cluster_tables=None)
+    return sd, tables
