@@ -49,6 +49,40 @@ def main():
 
     mrays = total_rays / dt / 1e6
     ms_per_frame = dt / spp_timed * 1e3
+
+    # Second bench scene ABOVE the VMEM-resident cap: the 340k-tri city
+    # exercises the clustered streamed path (accel/cluster.py +
+    # pt/bounce_clustered.py) — the path any Bistro-class scene takes.
+    city = None
+    try:
+        from rtxpt_tpu.scene.procedural import city_scene
+        chost = city_scene(tri_budget=350_000, seed=0)
+        cscene = prepare(chost)
+        ccam = default_camera(chost, width, height)
+        ccfg = PathTracerConfig(max_bounces=4, nee=NEEMode.POWER,
+                                ray_chunk=1 << 30)
+        out = render_sample_jit(cscene, ccam, ccfg, width, height,
+                                jnp.uint32(0))
+        jax.block_until_ready(out["L"])
+        t0 = time.perf_counter()
+        crays = 0
+        cacc = None
+        for s in range(1, 3):
+            out = render_sample_jit(cscene, ccam, ccfg, width, height,
+                                    jnp.uint32(s))
+            cacc = out["L"] if cacc is None else cacc + out["L"]
+            crays += int(out["ray_count"])
+        jax.block_until_ready(cacc)
+        cdt = time.perf_counter() - t0
+        city = {
+            "scene": "city_340k_tris",
+            "mrays_per_s": round(crays / cdt / 1e6, 3),
+            "ms_per_frame_1spp": round(cdt / 2 * 1e3, 2),
+            "clustered_path": cscene.cluster_tables is not None,
+        }
+    except Exception as e:                      # report, never hard-fail
+        city = {"error": str(e)[:200]}
+
     result = {
         "metric": "pathtrace_throughput",
         "value": round(mrays, 3),
@@ -59,6 +93,7 @@ def main():
             "spp_timed": spp_timed, "bounces": cfg.max_bounces,
             "rays": total_rays, "ms_per_frame_1spp": round(ms_per_frame, 2),
             "device": str(jax.devices()[0]),
+            "city": city,
         },
     }
     print(json.dumps(result))

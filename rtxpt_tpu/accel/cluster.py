@@ -57,12 +57,22 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-CT = 128                 # triangles per cluster (one lane group)
+# Cluster size (triangles per cluster). Larger clusters would mean fewer
+# DMAs/visits per ray, BUT the split-bf16 selection error grows with the
+# cluster extent (coefficient products ~extent^2 vs det ~tri area): at
+# CT=256 on the 340k city the 2^-16 residual crosses the 2e-3*|det|
+# admission margin, false winners shadow true hits and the refit rejects
+# them (hit frac 1.0 -> 0.13). CT=128 is the calibrated operating point;
+# raising CT requires error-bound margins (|c| @ |r| matmul) first.
+import os as _os
+
+CT = int(_os.environ.get("RTXPT_TPU_CLUSTER_CT", "128"))
 BLK_ROWS = 32
 CENTER_ROW = 20
 ATTR_BASE = 21
 LANES = 4 * CT
-MAX_CLUSTERS = 8192      # 8192 * 64KB = 512MB HBM; ~1M triangles
+# HBM block-budget cap (~512MB of cluster blocks -> ~1M triangles)
+MAX_CLUSTERS = (1 << 29) // (BLK_ROWS * LANES * 4)
 
 # Logical attribute-row map (packed 4-per-physical-row at rows 17..24)
 AT_V0 = 0                # 0:3  v0 (cluster-local)

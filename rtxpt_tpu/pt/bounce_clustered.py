@@ -133,10 +133,10 @@ def _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
 
 
 def _attr_mat(cur):
-    """Unpack the logical attribute rows [AT_ROWS, 128] from a block."""
+    """Unpack the logical attribute rows [AT_ROWS, CT] from a block."""
     ab = CL.ATTR_BASE
     return jnp.concatenate([
-        cur[ab + j // 4:ab + 1 + j // 4, (j % 4) * CT:(j % 4) * CT + 128]
+        cur[ab + j // 4:ab + 1 + j // 4, (j % 4) * CT:(j % 4 + 1) * CT]
         for j in range(CL.AT_ROWS)], axis=0)
 
 
@@ -146,63 +146,27 @@ def _bf16_split(x):
     return hi, x - hi
 
 
-def _unflat(x, R):
-    """[1, R*128] -> [R,128]. Lane slices at 128-multiples are vreg-
-    aligned (offset 0), and sublane-concat only relayouts the concat dim
-    — both Mosaic-supported. The REVERSE ([R,128] -> lanes) is NOT
-    (sublane->lane needs an unimplemented relayout), which is why the
-    flat ray-operand table is built XLA-side (RP_* rows below)."""
-    return jnp.concatenate(
-        [x[0:1, r * 128:(r + 1) * 128] for r in range(R)], axis=0)
-
-
-# Flat ray-operand table rows ([16, R*128] per group, built in XLA where
-# the [R,128]->[1,R*128] relayout is free): flat lane = r*128 + lane, the
-# same ray order as the [*, R, 128] wavefront rows.
-RP_D = 0          # 0:3 direction
-RP_OXD = 3        # 3:6 o x d (world); cluster-local via - c x d in-kernel
-RP_O = 6          # 6:9 origin (world)
-RP_ACT = 9        # kernel A: active flag / kernel B: shadow max distance
-RP_DO = 10        # kernel B only: shadow-request flag
-RP_ROWS = 16
-
-
-def _tile8(v, R):
-    """[1,128] -> [1, R*128] broadcast of a per-cluster scalar row (lane
-    concat of identical offset-0 tiles; Mosaic-safe)."""
-    return jnp.concatenate([v] * R, axis=1)
-
-
-def _all_cols(rp, cx, cy, cz):
-    """[32, R*128] split-bf16 cluster-local ray operand for ALL ray rows
-    at once: rows 0..9 r_hi, 10..19 r_lo, 20..29 r_hi again, 30..31 zero —
-    paired with the block's stacked [c_hi; c_hi; c_lo] contraction (see
-    accel/cluster.py split-bf16 note). One [32,512]x[32,R*128] MXU pass
-    per cluster visit covers the whole group (vs 8 row matmuls: better
-    MXU utilisation, no per-row scalar branching). The cluster-local
-    shift uses (o-c) x d = o x d - c x d, so only the precomputed world
-    rows plus the broadcast center are needed."""
+def _row_cols(o, d, r, cx, cy, cz):
+    """[32,128] split-bf16 cluster-local ray operand for ray-row r:
+    rows 0..9 r_hi, 10..19 r_lo, 20..29 r_hi again, 30..31 zero — paired
+    with the block's stacked [c_hi; c_hi; c_lo] contraction (see
+    accel/cluster.py split-bf16 note)."""
     f32 = jnp.float32
-    n = rp.shape[1]
-    R = n // 128
-    cxl = _tile8(cx, R)
-    cyl = _tile8(cy, R)
-    czl = _tile8(cz, R)
-    dx = rp[RP_D:RP_D + 1]
-    dy = rp[RP_D + 1:RP_D + 2]
-    dz = rp[RP_D + 2:RP_D + 3]
-    ox = rp[RP_O:RP_O + 1] - cxl
-    oy = rp[RP_O + 1:RP_O + 2] - cyl
-    oz = rp[RP_O + 2:RP_O + 3] - czl
-    cxd0 = rp[RP_OXD:RP_OXD + 1] - (cyl * dz - czl * dy)
-    cxd1 = rp[RP_OXD + 1:RP_OXD + 2] - (czl * dx - cxl * dz)
-    cxd2 = rp[RP_OXD + 2:RP_OXD + 3] - (cxl * dy - cyl * dx)
+    ox = o[0][r:r + 1] - cx
+    oy = o[1][r:r + 1] - cy
+    oz = o[2][r:r + 1] - cz
+    dx = d[0][r:r + 1]
+    dy = d[1][r:r + 1]
+    dz = d[2][r:r + 1]
+    cxd0 = oy * dz - oz * dy
+    cxd1 = oz * dx - ox * dz
+    cxd2 = ox * dy - oy * dx
     rvec = jnp.concatenate(
         [dx, dy, dz, cxd0, cxd1, cxd2, ox, oy, oz,
-         jnp.ones((1, n), f32)], axis=0)             # [10, R*128]
+         jnp.ones((1, 128), f32)], axis=0)           # [10,128]
     r_hi, r_lo = _bf16_split(rvec)
     return jnp.concatenate(
-        [r_hi, r_lo, r_hi, jnp.zeros((2, n), f32)], axis=0)
+        [r_hi, r_lo, r_hi, jnp.zeros((2, 128), f32)], axis=0)
 
 
 def _quantities(cur, cols):
@@ -221,8 +185,8 @@ def _quantities(cur, cols):
             prod[3 * CT:4 * CT])
 
 
-def _kernel_a(scal_ref, cand_ref, fs_ref, is_ref, rayop_ref, mat_ref,
-              light_ref, blocks_hbm, fs_out, is_out, sh_out, hit_out,
+def _kernel_a(scal_ref, cand_ref, fs_ref, is_ref, mat_ref, light_ref,
+              blocks_hbm, fs_out, is_out, sh_out, hit_out,
               buf0, buf1, best_ref, sem0, sem1, *,
               cfg_key, kslots, n_lights, first_emissive):
     f32 = jnp.float32
@@ -232,22 +196,28 @@ def _kernel_a(scal_ref, cand_ref, fs_ref, is_ref, rayop_ref, mat_ref,
 
     fs = fs_ref[:]
     is_ = is_ref[:]
-    o = fs[FS_O:FS_O + 3]                            # row layout (shading)
+    o = fs[FS_O:FS_O + 3]
     d = fs[FS_D:FS_D + 3]
-    rp = rayop_ref[0]                                # [16, R*128] flat
-    act_f = rp[RP_ACT:RP_ACT + 1] > 0.0              # [1, R*128]
-    NLANE = _R * 128
+    act = is_[IS_ACTIVE] > 0                         # [R,128]
 
-    # reset persistent scratch for this grid step ([32, R*128])
-    best_ref[:] = jnp.concatenate(
-        [jnp.full((1, NLANE), _BIG, f32), jnp.zeros((31, NLANE), f32)],
-        axis=0)
+    # reset persistent scratch for this grid step
+    init = jnp.concatenate(
+        [jnp.full((1, 128), _BIG, f32), jnp.zeros((31, 128), f32)], axis=0)
+    for r in range(_R):
+        best_ref[r] = init
 
     def visit(i, cur):
+        if os.environ.get("RTXPT_TPU_CLUSTER_NOPRUNE") == "1":
+            _visit_body(i, cur)
+            return
         # Early pruning: candidates arrive sorted by conservative entry
         # distance; once every ACTIVE ray in the group has committed a
         # nearer hit, the remaining (farther) clusters cannot matter.
-        bound = jnp.where(act_f, best_ref[_B_T:_B_T + 1, :], 0.0)
+        bound = jnp.full((1, 128), 0.0, f32)
+        for r in range(_R):
+            bt = best_ref[r, _B_T:_B_T + 1, :]
+            bound = jnp.maximum(
+                bound, jnp.where(act[r:r + 1], bt, 0.0))
         # positive-float bit patterns are order-preserving, so the SMEM
         # t_enter (stored as raw f32 bits) compares directly against the
         # max of the bound's bit pattern — Mosaic has no scalar bitcast.
@@ -267,38 +237,46 @@ def _kernel_a(scal_ref, cand_ref, fs_ref, is_ref, rayop_ref, mat_ref,
         cy = cur[cr:cr + 1, 128:256]
         cz = cur[cr:cr + 1, 256:384]
         c_f = cand_ref[0, 0, 1 + jnp.minimum(i, kslots - 1)].astype(f32)
-        cidv = jnp.full((1, NLANE), 0.0, f32) + c_f
-        cols = _all_cols(rp, cx, cy, cz)             # [32, R*128]
-        det, un, vn, tn = _quantities(cur, cols)     # [CT, R*128]
-        s = jnp.where(det >= 0.0, 1.0, -1.0)
-        absd = det * s
-        su = un * s
-        sv = vn * s
-        st = tn * s
-        mm = MARGIN * absd
-        valid = ((absd > 1e-30) & (su >= -mm) & (sv >= -mm)
-                 & (su + sv <= absd + mm + mm)
-                 & (st > 0.0) & (st < max_travel * absd))
-        strict = (su >= 0.0) & (sv >= 0.0) & (su + sv <= absd)
-        tt = st / jnp.maximum(absd, 1e-30)
-        # margin-only candidates rank behind strict ones at t-ties
-        tt = tt * jnp.where(strict, 1.0, 1.0 + _TIE_BUMP)
-        t_m = jnp.where(valid, tt, _BIG)
-        t_c = jnp.min(t_m, axis=0, keepdims=True)            # [1, R*128]
-        b = best_ref[:]
-        improved = t_c < b[_B_T:_B_T + 1]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (CT, NLANE), 0)
-        jrow = jnp.min(jnp.where(t_m <= t_c, iota, CT), axis=0,
-                       keepdims=True)
-        sel = (iota == jrow).astype(f32)                     # [tris, rays]
-        attr_c = jax.lax.dot_general(
-            amat, sel, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST)             # [27, R*128]
-        tilec = lambda v: jnp.concatenate([v] * _R, axis=1)
-        new = jnp.concatenate(
-            [t_c, cidv, attr_c, tilec(cx), tilec(cy), tilec(cz)], axis=0)
-        best_ref[:] = jnp.where(improved, new, b)
+        cidv = jnp.full((1, 128), 0.0, f32) + c_f
+        rm = cand_ref[0, 0, 1 + kslots + jnp.minimum(i, kslots - 1)]
+        for r in range(_R):
+            row_on = ((rm >> r) & 1) == 1
+
+            @pl.when(row_on)
+            def _(r=r):
+                _visit_row(r, cur, amat, cx, cy, cz, cidv)
+
+    def _visit_row(r, cur, amat, cx, cy, cz, cidv):
+        if True:
+            cols = _row_cols(o, d, r, cx, cy, cz)
+            det, un, vn, tn = _quantities(cur, cols)
+            s = jnp.where(det >= 0.0, 1.0, -1.0)
+            absd = det * s
+            su = un * s
+            sv = vn * s
+            st = tn * s
+            mm = MARGIN * absd
+            valid = ((absd > 1e-30) & (su >= -mm) & (sv >= -mm)
+                     & (su + sv <= absd + mm + mm)
+                     & (st > 0.0) & (st < max_travel * absd))
+            strict = (su >= 0.0) & (sv >= 0.0) & (su + sv <= absd)
+            tt = st / jnp.maximum(absd, 1e-30)
+            # margin-only candidates rank behind strict ones at t-ties
+            tt = tt * jnp.where(strict, 1.0, 1.0 + _TIE_BUMP)
+            t_m = jnp.where(valid, tt, _BIG)
+            t_c = jnp.min(t_m, axis=0, keepdims=True)          # [1,128]
+            b = best_ref[r]
+            improved = t_c < b[_B_T:_B_T + 1]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (CT, 128), 0)
+            jrow = jnp.min(jnp.where(t_m <= t_c, iota, CT), axis=0,
+                           keepdims=True)
+            sel = (iota == jrow).astype(f32)                    # [tris,rays]
+            attr_c = jax.lax.dot_general(
+                amat, sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)            # [27,128]
+            new = jnp.concatenate([t_c, cidv, attr_c, cx, cy, cz], axis=0)
+            best_ref[r] = jnp.where(improved, new, b)
 
     _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
                     kslots, visit)
@@ -307,7 +285,7 @@ def _kernel_a(scal_ref, cand_ref, fs_ref, is_ref, rayop_ref, mat_ref,
     rows_t, rows_u, rows_v, rows_front, rows_prim = [], [], [], [], []
     best_rows = []
     for r in range(_R):
-        b = best_ref[:, r * 128:(r + 1) * 128]
+        b = best_ref[r]
         best_rows.append(b)
         had = b[_B_T:_B_T + 1] < _BIG
         a0 = _B_ATTR
@@ -393,20 +371,20 @@ def _kernel_a(scal_ref, cand_ref, fs_ref, is_ref, rayop_ref, mat_ref,
          front.astype(f32), s["do_nee"].astype(f32)], axis=0)
 
 
-def _kernel_b(cand_ref, rayop_ref, blocks_hbm, occ_out,
+def _kernel_b(cand_ref, sh_ref, blocks_hbm, occ_out,
               buf0, buf1, sem0, sem1, *, kslots):
-    """Any-hit over the shadow rays' candidate lists -> occluded 0/1.
-    Fully flat-layout: the shadow ray operand table carries dist at
-    RP_ACT and the request flag at RP_DO; occlusion goes out as
-    [1, R*128] per group (XLA reshapes back to rows)."""
-    rp = rayop_ref[0]                                # [16, R*128]
-    dist = rp[RP_ACT:RP_ACT + 1] * (1.0 - SHADOW_T_EPS)
+    """Any-hit over the shadow rays' candidate lists -> occluded 0/1."""
+    sh = sh_ref[:]
+    so = sh[SH_O:SH_O + 3]
+    sd = sh[SH_D:SH_D + 3]
+    dist = sh[SH_DIST] * (1.0 - SHADOW_T_EPS)
     # lanes with no shadow request start "occluded" so fully-resolved
     # groups skip remaining visits (the XLA L-update masks by do anyway)
-    occ_out[0] = jnp.where(rp[RP_DO:RP_DO + 1] > 0.5, 0.0, 1.0)
+    occ_out[:] = jnp.where(sh[SH_DO:SH_DO + 1][0] > 0.5, 0.0, 1.0
+                           ) * jnp.ones((_R, 128), jnp.float32)
 
     def visit(i, cur):
-        @pl.when(jnp.min(occ_out[0]) < 0.5)
+        @pl.when(jnp.min(occ_out[:]) < 0.5)
         def _():
             _visit_body(i, cur)
 
@@ -415,18 +393,34 @@ def _kernel_b(cand_ref, rayop_ref, blocks_hbm, occ_out,
         cx = cur[cr:cr + 1, 0:128]
         cy = cur[cr:cr + 1, 128:256]
         cz = cur[cr:cr + 1, 256:384]
-        cols = _all_cols(rp, cx, cy, cz)             # [32, R*128]
-        det, un, vn, tn = _quantities(cur, cols)     # [CT, R*128]
-        s = jnp.where(det >= 0.0, 1.0, -1.0)
-        absd = det * s
-        su = un * s
-        sv = vn * s
-        st = tn * s
-        valid = ((absd > 1e-30) & (su >= 0.0) & (sv >= 0.0)
-                 & (su + sv <= absd)
-                 & (st > 0.0) & (st < dist * absd))
-        occ_c = jnp.max(valid.astype(jnp.float32), axis=0, keepdims=True)
-        occ_out[0] = jnp.maximum(occ_out[0], occ_c)
+        rm = cand_ref[0, 0, 1 + kslots + jnp.minimum(i, kslots - 1)]
+        for r in range(_R):
+            row_on = ((rm >> r) & 1) == 1
+
+            @pl.when(row_on)
+            def _(r=r):
+                _visit_row(r, cur, cx, cy, cz)
+
+    def _visit_row(r, cur, cx, cy, cz):
+        if True:
+            cols = _row_cols(so, sd, r, cx, cy, cz)
+            det, un, vn, tn = _quantities(cur, cols)
+            s = jnp.where(det >= 0.0, 1.0, -1.0)
+            absd = det * s
+            su = un * s
+            sv = vn * s
+            st = tn * s
+            dr = dist[r:r + 1]
+            valid = ((absd > 1e-30) & (su >= 0.0) & (sv >= 0.0)
+                     & (su + sv <= absd)
+                     & (st > 0.0) & (st < dr * absd))
+            occ_r = jnp.max(valid.astype(jnp.float32), axis=0,
+                            keepdims=True)
+            cur_occ = occ_out[:]
+            rowmask = jax.lax.broadcasted_iota(
+                jnp.int32, (_R, 128), 0) == r
+            occ_out[:] = jnp.where(rowmask,
+                                   jnp.maximum(cur_occ, occ_r), cur_occ)
 
     _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
                     kslots, visit)
@@ -441,8 +435,8 @@ def _kernel_b(cand_ref, rayop_ref, blocks_hbm, occ_out,
     jax.jit,
     static_argnames=("cfg_key", "kslots", "n_lights", "first_emissive",
                      "interpret"))
-def _kernel_a_call(scal, cand, fs, is_, rayop, mat_rows, light_rows,
-                   blocks, cfg_key, kslots, n_lights, first_emissive,
+def _kernel_a_call(scal, cand, fs, is_, mat_rows, light_rows, blocks,
+                   cfg_key, kslots, n_lights, first_emissive,
                    interpret=False):
     nrows = fs.shape[1]
     grid = nrows // _R
@@ -460,8 +454,6 @@ def _kernel_a_call(scal, cand, fs, is_, rayop, mat_rows, light_rows,
             pl.BlockSpec((NF, _R, 128), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((NI, _R, 128), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, RP_ROWS, _R * 128), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(mat_rows.shape, const2, memory_space=pltpu.VMEM),
             pl.BlockSpec(light_rows.shape, const2,
@@ -487,32 +479,32 @@ def _kernel_a_call(scal, cand, fs, is_, rayop, mat_rows, light_rows,
         scratch_shapes=[
             pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
             pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
-            pltpu.VMEM((32, _R * 128), jnp.float32),
+            pltpu.VMEM((_R, 32, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(scal, cand, fs, is_, rayop, mat_rows, light_rows, blocks)
+    )(scal, cand, fs, is_, mat_rows, light_rows, blocks)
 
 
 @functools.partial(jax.jit, static_argnames=("kslots", "interpret"))
-def _kernel_b_call(cand, rayop, blocks, kslots, interpret=False):
-    n_groups = rayop.shape[0]
+def _kernel_b_call(cand, sh, blocks, kslots, interpret=False):
+    nrows = sh.shape[1]
+    grid = nrows // _R
     kern = functools.partial(_kernel_b, kslots=kslots)
     return pl.pallas_call(
         kern,
-        grid=(n_groups,),
+        grid=(grid,),
         in_specs=[
             pl.BlockSpec((1, 1, cand.shape[2]), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, RP_ROWS, _R * 128), lambda b: (b, 0, 0),
+            pl.BlockSpec((SH_ROWS, _R, 128), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, _R * 128), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((_R, 128), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_groups, 1, _R * 128),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nrows, 128), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
             pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
@@ -520,7 +512,7 @@ def _kernel_b_call(cand, rayop, blocks, kslots, interpret=False):
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(cand, rayop, blocks)
+    )(cand, sh, blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -601,19 +593,6 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
     def g4(x3):
         return x3.reshape(3, n_groups, _R, 128)
 
-    def make_rayop(o3, d3, extra1, extra2=None):
-        """Flat [G, RP_ROWS, R*128] ray-operand table (built in XLA,
-        where the rows->lanes relayout is free; Mosaic can't do it)."""
-        oxd = jnp.stack([o3[1] * d3[2] - o3[2] * d3[1],
-                         o3[2] * d3[0] - o3[0] * d3[2],
-                         o3[0] * d3[1] - o3[1] * d3[0]])
-        rows = [d3, oxd, o3, extra1[None]]
-        if extra2 is not None:
-            rows.append(extra2[None])
-        rp = jnp.concatenate(rows, axis=0)
-        rp = jnp.pad(rp, ((0, RP_ROWS - rp.shape[0]), (0, 0)))
-        return rp.reshape(RP_ROWS, n_groups, _R * 128).transpose(1, 0, 2)
-
     # ----- wavefront sorting (the SER analog, SURVEY §2.6) -----
     # Scatter rays between bounces are spatially incoherent, which blows
     # up per-group candidate lists (kslots overflow = dropped geometry)
@@ -671,13 +650,9 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
             tbl.aabb_lo, tbl.aabb_hi, kslots)
         overflow = overflow + ovf
         scal = jnp.stack([sample_idx, jnp.uint32(bounce)]).reshape(1, 2)
-        rayop = make_rayop(fs[FS_O:FS_O + 3].reshape(3, npad),
-                           fs[FS_D:FS_D + 3].reshape(3, npad),
-                           active_in.reshape(npad).astype(f32))
         fs, is_, sh, hitb = _kernel_a_call(
-            scal, cand, fs, is_, rayop, tbl.mat_rows, tbl.light_rows,
-            tbl.blocks, key, kslots, tbl.n_lights, first_emissive,
-            interpret=interp)
+            scal, cand, fs, is_, tbl.mat_rows, tbl.light_rows, tbl.blocks,
+            key, kslots, tbl.n_lights, first_emissive, interpret=interp)
         ray_count = ray_count + jnp.sum(active_in)
         if bounce == 0:
             hit0 = hitb
@@ -711,16 +686,10 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                 shp[SH_DIST].reshape(n_groups, _R, 128),
                 tbl.aabb_lo, tbl.aabb_hi, kslots)
             overflow = overflow + ovf2
-            rayop_b = make_rayop(shp[SH_O:SH_O + 3].reshape(3, npad),
-                                 shp[SH_D:SH_D + 3].reshape(3, npad),
-                                 shp[SH_DIST].reshape(npad),
-                                 shp[SH_DO].reshape(npad))
-            occ = _kernel_b_call(cand_s, rayop_b, tbl.blocks, kslots,
+            occ = _kernel_b_call(cand_s, shp, tbl.blocks, kslots,
                                  interpret=interp)
             if sort_rays:
                 occ = jnp.take(occ.reshape(npad), sinv).reshape(nrows, 128)
-            else:
-                occ = occ.reshape(nrows, 128)
             L = fs[FS_L:FS_L + 3] + jnp.where(
                 (do & (occ < 0.5))[None], sh[SH_CONTRIB:SH_CONTRIB + 3],
                 0.0)
