@@ -4,16 +4,25 @@ TPU re-design of the reference's NEE-AT pipeline (reference: Lighting/
 LightsBaker.{h,cpp} + LightsBaker.hlsl — per-8x8-tile local sampling
 buffers built from reprojected temporal feedback, defensively mixed with
 the global power-proportional sampler; LightSampler.hlsli SampleLocal/
-SampleGlobal; LightingConfig.h:28-31 tile size 8, 128 local proxies).
+SampleGlobal; LightingConfig.h:17-31 — 512k lights, tile size 8, 128
+local proxies per tile).
 
-TPU-first shape: instead of proxy arrays + GPU sort jobs, each screen tile
-keeps an EMA luminance histogram over the (bounded) light list —
-a dense [n_tiles, n_lights] array updated by one scatter-add per frame and
-turned into per-tile CDFs. Sampling defensively mixes the tile CDF with
-the global power CDF (mix weight ALPHA_GLOBAL) so unseen lights stay
-reachable and the estimator stays unbiased (pdf is the exact mixture).
-The 512k-light proxy/compression tier of the reference maps to a future
-top-K compaction of the same histogram.
+Two capacity tiers (both unbiased — the selection pmf is the exact
+defensive mixture used for pdf/MIS):
+
+  * DENSE (n_lights <= MAX_DENSE_LIGHTS): each tile keeps an EMA
+    luminance histogram over the whole light list ([T, L]) — one
+    scatter-add per frame, trivially exact pmf lookups.
+  * TOP-K (beyond that, the 128-proxies-per-tile analog): each tile
+    keeps K hashed slots of (light id, EMA weight). Feedback claims a
+    slot by salted hash (collisions alternate frames via the salt) and
+    only the claiming light's weight lands; the per-tile local pmf is
+    defined over the stored ids, so the mixture pdf stays exact.
+
+Temporal feedback is REPROJECTED by the frame's motion vectors before
+the EMA (ProcessFeedbackHistory, LightsBaker.cpp:1331-1408): tile
+histograms follow the surfaces they were learned on, so camera motion
+does not feed stale/wrong-surface statistics into the EMA.
 """
 
 from __future__ import annotations
@@ -32,25 +41,44 @@ TILE = 8                 # pixels per tile side (LightingConfig.h:28)
 ALPHA_GLOBAL = 0.5       # defensive mixture weight for the global sampler
 EMA = 0.9                # temporal feedback smoothing
 MAX_DENSE_LIGHTS = 2048  # dense-histogram capacity
+TOPK = 128               # local slots per tile (LightingConfig.h:31)
 
 
 @struct.dataclass
 class NEEATState:
-    tile_pdf: jnp.ndarray    # [T, L] per-tile selection pmf (normalized)
-    tile_cdf: jnp.ndarray    # [T, L] inclusive CDF of tile_pdf
-    ema: jnp.ndarray         # [T, L] raw EMA histogram
+    # dense tier: [T, L]; top-K tier: [T, K] (+ idx_k light ids)
+    tile_pdf: jnp.ndarray
+    tile_cdf: jnp.ndarray
+    ema: jnp.ndarray
+    idx_k: Optional[jnp.ndarray] = None   # [T, K] i32; None = dense tier
+    frame: jnp.ndarray = None             # [] u32 hash salt / frame index
     n_tiles_x: int = struct.field(pytree_node=False, default=0)
     n_tiles_y: int = struct.field(pytree_node=False, default=0)
+    n_lights: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def topk(self) -> bool:
+        return self.idx_k is not None
 
 
 def init_state(width: int, height: int, n_lights: int) -> NEEATState:
     ntx = (width + TILE - 1) // TILE
     nty = (height + TILE - 1) // TILE
     t = ntx * nty
-    uniform = jnp.full((t, n_lights), 1.0 / n_lights, jnp.float32)
-    return NEEATState(tile_pdf=uniform, tile_cdf=jnp.cumsum(uniform, -1),
-                      ema=jnp.zeros((t, n_lights), jnp.float32),
-                      n_tiles_x=ntx, n_tiles_y=nty)
+    if n_lights <= MAX_DENSE_LIGHTS:
+        uniform = jnp.full((t, n_lights), 1.0 / n_lights, jnp.float32)
+        return NEEATState(tile_pdf=uniform,
+                          tile_cdf=jnp.cumsum(uniform, -1),
+                          ema=jnp.zeros((t, n_lights), jnp.float32),
+                          idx_k=None, frame=jnp.uint32(0),
+                          n_tiles_x=ntx, n_tiles_y=nty, n_lights=n_lights)
+    k = TOPK
+    return NEEATState(tile_pdf=jnp.zeros((t, k), jnp.float32),
+                      tile_cdf=jnp.ones((t, k), jnp.float32),
+                      ema=jnp.zeros((t, k), jnp.float32),
+                      idx_k=jnp.full((t, k), -1, jnp.int32),
+                      frame=jnp.uint32(0),
+                      n_tiles_x=ntx, n_tiles_y=nty, n_lights=n_lights)
 
 
 def tile_of(state: NEEATState, px, py):
@@ -59,9 +87,32 @@ def tile_of(state: NEEATState, px, py):
     return ty * state.n_tiles_x + tx
 
 
+def _slot_of(state: NEEATState, li):
+    """Salted hash slot for light li (salt = frame index so persistent
+    collisions alternate rather than starving one light)."""
+    salt = state.frame if state.frame is not None else jnp.uint32(0)
+    h = (li.astype(jnp.uint32) * jnp.uint32(2654435761)
+         + salt * jnp.uint32(0x9E3779B9))
+    return (h % jnp.uint32(TOPK)).astype(jnp.int32)
+
+
+def _local_pmf(state: NEEATState, lights, tile, li):
+    """Per-tile local selection pmf of light li. A tile with no feedback
+    yet falls back to the GLOBAL power pmf (its local branch samples the
+    global CDF), so the declared mixture stays exact."""
+    if not state.topk:
+        return state.tile_pdf[tile, li]
+    ids = jnp.take(state.idx_k, tile, axis=0)          # [N, K]
+    pdf = jnp.take(state.tile_pdf, tile, axis=0)       # [N, K]
+    memb = ids == li[..., None]
+    stored = jnp.sum(jnp.where(memb, pdf, 0.0), axis=-1)
+    empty = jnp.sum(pdf, axis=-1) < 0.5
+    return jnp.where(empty, jnp.take(lights.power, li), stored)
+
+
 def select_pdf(state: NEEATState, lights: LightList, tile, li):
     """Mixture selection pmf for light `li` at tile `tile` (for MIS)."""
-    local = state.tile_pdf[tile, li]
+    local = _local_pmf(state, lights, tile, li)
     global_ = jnp.take(lights.power, li)
     return ALPHA_GLOBAL * global_ + (1.0 - ALPHA_GLOBAL) * local
 
@@ -79,11 +130,18 @@ def sample_adaptive(state: NEEATState, lights: LightList, envmap: EnvMap,
     gs = sample_light(lights, envmap, shade_pos, u_sel, u1, u2)
 
     # local branch: searchsorted per row of the tile CDF
-    cdf_rows = jnp.take(state.tile_cdf, tile, axis=0)       # [N, L]
+    cdf_rows = jnp.take(state.tile_cdf, tile, axis=0)       # [N, L or K]
     u = jnp.clip(u_sel, 0.0, 1.0 - 1e-7)
-    li_local = jnp.clip(
-        jnp.sum((cdf_rows < u[..., None]).astype(jnp.int32), axis=-1),
-        0, lights.count - 1).astype(jnp.int32)
+    sel = jnp.sum((cdf_rows < u[..., None]).astype(jnp.int32), axis=-1)
+    if state.topk:
+        slot = jnp.clip(sel, 0, TOPK - 1)
+        ids = jnp.take(state.idx_k, tile, axis=0)           # [N, K]
+        li_local = jnp.take_along_axis(ids, slot[..., None], 1)[..., 0]
+        # empty tile / empty slot: fall back to the global pick
+        li_local = jnp.where(li_local >= 0, li_local, gs["light_index"])
+    else:
+        li_local = jnp.clip(sel, 0, lights.count - 1)
+    li_local = li_local.astype(jnp.int32)
 
     li = jnp.where(use_global, gs["light_index"], li_local)
     # Re-evaluate the chosen light deterministically (index + uv) so both
@@ -108,24 +166,116 @@ def sample_adaptive(state: NEEATState, lights: LightList, envmap: EnvMap,
                 valid=valid, light_index=li, tile=tile)
 
 
-def accumulate_feedback(state: NEEATState, tile, li, weight, valid):
-    """Scatter contribution luminance into the tile histogram (the analog
-    of the reference's NEE-AT feedback buffer writes + ProcessFeedback
-    passes, LightsBaker.cpp:1331-1408)."""
-    t, l = state.ema.shape
+def zero_hist(state: NEEATState):
+    """Fresh per-frame feedback accumulator."""
+    if not state.topk:
+        return jnp.zeros_like(state.ema)
+    return (jnp.zeros_like(state.ema),
+            jnp.full_like(state.idx_k, -1))
+
+
+def accumulate_feedback(state: NEEATState, hist, tile, li, weight, valid):
+    """Merge one bounce's contribution luminances into the frame
+    accumulator (the analog of the reference's NEE-AT feedback buffer
+    writes, LightsBaker.cpp:1331-1408)."""
     w = jnp.where(valid, weight, 0.0)
-    hist = jnp.zeros((t, l), jnp.float32).at[tile, li].add(w)
-    return hist
+    if not state.topk:
+        return hist.at[tile, li].add(w)
+    # Build THIS bounce's sparse table (claim + self-consistent adds),
+    # then merge with the running accumulator — merging (not in-place
+    # claiming) keeps earlier bounces' weights attributed to the right
+    # light ids (no cross-light slot contamination).
+    slot = _slot_of(state, li)
+    # invalid lanes scatter out of bounds (dropped) so they can't clobber
+    tile_eff = jnp.where(valid, tile, state.ema.shape[0])
+    idx_b = jnp.full_like(state.idx_k, -1
+                          ).at[tile_eff, slot].set(li, mode="drop")
+    owner = valid & (idx_b[tile, slot] == li)
+    h_b = jnp.zeros_like(state.ema
+                         ).at[tile_eff, slot].add(
+        jnp.where(owner, w, 0.0), mode="drop")
+    return _merge_sparse(hist, (h_b, idx_b))
 
 
-def update(state: NEEATState, frame_hist: jnp.ndarray) -> NEEATState:
-    """Temporal EMA + per-tile CDF rebuild (UpdateEnd analog)."""
-    ema = state.ema * EMA + frame_hist * (1.0 - EMA)
-    total = jnp.sum(ema, -1, keepdims=True)
-    l = ema.shape[-1]
-    pdf = jnp.where(total > 1e-9, ema / jnp.maximum(total, 1e-9),
-                    jnp.full_like(ema, 1.0 / l))
+def _merge_sparse(a, b):
+    """Merge two (weights, ids) slot tables: same id adds, empty slots
+    fill, conflicting claims keep the heavier entry."""
+    ha, ia = a
+    hb, ib = b
+    same = (ia == ib) & (ia >= 0)
+    a_empty = ia < 0
+    b_empty = ib < 0
+    conflict = ~same & ~a_empty & ~b_empty
+    take_b = a_empty | (conflict & (hb > ha))
+    h = jnp.where(same, ha + hb, jnp.where(take_b, hb, ha))
+    idx = jnp.where(same, ia, jnp.where(take_b, ib, ia))
+    return (h, idx)
+
+
+def _reproject_rows(state: NEEATState, arrs, motion):
+    """Gather each tile's history from its motion-reprojected source tile
+    (ProcessFeedbackHistory analog; nearest-tile, clamped)."""
+    ntx, nty = state.n_tiles_x, state.n_tiles_y
+    h, w = motion.shape[:2]
+    # mean motion per tile (pixels; prev = cur + motion)
+    hp = (nty * TILE, ntx * TILE)
+    pad = jnp.zeros((hp[0], hp[1], 2), motion.dtype)
+    pad = pad.at[:h, :w].set(motion)
+    mt = pad.reshape(nty, TILE, ntx, TILE, 2).mean(axis=(1, 3))  # [ty,tx,2]
+    tx = jnp.arange(ntx)[None, :]
+    ty = jnp.arange(nty)[:, None]
+    sx = jnp.clip(jnp.round(tx + mt[..., 0] / TILE), 0, ntx - 1)
+    sy = jnp.clip(jnp.round(ty + mt[..., 1] / TILE), 0, nty - 1)
+    src = (sy.astype(jnp.int32) * ntx + sx.astype(jnp.int32)).reshape(-1)
+    return [jnp.take(a, src, axis=0) for a in arrs]
+
+
+def update(state: NEEATState, frame_hist, motion=None) -> NEEATState:
+    """Reproject (optional) + temporal EMA + per-tile CDF rebuild
+    (UpdateEnd analog)."""
+    frame = (state.frame if state.frame is not None
+             else jnp.uint32(0)) + jnp.uint32(1)
+    if not state.topk:
+        ema = state.ema
+        if motion is not None:
+            (ema,) = _reproject_rows(state, [ema], motion)
+        ema = ema * EMA + frame_hist * (1.0 - EMA)
+        total = jnp.sum(ema, -1, keepdims=True)
+        l = ema.shape[-1]
+        pdf = jnp.where(total > 1e-9, ema / jnp.maximum(total, 1e-9),
+                        jnp.full_like(ema, 1.0 / l))
+        cdf = jnp.cumsum(pdf, -1)
+        cdf = cdf / jnp.maximum(cdf[..., -1:], 1e-9)
+        return state.replace(tile_pdf=pdf, tile_cdf=cdf, ema=ema,
+                             frame=frame)
+
+    hist_k, idx_f = frame_hist
+    ema, idx_k = state.ema, state.idx_k
+    if motion is not None:
+        ema, idx_k = _reproject_rows(state, [ema, idx_k], motion)
+    # merge: slots keep their EMA when the frame claimed the same light;
+    # a slot claimed by a NEW light restarts from the fresh weight
+    same = (idx_f == idx_k) & (idx_f >= 0)
+    fresh = (idx_f >= 0) & ~same
+    ema = jnp.where(same, ema * EMA + hist_k * (1.0 - EMA),
+                    jnp.where(fresh, hist_k * (1.0 - EMA), ema * EMA))
+    idx_k = jnp.where(idx_f >= 0, idx_f, idx_k)
+    w = jnp.where(idx_k >= 0, ema, 0.0)
+    total = jnp.sum(w, -1, keepdims=True)
+    pdf = jnp.where(total > 1e-9, w / jnp.maximum(total, 1e-9), 0.0)
     cdf = jnp.cumsum(pdf, -1)
-    cdf = cdf / jnp.maximum(cdf[..., -1:], 1e-9)
-    return NEEATState(tile_pdf=pdf, tile_cdf=cdf, ema=ema,
-                      n_tiles_x=state.n_tiles_x, n_tiles_y=state.n_tiles_y)
+    cdf = jnp.where(total > 1e-9, cdf / jnp.maximum(cdf[..., -1:], 1e-9),
+                    jnp.ones_like(cdf))
+    return state.replace(tile_pdf=pdf, tile_cdf=cdf, ema=ema, idx_k=idx_k,
+                         frame=frame)
+
+
+def merge_hists(state: NEEATState, stacked):
+    """Merge per-chunk frame accumulators (leading chunk axis)."""
+    if not state.topk:
+        return jnp.sum(stacked, axis=0)
+    hist_k, idx_f = stacked
+    acc = (hist_k[0], idx_f[0])
+    for c in range(1, hist_k.shape[0]):
+        acc = _merge_sparse(acc, (hist_k[c], idx_f[c]))
+    return acc

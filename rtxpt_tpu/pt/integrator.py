@@ -64,24 +64,33 @@ def _lds(cfg: PathTracerConfig, sample_idx, seed, dims):
 
 def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
                 px, py, sample_idx, want_aux: bool = False,
-                neeat_state=None, first_emissive: bool = True):
+                neeat_state=None, first_emissive: bool = True,
+                first_hit=None, bounce_budget=None):
     """Trace a wavefront of paths to completion.
 
     Args: o,d [N,3] camera rays; cone_spread [N]; px,py [N] i32;
-          sample_idx traced scalar/[] uint32.
+          sample_idx traced scalar/[] uint32. `first_hit` (accel Hit):
+          V-buffer restart — skip bounce 0's traversal and shade the
+          stored hit directly (stable-planes FILL,
+          PathTracerSample.hlsl:34-94 FirstHitFromVBuffer analog).
+          `bounce_budget` [N] i32: per-lane remaining bounces — lanes
+          stop scattering once bounce >= budget (the BUILD chain already
+          consumed path vertices; StablePlanes vertex-index bookkeeping).
     Returns dict(L [N,3], aux guide buffers when want_aux, ray_count []).
     """
     # Fused Pallas bounce kernel (pt/bounce_pallas.py) — the TPU hot path.
     # Eligibility is structural (tables baked at prepare, no textures/env/
     # NEE-AT); everything else takes the general XLA wavefront below.
+    # V-buffer restarts take the XLA path (hit injection into the fused
+    # kernels is future work).
     from rtxpt_tpu.pt import bounce_pallas as bp
-    if bp.eligible(scene, cfg, neeat_state):
+    if first_hit is None and bp.eligible(scene, cfg, neeat_state):
         return bp.trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py,
                                      sample_idx, want_aux=want_aux,
                                      first_emissive=first_emissive)
     # Large scenes: clustered streamed kernels (pt/bounce_clustered.py).
     from rtxpt_tpu.pt import bounce_clustered as bc
-    if bc.eligible(scene, cfg, neeat_state):
+    if first_hit is None and bc.eligible(scene, cfg, neeat_state):
         return bc.trace_paths_clustered(scene, cfg, o, d, cone_spread,
                                         px, py, sample_idx,
                                         want_aux=want_aux,
@@ -136,7 +145,7 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
     neeat_hist = None
     if use_neeat:
         from rtxpt_tpu.lighting import neeat as na
-        neeat_hist = jnp.zeros_like(neeat_state.ema)
+        neeat_hist = na.zero_hist(neeat_state)
 
     # Deferred NEE resolution: the shadow ray of bounce k rides in the SAME
     # intersect dispatch as bounce k+1's scatter rays (one 2N-wide query
@@ -155,8 +164,8 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         ok = pend_mask & ~occluded
         Lr = L + jnp.where(ok[..., None], pend_contrib, 0.0)
         if use_neeat:
-            neeat_hist = neeat_hist + na.accumulate_feedback(
-                neeat_state, pend_tile, pend_li,
+            neeat_hist = na.accumulate_feedback(
+                neeat_state, neeat_hist, pend_tile, pend_li,
                 m.luminance(pend_contrib), ok)
         return Lr, neeat_hist
 
@@ -176,6 +185,8 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
             occluded = ~hit2.miss[n:]
             L, neeat_hist = resolve_pending(L, occluded, neeat_hist)
             pend_mask = jnp.zeros((n,), bool)
+        elif bounce == 0 and first_hit is not None:
+            hit = first_hit          # V-buffer restart: traversal prepaid
         else:
             hit = closest_fn(o, d, jnp.zeros((n,), f32),
                              jnp.full((n,), cfg.max_ray_travel, f32))
@@ -254,6 +265,9 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         active = active & ~hit.miss
         if bounce == cfg.max_bounces:
             break
+        if bounce_budget is not None:
+            active = active & (bounce < bounce_budget)
+            hit_mask = hit_mask & active
 
         # ----- surface + volume transmittance (Beer-Lambert,
         #       HomogeneousVolumeSampler.hlsli; PathTracer.hlsli:538-547) ----
@@ -412,9 +426,9 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
                 L = L + jnp.where(nee_ok[..., None], contrib, 0.0)
                 if use_neeat:
                     # feedback: luminance of the realized contribution
-                    neeat_hist = neeat_hist + na.accumulate_feedback(
-                        neeat_state, ls["tile"], ls["light_index"],
-                        m.luminance(contrib), nee_ok)
+                    neeat_hist = na.accumulate_feedback(
+                        neeat_state, neeat_hist, ls["tile"],
+                        ls["light_index"], m.luminance(contrib), nee_ok)
 
         # ----- scatter (GenerateScatterRay, PathTracer.hlsli:217-345) -----
         seed_sc = rng.pixel_seed(px, py, bounce, EFFECT_SCATTER)
@@ -520,7 +534,8 @@ def render_sample(scene: SceneData, cam: Camera, cfg: PathTracerConfig,
                        if x.ndim >= 2 else jnp.sum(x)), out)
         out["occupancy"] = jnp.sum(occ, axis=0)
         if hist is not None:
-            out["neeat_hist"] = jnp.sum(hist, axis=0)
+            from rtxpt_tpu.lighting import neeat as na
+            out["neeat_hist"] = na.merge_hists(neeat_state, hist)
 
     ray_count = out.pop("ray_count")
     hist = out.pop("neeat_hist", None)

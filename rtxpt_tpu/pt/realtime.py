@@ -39,6 +39,7 @@ class RealtimeState(NamedTuple):
     prev_camera: Optional[Camera]
     frame_index: int
     neeat: Optional[object] = None            # lighting.neeat.NEEATState
+    denoiser_p2: Optional[dn.DenoiserState] = None  # stable-plane 2
 
 
 def init_state(height: int, width: int,
@@ -51,6 +52,7 @@ def init_state(height: int, width: int,
         neeat = na.init_state(width, height, int(scene.lights.count))
     return RealtimeState(denoiser=dn.init_state(height, width),
                          denoiser_p1=dn.init_state(height, width),
+                         denoiser_p2=dn.init_state(height, width),
                          taa_history=None, prev_camera=None, frame_index=0,
                          neeat=neeat)
 
@@ -101,10 +103,6 @@ def render_frame(scene: SceneData, cam: Camera, pt_cfg: PathTracerConfig,
     out = render_sample_jit(scene, render_cam, pt_cfg, rw, rh,
                             jnp.uint32(state.frame_index), True,
                             state.neeat)
-    new_neeat = state.neeat
-    if state.neeat is not None and "neeat_hist" in out:
-        from rtxpt_tpu.lighting import neeat as na
-        new_neeat = na.update(state.neeat, out["neeat_hist"])
     radiance = out["L"]
     albedo = out["albedo"]
     normal = out["normal"]
@@ -114,6 +112,14 @@ def render_frame(scene: SceneData, cam: Camera, pt_cfg: PathTracerConfig,
 
     motion = motion_vectors(state.prev_camera, wpos, depth,
                             rc.width, rc.height)
+
+    new_neeat = state.neeat
+    if state.neeat is not None and "neeat_hist" in out:
+        from rtxpt_tpu.lighting import neeat as na
+        # feedback history follows the surfaces it was learned on
+        # (ProcessFeedbackHistory reprojection, LightsBaker.cpp:1331-1408)
+        new_neeat = na.update(state.neeat, out["neeat_hist"],
+                              motion=motion)
 
     if rc.denoiser.value:
         # denoise indirect+direct illumination; primary emission re-added
@@ -177,18 +183,29 @@ def render_frame_stable_planes(scene: SceneData, cam: Camera,
     planes, background = decompose(scene, o, d)
 
     hdr = jnp.zeros((n, 3), jnp.float32)
-    dstates = [state.denoiser, state.denoiser_p1]
+    dstates = [state.denoiser, state.denoiser_p1, state.denoiser_p2]
     new_dstates = []
-    for i, plane in enumerate(planes[:2]):
+    mv0 = None
+    for i, plane in enumerate(planes):
         # decorrelate the per-plane fills
         sidx_p = sidx + jnp.uint32(i * 0x632BE59B)
+        # V-buffer restart: the BUILD pass prepaid this plane's first
+        # traversal (FirstHitFromVBuffer, PathTracerSample.hlsl:34-94).
+        budget = jnp.where(plane.valid,
+                           jnp.maximum(pt_cfg.max_bounces - plane.nverts,
+                                       0), 0)
         out = trace_paths(scene, pt_cfg, plane.o, plane.d, spread, px, py,
-                          sidx_p, want_aux=True)
+                          sidx_p, want_aux=True,
+                          first_hit=plane.vbuffer(pt_cfg.max_ray_travel),
+                          bounce_budget=budget)
         radiance = out["L"]
         if rc.denoiser.value:
+            # per-plane motion from the plane's own base surface
             motion = motion_vectors(state.prev_camera,
                                     out["wpos"].reshape(h, w, 3),
                                     out["depth"].reshape(h, w), w, h)
+            if i == 0:
+                mv0 = motion
             den, ds = dn.denoise(
                 (radiance - out["emission"]).reshape(h, w, 3),
                 out["albedo"].reshape(h, w, 3),
@@ -210,7 +227,8 @@ def render_frame_stable_planes(scene: SceneData, cam: Camera,
 
     hdr = hdr.reshape(h, w, 3)
     if rc.enable_taa:
-        mv = jnp.zeros((h, w, 2), jnp.float32)
+        # dominant-plane motion drives the display-TAA reprojection
+        mv = mv0 if mv0 is not None else jnp.zeros((h, w, 2), jnp.float32)
         hdr, taa_hist = taa_resolve(hdr, mv, state.taa_history)
     else:
         taa_hist = state.taa_history
@@ -219,6 +237,7 @@ def render_frame_stable_planes(scene: SceneData, cam: Camera,
     img = tonemap(hdr, rc.exposure, rc.tonemap)
     new_state = RealtimeState(denoiser=new_dstates[0],
                               denoiser_p1=new_dstates[1],
+                              denoiser_p2=new_dstates[2],
                               taa_history=taa_hist, prev_camera=cam,
                               frame_index=state.frame_index + 1)
     return img, hdr, new_state

@@ -226,24 +226,72 @@ def visibility_filter(res: Reservoir, gb: GBuffer, lights, envmap, bvh):
     return res._replace(w_out=jnp.where(keep, res.w_out, 0.0))
 
 
-def _merge(res_a: Reservoir, res_b: Reservoir, gb, lights, envmap,
-           u_accept, m_clamp: float):
-    """Merge reservoir b (e.g. temporal/neighbor) into a at a's surface."""
-    m_b = jnp.minimum(res_b.m_count, m_clamp)
-    p_hat_b, _, _, _ = _target_pdf(gb, lights, envmap,
-                                   jnp.maximum(res_b.y_light, 0),
-                                   res_b.y_uv)
-    w_b = jnp.where(res_b.y_light >= 0,
-                    p_hat_b * res_b.w_out * m_b, 0.0)
-    merged = _reservoir_update(res_a, res_b.y_light, res_b.y_uv, w_b,
-                               u_accept, count=m_b)
-    return _finalize(merged, gb, lights, envmap)
+def _gather_gb(gb: GBuffer, qi) -> GBuffer:
+    return GBuffer(*[jnp.take(f, qi, axis=0) for f in gb])
+
+
+def _phat(gb, lights, envmap, res: Reservoir):
+    """Target pdf of a reservoir's sample at surface gb (0 when empty)."""
+    p, _, _, _ = _target_pdf(gb, lights, envmap,
+                             jnp.maximum(res.y_light, 0), res.y_uv)
+    return jnp.where(res.y_light >= 0, p, 0.0)
+
+
+def _pairwise_combine(res_c: Reservoir, neighbors, gb, gbs_n, lights,
+                      envmap, u_accepts):
+    """Unbiased multi-reservoir combination at gb's surface with the
+    exact Talbot balance heuristic over ALL participating strategies
+    (canonical + k neighbors) — the bias-corrected combination of
+    RtxdiPass.cpp:354-406. For each candidate sample X_s:
+
+        m_s(X_s) = M_s p_hat_s(X_s) / sum_t M_t p_hat_t(X_s)
+        w_s      = m_s(X_s) * p_hat_c(X_s) * W_s
+
+    which is a partition of unity over strategies (samples a neighbor
+    could not have produced, e.g. across geometric edges, are reweighted
+    instead of biasing the estimate). Contribution weight
+    W = w_sum / p_hat_c(y) — the MIS weights replace 1/M.
+
+    neighbors: list of Reservoir (gathered + validity-masked);
+    gbs_n: their OWN surfaces (each strategy's target-pdf domain)."""
+    strategies = [(res_c, gb)] + list(zip(neighbors, gbs_n))
+    counts = [jnp.where((r.y_light >= 0), jnp.maximum(r.m_count, 0.0), 0.0)
+              for r, _ in strategies]
+
+    out = empty_reservoir(res_c.y_light.shape[0])
+    u_can = (u_accepts[-1] * 0.731 + 0.137) % 1.0
+    accepts = [u_can] + list(u_accepts)
+    for si, (r_s, _) in enumerate(strategies):
+        # denominator: sum_t M_t * p_hat_t(X_s) over every strategy's own
+        # surface, evaluated at THIS candidate
+        den = jnp.zeros_like(r_s.w_out)
+        phat_c_Xs = None
+        for ti, (_, gb_t) in enumerate(strategies):
+            p_t = _phat(gb_t, lights, envmap, r_s)
+            if ti == 0:
+                phat_c_Xs = p_t
+            den = den + counts[ti] * p_t
+        m_s = jnp.where(den > 0.0,
+                        counts[si] * _phat(strategies[si][1], lights,
+                                           envmap, r_s)
+                        / jnp.maximum(den, 1e-20), 0.0)
+        w_s = m_s * phat_c_Xs * r_s.w_out
+        has = (r_s.y_light >= 0) & (counts[si] > 0.0)
+        out = _reservoir_update(out, r_s.y_light, r_s.y_uv,
+                                jnp.where(has, w_s, 0.0), accepts[si],
+                                count=r_s.m_count)
+    # contribution weight: MIS weights replace the 1/M normalization
+    phat_y = _phat(gb, lights, envmap, out)
+    w_out = jnp.where((out.y_light >= 0) & (phat_y > 1e-11),
+                      out.w_sum / jnp.maximum(phat_y, 1e-11), 0.0)
+    return out._replace(w_out=w_out)
 
 
 def temporal_reuse(res: Reservoir, prev: Optional[Reservoir], gb: GBuffer,
                    prev_gb: Optional[GBuffer], lights, envmap, motion_flat,
                    width: int, height: int, seed, m_clamp: float = 20.0):
-    """Reproject previous reservoirs and merge (RtxdiPass temporal)."""
+    """Reproject previous reservoirs and merge with pairwise (balance-
+    heuristic) MIS (RtxdiPass temporal + bias correction)."""
     if prev is None or prev_gb is None:
         return res
     n = gb.pos.shape[0]
@@ -255,27 +303,29 @@ def temporal_reuse(res: Reservoir, prev: Optional[Reservoir], gb: GBuffer,
                   0, height - 1)
     qi = qy * width + qx
     prev_at = Reservoir(*[jnp.take(f, qi, axis=0) for f in prev])
+    prev_gb_at = _gather_gb(prev_gb, qi)
     # geometric validation
-    pdepth = jnp.take(prev_gb.depth, qi)
-    pnormal = jnp.take(prev_gb.normal, qi, axis=0)
-    ok = (jnp.abs(pdepth - gb.depth) < 0.1 * jnp.maximum(gb.depth, 1e-3)) \
-        & (jnp.sum(pnormal * gb.normal, -1) > 0.9) & gb.valid
+    ok = (jnp.abs(prev_gb_at.depth - gb.depth)
+          < 0.1 * jnp.maximum(gb.depth, 1e-3)) \
+        & (jnp.sum(prev_gb_at.normal * gb.normal, -1) > 0.9) & gb.valid
     prev_at = prev_at._replace(
         y_light=jnp.where(ok, prev_at.y_light, -1),
-        m_count=jnp.where(ok, prev_at.m_count, 0.0),
+        m_count=jnp.where(ok, jnp.minimum(prev_at.m_count, m_clamp), 0.0),
         w_out=jnp.where(ok, prev_at.w_out, 0.0))
     u = rng.uniform_sample(seed, jnp.uint32(101))
-    return _merge(res, prev_at, gb, lights, envmap, u, m_clamp)
+    return _pairwise_combine(res, [prev_at], gb, [prev_gb_at], lights,
+                             envmap, [u])
 
 
 def spatial_reuse(res: Reservoir, gb: GBuffer, lights, envmap, width: int,
                   height: int, seed, n_neighbors: int = 4,
                   radius: float = 16.0, m_clamp: float = 100.0):
-    """Merge reservoirs from nearby similar pixels (RtxdiPass spatial)."""
+    """Merge reservoirs from nearby similar pixels with pairwise MIS
+    (RtxdiPass spatial + bias correction, RtxdiPass.cpp:354-406)."""
     n = gb.pos.shape[0]
     px = jnp.arange(n, dtype=jnp.int32) % width
     py = jnp.arange(n, dtype=jnp.int32) // width
-    out = res
+    neighbors, gbs, us = [], [], []
     for k in range(n_neighbors):
         u1 = rng.uniform_sample(seed, jnp.uint32(200 + 3 * k))
         u2 = rng.uniform_sample(seed, jnp.uint32(201 + 3 * k))
@@ -287,18 +337,21 @@ def spatial_reuse(res: Reservoir, gb: GBuffer, lights, envmap, width: int,
         qy = jnp.clip(py + jnp.round(r * jnp.sin(phi)).astype(jnp.int32),
                       0, height - 1)
         qi = qy * width + qx
-        nb = Reservoir(*[jnp.take(f, qi, axis=0) for f in out])
+        nb = Reservoir(*[jnp.take(f, qi, axis=0) for f in res])
+        gb_q = _gather_gb(gb, qi)
         # similarity gates
-        qdepth = jnp.take(gb.depth, qi)
-        qnormal = jnp.take(gb.normal, qi, axis=0)
-        ok = (jnp.abs(qdepth - gb.depth) < 0.1 * jnp.maximum(gb.depth, 1e-3)) \
-            & (jnp.sum(qnormal * gb.normal, -1) > 0.9) & gb.valid
+        ok = (jnp.abs(gb_q.depth - gb.depth)
+              < 0.1 * jnp.maximum(gb.depth, 1e-3)) \
+            & (jnp.sum(gb_q.normal * gb.normal, -1) > 0.9) & gb.valid
         nb = nb._replace(
             y_light=jnp.where(ok, nb.y_light, -1),
-            m_count=jnp.where(ok, nb.m_count, 0.0),
+            m_count=jnp.where(ok, jnp.minimum(nb.m_count, m_clamp), 0.0),
             w_out=jnp.where(ok, nb.w_out, 0.0))
-        out = _merge(out, nb, gb, lights, envmap, ua, m_clamp)
-    return out
+        neighbors.append(nb)
+        gbs.append(gb_q)
+        us.append(ua)
+    return _pairwise_combine(res, neighbors, gb, gbs, lights, envmap, us)
+
 
 
 def final_shade(res: Reservoir, gb: GBuffer, lights, envmap, bvh,

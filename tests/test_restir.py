@@ -95,3 +95,31 @@ def test_restir_variance_below_single_nee(cornell_scene):
     # pixel-to-pixel variance within flat regions proxies estimator noise;
     # compare total variance of the two images (same mean target)
     assert est[sel].var() < one[sel].var() * 0.8
+
+
+def test_restir_converges_unbiased_on_edges(cornell_scene):
+    """VERDICT r1 #9 gate: converged ReSTIR (temporal+spatial reuse with
+    Talbot MIS) matches the many-sample NEE reference within noise on the
+    edge-heavy Cornell interior — the 1/M edge bias the pairwise-MIS
+    rework removes would show up here as a systematic offset."""
+    host, scene = cornell_scene
+    cam = default_camera(host, W, H)
+    gb, _ = restir.gbuffer_from_primary(scene, cam, W, H)
+    acc = None
+    state = None
+    frames = 40
+    for f in range(frames):
+        color, state = restir.restir_di(gb, scene.lights, scene.envmap,
+                                        scene.bvh, W, H, f, state,
+                                        n_candidates=4, spatial_passes=1)
+        acc = color if acc is None else acc + color
+    est = np.asarray(acc) / frames
+    ref = np.asarray(_reference_direct(scene, gb, 256))
+    sel = np.asarray(gb.valid)
+    rel_mean = abs(est[sel].mean() - ref[sel].mean()) / ref[sel].mean()
+    rmse = float(np.sqrt(((est[sel] - ref[sel]) ** 2).mean()))
+    # mean agreement is the bias gate (measured ~0.8%); the RMSE bound is
+    # a noise allowance — temporal reuse correlates frames, so pixel
+    # chains converge slower than 1/sqrt(frames)
+    assert rel_mean < 0.02, rel_mean
+    assert rmse < 0.06, rmse
