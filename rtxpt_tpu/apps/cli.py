@@ -108,7 +108,8 @@ def main(argv=None):
 
     from rtxpt_tpu.config import NEEMode, PathTracerConfig
     from rtxpt_tpu.prepare import prepare
-    from rtxpt_tpu.render.postprocess import auto_exposure, tonemap
+    from rtxpt_tpu.render.postprocess import (
+        auto_exposure_histogram, tonemap)
     from rtxpt_tpu.scene.procedural import default_camera
     from rtxpt_tpu.utils.image import save_png
 
@@ -239,7 +240,7 @@ def main(argv=None):
 
     exposure = args.exposure
     if args.auto_exposure:
-        exposure = float(auto_exposure(jnp.asarray(hdr)))
+        exposure = float(auto_exposure_histogram(jnp.asarray(hdr)))
     ldr = np.asarray(tonemap(jnp.asarray(hdr), exposure, args.tonemap))
     save_png(args.out, ldr)
     print(f"[out] {args.out}", file=sys.stderr)

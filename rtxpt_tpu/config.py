@@ -69,6 +69,9 @@ class PathTracerConfig:
     # Clustered large-scene path (pt/bounce_clustered.py)
     sort_rays: bool = True           # inter-bounce (cell, octant) ray sort
     cluster_kslots: int = 0          # candidate clusters/group; 0 = default
+    # Diffuse/specular radiance split for per-channel denoising
+    # (NRD RELAX_DIFFUSE_SPECULAR semantics, NrdConfig.cpp:25-27)
+    split_channels: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,6 +92,9 @@ class RenderConfig:
     # render_scale * display res, temporal-upscale to display; reference:
     # Sample.h:343-344 m_renderSize/m_displaySize).
     render_scale: float = 1.0
+    # Denoise diffuse and specular channels separately (reference runs
+    # split NRD instances per plane: Sample.cpp:2570-2573).
+    split_denoise: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -530,6 +530,8 @@ def eligible(scene, cfg, neeat_state) -> bool:
         return False
     if neeat_state is not None:
         return False
+    if getattr(cfg, "split_channels", False):
+        return False
     if cfg.nee.value not in (0, 1, 2):
         return False
     if int(cfg.nee_candidates) > 1:

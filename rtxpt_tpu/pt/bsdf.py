@@ -256,6 +256,18 @@ def bsdf_eval(data: BSDFData, wo, wi):
     return f
 
 
+def bsdf_eval_split(data: BSDFData, wo, wi):
+    """bsdf_eval partitioned into (diffuse-ish, specular-ish) channels —
+    the NRD diffuse/specular split (NrdConfig.cpp:25-27): diffuse
+    reflection + diffuse transmission vs microfacet reflection +
+    transmission. f_d + f_s == bsdf_eval exactly."""
+    f_d = (_eval_diffuse(data, wo, wi) * (1.0 - data.transmission)[..., None]
+           * (1.0 - data.diffuse_transmission)[..., None]
+           + _eval_diffuse_trans(data, wo, wi))
+    f_s = _eval_spec_refl(data, wo, wi) + _eval_spec_trans(data, wo, wi)
+    return f_d, f_s
+
+
 def bsdf_pdf(data: BSDFData, wo, wi):
     """Combined solid-angle pdf of `sample` producing wi (non-delta lobes)."""
     pd, ps, pt, pdt = _lobe_probs(data)

@@ -119,6 +119,16 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         emission=jnp.zeros((n, 3), f32),
     ) if want_aux else None
 
+    # Diffuse/specular radiance partition for per-channel denoising
+    # (NrdConfig.cpp:25-27): primary-vertex NEE splits by exact lobe
+    # evaluation; every later contribution follows the lobe of the FIRST
+    # scatter. L_diff + L_spec == L - primary emission.
+    split = bool(getattr(cfg, "split_channels", False)) and want_aux
+    L_diff = jnp.zeros((n, 3), f32) if split else None
+    L_spec = jnp.zeros((n, 3), f32) if split else None
+    first_spec = jnp.zeros((n,), bool)
+    pend_cdiff = jnp.zeros((n, 3), f32)
+
     sample_idx = jnp.asarray(sample_idx).astype(jnp.uint32)
 
     # OMM-analog alpha testing: MIXED triangles re-trace on alpha failure
@@ -161,8 +171,13 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
     pend_li = None
 
     def resolve_pending(L, occluded, neeat_hist):
+        nonlocal L_diff, L_spec
         ok = pend_mask & ~occluded
         Lr = L + jnp.where(ok[..., None], pend_contrib, 0.0)
+        if split:
+            L_diff = L_diff + jnp.where(ok[..., None], pend_cdiff, 0.0)
+            L_spec = L_spec + jnp.where(ok[..., None],
+                                        pend_contrib - pend_cdiff, 0.0)
         if use_neeat:
             neeat_hist = na.accumulate_feedback(
                 neeat_state, neeat_hist, pend_tile, pend_li,
@@ -262,6 +277,11 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
                 w_env = jnp.ones((n,), f32)
             contrib = thp * env_L * w_env[..., None]
             L = L + jnp.where(miss_mask[..., None], contrib, 0.0)
+            if split:
+                cd = jnp.where(first_spec[:, None], 0.0, contrib)
+                L_diff = L_diff + jnp.where(miss_mask[..., None], cd, 0.0)
+                L_spec = L_spec + jnp.where(miss_mask[..., None],
+                                            contrib - cd, 0.0)
         active = active & ~hit.miss
         if bounce == cfg.max_bounces:
             break
@@ -309,10 +329,21 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         if first_emissive or bounce > 0:
             L = L + jnp.where(hit_mask[..., None],
                               thp * em * w_em[..., None], 0.0)
+            if split and bounce > 0:
+                em_c = thp * em * w_em[..., None]
+                cd = jnp.where(first_spec[:, None], 0.0, em_c)
+                L_diff = L_diff + jnp.where(hit_mask[..., None], cd, 0.0)
+                L_spec = L_spec + jnp.where(hit_mask[..., None],
+                                            em_c - cd, 0.0)
 
         if want_aux and bounce == 0:
             alb = surf.bsdf.diffuse + surf.bsdf.specular_f0
             aux["albedo"] = jnp.where(hit_mask[..., None], alb, 1.0)
+            if split:
+                aux["albedo_diff"] = jnp.where(
+                    hit_mask[..., None], surf.bsdf.diffuse, 1.0)
+                aux["albedo_spec"] = jnp.where(
+                    hit_mask[..., None], surf.bsdf.specular_f0 + 0.04, 1.0)
             aux["normal"] = jnp.where(hit_mask[..., None], surf.sh_n, 0.0)
             aux["depth"] = jnp.where(hit_mask, hit.t, 0.0)
             aux["wpos"] = jnp.where(hit_mask[..., None], surf.pos, 0.0)
@@ -399,6 +430,13 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
                 lum = m.luminance(contrib)
                 scale = jnp.minimum(1.0, firefly / jnp.maximum(lum, 1e-12))
                 contrib = contrib * scale[..., None]
+            if split:
+                if bounce == 0:
+                    wi_sel = m.to_local(ls["wi"], surf.sh_n)
+                    f_dp, _f_sp = B.bsdf_eval_split(surf.bsdf, wo, wi_sel)
+                    cdiff = contrib * f_dp / jnp.maximum(f_l, 1e-12)
+                else:
+                    cdiff = jnp.where(first_spec[:, None], 0.0, contrib)
             # Occlusion distance measured from the OFFSET origin: the
             # self-intersection offset shifts the origin toward the light,
             # so using the raw surface-to-light distance makes the sampled
@@ -409,6 +447,8 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
             if fuse_shadows:
                 # defer: the shadow ray joins the next bounce's dispatch
                 pend_contrib = jnp.where(do_nee[..., None], contrib, 0.0)
+                if split:
+                    pend_cdiff = jnp.where(do_nee[..., None], cdiff, 0.0)
                 pend_o = shadow_o
                 pend_d = ls["wi"]
                 pend_dist = jnp.where(do_nee, sdist_eff * (1.0 - 1e-4),
@@ -424,6 +464,11 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
                     jnp.where(do_nee, sdist_eff * (1.0 - 1e-4), 0.0))
                 nee_ok = do_nee & ~occluded
                 L = L + jnp.where(nee_ok[..., None], contrib, 0.0)
+                if split:
+                    L_diff = L_diff + jnp.where(nee_ok[..., None], cdiff,
+                                                0.0)
+                    L_spec = L_spec + jnp.where(nee_ok[..., None],
+                                                contrib - cdiff, 0.0)
                 if use_neeat:
                     # feedback: luminance of the realized contribution
                     neeat_hist = na.accumulate_feedback(
@@ -435,6 +480,9 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         u_lobe, su1, su2 = _lds(cfg, sample_idx, seed_sc, (0, 2, 3))
         bs = B.bsdf_sample(surf.bsdf, wo, u_lobe, su1, su2)
         wi_world = m.to_world(bs["wi"], surf.sh_n)
+        if split and bounce == 0:
+            first_spec = ((bs["lobe"] == B.LOBE_SPECULAR_REFL)
+                          | (bs["lobe"] == B.LOBE_SPECULAR_TRANS))
         # Reject samples that leak through the geometric surface.
         same_side_sh = bs["wi"][..., 2] > 0.0
         same_side_geo = m.dot(wi_world, surf.geo_n, False) > 0.0
@@ -476,6 +524,9 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
 
     out = dict(L=L, ray_count=ray_count,
                occupancy=jnp.stack(occupancy))
+    if split:
+        out["L_diff"] = L_diff
+        out["L_spec"] = L_spec
     if use_neeat:
         out["neeat_hist"] = neeat_hist
     if want_aux:

@@ -23,7 +23,9 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from rtxpt_tpu.config import PathTracerConfig, RenderConfig
+import dataclasses
+
+from rtxpt_tpu.config import DenoiserMode, PathTracerConfig, RenderConfig
 from rtxpt_tpu.pt.integrator import render_sample_jit
 from rtxpt_tpu.render import denoise as dn
 from rtxpt_tpu.render.postprocess import tonemap
@@ -40,6 +42,7 @@ class RealtimeState(NamedTuple):
     frame_index: int
     neeat: Optional[object] = None            # lighting.neeat.NEEATState
     denoiser_p2: Optional[dn.DenoiserState] = None  # stable-plane 2
+    denoiser_spec: Optional[dn.DenoiserState] = None  # split spec channel
 
 
 def init_state(height: int, width: int,
@@ -53,6 +56,7 @@ def init_state(height: int, width: int,
     return RealtimeState(denoiser=dn.init_state(height, width),
                          denoiser_p1=dn.init_state(height, width),
                          denoiser_p2=dn.init_state(height, width),
+                         denoiser_spec=dn.init_state(height, width),
                          taa_history=None, prev_camera=None, frame_index=0,
                          neeat=neeat)
 
@@ -96,6 +100,9 @@ def render_frame(scene: SceneData, cam: Camera, pt_cfg: PathTracerConfig,
     (temporal upscaling — the DLSS-SR substitute)."""
     rw = max(int(rc.width * rc.render_scale), 8)
     rh = max(int(rc.height * rc.render_scale), 8)
+    split = rc.split_denoise and rc.denoiser != DenoiserMode.NONE
+    if split and not pt_cfg.split_channels:
+        pt_cfg = dataclasses.replace(pt_cfg, split_channels=True)
     render_cam = cam
     if (rw, rh) != (rc.width, rc.height):
         render_cam = cam.replace(width=jnp.float32(rw),
@@ -121,10 +128,21 @@ def render_frame(scene: SceneData, cam: Camera, pt_cfg: PathTracerConfig,
         new_neeat = na.update(state.neeat, out["neeat_hist"],
                               motion=motion)
 
-    if rc.denoiser.value:
+    den_fn = (dn.denoise_reblur if rc.denoiser == DenoiserMode.REBLUR
+              else dn.denoise)
+    dstate_spec = state.denoiser_spec
+    if rc.denoiser.value and split:
+        # per-channel denoise (split NRD instances, Sample.cpp:2570-2573)
+        den_d, dstate = den_fn(out["L_diff"], out["albedo_diff"], normal,
+                               depth, motion, state.denoiser)
+        den_s, dstate_spec = den_fn(out["L_spec"], out["albedo_spec"],
+                                    normal, depth, motion,
+                                    state.denoiser_spec)
+        hdr = den_d + den_s + emission
+    elif rc.denoiser.value:
         # denoise indirect+direct illumination; primary emission re-added
-        denoised, dstate = dn.denoise(radiance - emission, albedo, normal,
-                                      depth, motion, state.denoiser)
+        denoised, dstate = den_fn(radiance - emission, albedo, normal,
+                                  depth, motion, state.denoiser)
         hdr = denoised + emission
     else:
         hdr, dstate = radiance, state.denoiser
@@ -151,6 +169,8 @@ def render_frame(scene: SceneData, cam: Camera, pt_cfg: PathTracerConfig,
     # render-space indices (~8 px of phantom motion at 0.5x scale).
     new_state = RealtimeState(denoiser=dstate,
                               denoiser_p1=state.denoiser_p1,
+                              denoiser_p2=state.denoiser_p2,
+                              denoiser_spec=dstate_spec,
                               taa_history=taa_hist, prev_camera=render_cam,
                               frame_index=state.frame_index + 1,
                               neeat=new_neeat)

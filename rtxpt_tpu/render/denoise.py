@@ -212,3 +212,69 @@ def denoise(radiance, albedo, normal, depth, motion,
             new_state = new_state._replace(color=out)
 
     return out * safe_albedo, new_state
+
+
+# ---------------------------------------------------------------------------
+# REBLUR-class recurrent blur (second denoiser variant)
+# ---------------------------------------------------------------------------
+
+# Poisson-disk offsets (unit disk, 8 taps) for the recurrent blur
+_POISSON8 = [
+    (-0.4706069, -0.4427112), (-0.9057375, +0.3003471),
+    (-0.3487388, +0.4037880), (+0.1023042, +0.9231500),
+    (+0.3451990, -0.1186735), (+0.5337331, +0.3813070),
+    (+0.8642891, -0.3302780), (+0.1564815, -0.8280689),
+]
+
+
+def _reblur_pass(illum, normal, depth, radius_px, base_rot: float):
+    """One rotated-Poisson-disk blur with dynamic per-pixel radius and
+    normal/depth edge weights (the REBLUR 'blur/post-blur' shape)."""
+    h, w = depth.shape
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w))
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1))
+    ca, sa = jnp.cos(base_rot), jnp.sin(base_rot)
+
+    sum_c = illum
+    sum_w = jnp.ones_like(depth)
+    for ox, oy in _POISSON8:
+        dx = (ca * ox - sa * oy) * radius_px
+        dy = (sa * ox + ca * oy) * radius_px
+        sy = jnp.clip(yy + dy, 0.0, h - 1.0)
+        sx = jnp.clip(xx + dx, 0.0, w - 1.0)
+        c_q = _bilinear_sample(illum, sy, sx)
+        n_q = _bilinear_sample(normal, sy, sx)
+        z_q = _bilinear_sample(depth[..., None], sy, sx)[..., 0]
+        w_n = jnp.power(jnp.maximum(jnp.sum(normal * n_q, -1), 0.0), 16.0)
+        w_z = jnp.exp(-3.0 * jnp.abs(depth - z_q)
+                      / jnp.maximum(depth, 1e-3))
+        wgt = w_n * w_z
+        sum_c = sum_c + wgt[..., None] * c_q
+        sum_w = sum_w + wgt
+    return sum_c / jnp.maximum(sum_w, 1e-6)[..., None]
+
+
+def denoise_reblur(radiance, albedo, normal, depth, motion,
+                   state: Optional[DenoiserState] = None,
+                   base_radius: float = 16.0):
+    """REBLUR-class recurrent blur (the second NRD denoiser variant,
+    NrdConfig.cpp REBLUR graphs): temporal accumulation followed by two
+    rotated-Poisson-disk blurs whose per-pixel radius SHRINKS with
+    accumulated history (new/disoccluded pixels blur wide, converged
+    pixels keep detail) — instead of ReLAX's variance-guided a-trous.
+    Same contract as `denoise`."""
+    h, w = depth.shape
+    if state is None:
+        state = init_state(h, w)
+    safe_albedo = jnp.maximum(albedo, 1e-3)
+    illum = radiance / safe_albedo
+
+    illum, moments, hist, new_state = temporal_accumulate(
+        illum, depth, normal, motion, state)
+
+    # history-driven radius (REBLUR's accumulation-speed scaling)
+    radius = base_radius / (1.0 + hist)
+    out = _reblur_pass(illum, normal, depth, radius, 0.0)
+    new_state = new_state._replace(color=out)      # recurrent feedback
+    out = _reblur_pass(out, normal, depth, radius * 0.5, 0.7853982)
+    return out * safe_albedo, new_state

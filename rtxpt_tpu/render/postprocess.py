@@ -39,8 +39,35 @@ def tonemap(hdr, exposure: float = 1.0, curve: str = "aces"):
 
 
 def auto_exposure(hdr, key: float = 0.18, lo: float = -8.0, hi: float = 8.0):
-    """Log-average luminance auto-exposure (256-bin histogram analog,
-    ToneMappingPasses.h:153 — we use the exact log-mean instead)."""
+    """Log-average luminance auto-exposure (simple log-mean variant)."""
     lum = m.luminance(hdr)
     log_mean = jnp.mean(jnp.log2(jnp.clip(lum, 2.0 ** lo, 2.0 ** hi)))
+    return key / jnp.maximum(2.0 ** log_mean, 1e-8)
+
+
+def auto_exposure_histogram(hdr, key: float = 0.18, lo: float = -8.0,
+                            hi: float = 8.0, low_pct: float = 0.6,
+                            high_pct: float = 0.95, bins: int = 256):
+    """256-bin log-luminance histogram auto-exposure
+    (ToneMappingPasses.h:153 m_histogram + percentile filtering): the
+    exposure targets the mean of the [low_pct, high_pct] percentile band,
+    so small very-bright emitters (the sun in frame, specular hotspots)
+    and large dark regions do not drag the exposure the way the plain
+    log-mean does. Built as one one-hot reduce — TPU-friendly."""
+    lum = m.luminance(hdr).reshape(-1)
+    logl = jnp.clip(jnp.log2(jnp.maximum(lum, 1e-12)), lo, hi)
+    b = jnp.clip(((logl - lo) / (hi - lo) * bins).astype(jnp.int32),
+                 0, bins - 1)
+    hist = jnp.zeros((bins,), jnp.float32).at[b].add(1.0)
+    cdf = jnp.cumsum(hist)
+    total = cdf[-1]
+    # fractional overlap of each bin's CDF span with the percentile band
+    # (bins straddling the band edges contribute partially)
+    w = jnp.maximum(0.0,
+                    jnp.minimum(cdf, high_pct * total)
+                    - jnp.maximum(cdf - hist, low_pct * total))
+    centers = lo + (jnp.arange(bins, dtype=jnp.float32) + 0.5) \
+        * (hi - lo) / bins
+    wsum = jnp.sum(w)
+    log_mean = jnp.sum(w * centers) / jnp.maximum(wsum, 1e-6)
     return key / jnp.maximum(2.0 ** log_mean, 1e-8)

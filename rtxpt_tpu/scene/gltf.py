@@ -14,6 +14,7 @@ KHR_lights_punctual; images via PIL; first camera node as camera hint.
 from __future__ import annotations
 
 import base64
+import dataclasses
 import json
 import os
 import struct
@@ -259,8 +260,13 @@ def load_gltf(path: str) -> HostScene:
     roots = gltf.get("scenes", [{}])[scene_idx].get("roots") or \
         gltf.get("scenes", [{}])[scene_idx].get("nodes", [])
 
-    def walk(node_idx: int, parent: np.ndarray):
+    parents = [-1] * len(nodes)
+    instance_nodes: List[int] = []
+    skin_bindings: List[SkinBinding] = []
+
+    def walk(node_idx: int, parent: np.ndarray, parent_idx: int = -1):
         nonlocal camera_hint
+        parents[node_idx] = parent_idx
         node = nodes[node_idx]
         world = parent @ _node_matrix(node)
         if "mesh" in node:
@@ -297,11 +303,31 @@ def load_gltf(path: str) -> HostScene:
                     nrm /= np.maximum(np.linalg.norm(nrm, axis=-1,
                                                      keepdims=True), 1e-12)
                 mat_id = prim.get("material", 0)
+                instance_nodes.append(node_idx)
                 instances.append(MeshInstance(
                     positions=pos, normals=nrm, uvs=uv, indices=idx,
                     material=np.full((len(idx),), mat_id, np.int32),
                     transform=world.astype(np.float32),
                     name=node.get("name", f"node{node_idx}")))
+                if "skin" in node and "JOINTS_0" in attrs:
+                    sk = gltf["skins"][node["skin"]]
+                    jn = np.asarray(sk["joints"], np.int32)
+                    if "inverseBindMatrices" in sk:
+                        ibm = _accessor(gltf, buffers,
+                                        sk["inverseBindMatrices"])                             .reshape(-1, 4, 4).transpose(0, 2, 1)                             .astype(np.float32)
+                    else:
+                        ibm = np.tile(np.eye(4, dtype=np.float32),
+                                      (len(jn), 1, 1))
+                    joints = _accessor(gltf, buffers, attrs["JOINTS_0"])                         .astype(np.int32)
+                    weights = _accessor(gltf, buffers,
+                                        attrs["WEIGHTS_0"])                         .astype(np.float32)
+                    wsum = np.maximum(weights.sum(-1, keepdims=True),
+                                      1e-8)
+                    skin_bindings.append(SkinBinding(
+                        instance=len(instances) - 1, joints=joints,
+                        weights=weights / wsum, joint_nodes=jn, ibm=ibm,
+                        base_positions=pos.copy(),
+                        base_normals=nrm.copy()))
         ext = node.get("extensions", {})
         if "KHR_lights_punctual" in ext:
             ldef = gltf.get("extensions", {}).get(
@@ -337,7 +363,7 @@ def load_gltf(path: str) -> HostScene:
             walk(child, world)
 
     for r in roots:
-        walk(r, np.eye(4, dtype=np.float32))
+        walk(r, np.eye(4, dtype=np.float32), -1)
 
     analytic = None
     if lights_acc["kind"]:
@@ -359,4 +385,170 @@ def load_gltf(path: str) -> HostScene:
                       analytic_lights=analytic,
                       textures=textures if textures else None)
     scene.camera = camera_hint
+
+    # --- retained rig: animations + skins (animate_gltf drives it) ---
+    channels: List[AnimChannel] = []
+    duration = 0.0
+    for anim in gltf.get("animations", []):
+        samplers = anim.get("samplers", [])
+        for ch in anim.get("channels", []):
+            tgt = ch.get("target", {})
+            path = tgt.get("path")
+            if path not in ("translation", "rotation", "scale") \
+                    or "node" not in tgt:
+                continue                      # weights/morphs unsupported
+            sa = samplers[ch["sampler"]]
+            times = _accessor(gltf, buffers, sa["input"]) \
+                .reshape(-1).astype(np.float32)
+            values = _accessor(gltf, buffers, sa["output"]) \
+                .astype(np.float32)
+            channels.append(AnimChannel(
+                node=int(tgt["node"]), path=path, times=times,
+                values=values,
+                interp=sa.get("interpolation", "LINEAR")))
+            duration = max(duration, float(times[-1]))
+    if channels or skin_bindings:
+        scene.gltf_rig = GltfRig(
+            parents=parents, base_nodes=nodes, channels=channels,
+            instance_nodes=instance_nodes, skins=skin_bindings,
+            duration=duration)
     return scene
+
+
+# ---------------------------------------------------------------------------
+# Animation + skinning import (reference: Donut scene-graph animation,
+# consumed at Sample.cpp:2065 Refresh / :1170 UpdateSkinnedBLASs)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class AnimChannel:
+    node: int
+    path: str                 # "translation" | "rotation" | "scale"
+    times: np.ndarray         # [K]
+    values: np.ndarray        # [K,3] or [K,4]
+    interp: str               # "LINEAR" | "STEP"
+
+
+@dataclasses.dataclass
+class SkinBinding:
+    instance: int             # index into host.instances
+    joints: np.ndarray        # [V,4] i32
+    weights: np.ndarray       # [V,4] f32
+    joint_nodes: np.ndarray   # [J] i32 node ids
+    ibm: np.ndarray           # [J,4,4] inverse bind matrices
+    base_positions: np.ndarray  # [V,3] bind-pose local positions
+    base_normals: np.ndarray    # [V,3]
+
+
+@dataclasses.dataclass
+class GltfRig:
+    """Retained node hierarchy + animation tracks for a loaded glTF."""
+
+    parents: List[int]
+    base_nodes: List[dict]     # raw node dicts (TRS/matrix source)
+    channels: List[AnimChannel]
+    instance_nodes: List[int]  # per MeshInstance: owning node id
+    skins: List[SkinBinding]
+    duration: float
+
+
+def _quat_to_mat3(q: np.ndarray) -> np.ndarray:
+    x, y, z, w = q
+    return np.asarray([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+
+
+def _sample_channel(ch: AnimChannel, t: float) -> np.ndarray:
+    times = ch.times
+    if len(times) == 1:
+        return ch.values[0]
+    t = float(np.clip(t, times[0], times[-1]))
+    i = int(np.searchsorted(times, t, side="right") - 1)
+    i = min(max(i, 0), len(times) - 2)
+    if ch.interp == "STEP":
+        return ch.values[i]
+    t0, t1 = times[i], times[i + 1]
+    a = 0.0 if t1 <= t0 else (t - t0) / (t1 - t0)
+    v = (1.0 - a) * ch.values[i] + a * ch.values[i + 1]
+    if ch.path == "rotation":
+        # nlerp with shortest-arc sign fix
+        if np.dot(ch.values[i], ch.values[i + 1]) < 0.0:
+            v = (1.0 - a) * ch.values[i] - a * ch.values[i + 1]
+        v = v / max(np.linalg.norm(v), 1e-12)
+    return v
+
+
+def animate_gltf(host, t: float) -> None:
+    """Advance the retained glTF rig to time `t` (wrapping by duration):
+    rigid nodes update their instance transforms; skinned instances
+    re-skin their vertex positions/normals (linear blend). Mutates
+    `host.instances` in place — follow with animation.refresh_refit (or
+    refresh) to rebuild the device scene."""
+    rig: Optional[GltfRig] = getattr(host, "gltf_rig", None)
+    if rig is None:
+        return
+    if rig.duration > 0 and t > rig.duration:
+        t = t % rig.duration
+
+    n = len(rig.base_nodes)
+    trs = {}
+    for ni, node in enumerate(rig.base_nodes):
+        trs[ni] = [np.asarray(node.get("translation", [0, 0, 0]),
+                              np.float32),
+                   np.asarray(node.get("rotation", [0, 0, 0, 1]),
+                              np.float32),
+                   np.asarray(node.get("scale", [1, 1, 1]), np.float32),
+                   "matrix" in node]
+    animated = set()
+    for ch in rig.channels:
+        v = _sample_channel(ch, t)
+        k = {"translation": 0, "rotation": 1, "scale": 2}[ch.path]
+        trs[ch.node][k] = np.asarray(v, np.float32)
+        trs[ch.node][3] = False          # channel overrides a raw matrix
+        animated.add(ch.node)
+
+    local = np.zeros((n, 4, 4), np.float32)
+    for ni, node in enumerate(rig.base_nodes):
+        if trs[ni][3]:
+            local[ni] = _node_matrix(node)
+        else:
+            tr, q, sc, _ = trs[ni]
+            m4 = np.eye(4, dtype=np.float32)
+            m4[:3, :3] = _quat_to_mat3(q) * sc[None, :]
+            m4[:3, 3] = tr
+            local[ni] = m4
+    world = np.zeros_like(local)
+    # parents precede children in the recorded order (walk order)
+    order = sorted(range(n), key=lambda i: 0 if rig.parents[i] < 0 else 1)
+    # robust topological pass (handles arbitrary parent order)
+    done = [False] * n
+    stack = [i for i in range(n) if rig.parents[i] < 0]
+    while stack:
+        ni = stack.pop()
+        p = rig.parents[ni]
+        world[ni] = local[ni] if p < 0 else world[p] @ local[ni]
+        done[ni] = True
+        stack.extend(c for c in range(n) if rig.parents[c] == ni)
+
+    from rtxpt_tpu.scene.animation import skin_vertices
+    skinned = {sb.instance for sb in rig.skins}
+    for ii, ni in enumerate(rig.instance_nodes):
+        if ii not in skinned and ni >= 0:
+            host.instances[ii].transform = world[ni].astype(np.float32)
+    for sb in rig.skins:
+        palette = np.einsum("jab,jbc->jac", world[sb.joint_nodes], sb.ibm)
+        host.instances[sb.instance].positions = skin_vertices(
+            sb.base_positions, sb.joints, sb.weights, palette)
+        # normals: rotate by the blended matrix (uniform-scale approx)
+        nrm = np.zeros_like(sb.base_normals)
+        for k in range(4):
+            mats = palette[sb.joints[:, k]][:, :3, :3]
+            nrm += sb.weights[:, k:k + 1] * np.einsum(
+                "vij,vj->vi", mats, sb.base_normals)
+        ln = np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+        host.instances[sb.instance].normals = (nrm / ln).astype(np.float32)
+        host.instances[sb.instance].transform = np.eye(4, dtype=np.float32)

@@ -29,7 +29,8 @@ _SLOW_MODULES = {
     "test_stable_planes.py", "test_sharding.py", "test_harness.py",
     "test_wrs_nee.py", "test_neeat.py", "test_gltf.py",
     "test_omm_alpha.py", "test_restir_gi.py", "test_neeat_topk.py",
-    "test_refit.py",
+    "test_refit.py", "test_denoise_modes.py", "test_nested_priority.py",
+    "test_gltf_anim.py",
 }
 
 

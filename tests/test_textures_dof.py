@@ -93,3 +93,20 @@ def test_spot_light_cone(cornell_scene):
     corner = h[4:10, 4:10].mean()
     assert center > 0.05
     assert corner < center * 0.1, f"spot cone leak: {corner} vs {center}"
+
+
+def test_histogram_auto_exposure_rejects_outliers():
+    """256-bin percentile AE (ToneMappingPasses.h:153): a tiny very-bright
+    emitter must not crush the exposure the way the plain log-mean does."""
+    import jax.numpy as jnp2
+    from rtxpt_tpu.render.postprocess import (auto_exposure,
+                                              auto_exposure_histogram)
+    base = np.full((64, 64, 3), 0.18, np.float32)
+    e_plain = float(auto_exposure_histogram(jnp2.asarray(base)))
+    hot = base.copy()
+    hot[:3, :] = 1.0e5                        # ~4.7% hot pixels (< the 5%
+    e_hot = float(auto_exposure_histogram(jnp2.asarray(hot)))  # cut)
+    # histogram AE: nearly unchanged; log-mean AE: dragged down
+    assert abs(e_hot - e_plain) / e_plain < 0.05
+    e_logmean_hot = float(auto_exposure(jnp2.asarray(hot)))
+    assert e_logmean_hot < e_plain * 0.8
