@@ -147,6 +147,11 @@ def _lobe_probs(data: BSDFData):
                       jnp.clip(f0_lum + 0.04, 0.0, 1.0), 0.0)
     pd = m.luminance(data.diffuse) * (1.0 - data.transmission) * \
         (1.0 - data.diffuse_transmission)
+    # the Kulla-Conty ms lobe is cosine-shaped: give it cosine-sampling
+    # budget so rough metals (diffuse=0) still cover it with pdf > 0
+    pd = pd + jnp.where(data.alpha >= DELTA_ALPHA,
+                        m.luminance(_ms_color(data))
+                        * (1.0 - _E_avg_lookup(data.alpha)), 0.0)
     pdt = data.diffuse_transmission * m.luminance(data.transmission_color)
     ps = f_avg
     pt = data.transmission * (1.0 - f_avg) * m.luminance(data.transmission_color)
@@ -208,6 +213,130 @@ def _eval_diffuse_trans(data, wo, wi):
     return jnp.where(valid[..., None], f, 0.0)
 
 
+# --- Kulla-Conty multiple-scattering energy compensation -------------------
+# Single-scatter GGX loses up to ~60% energy at roughness 1 (the G term
+# discards multi-bounce microfacet paths). The compensation lobe
+# f_ms = F_ms (1-E(mu_o))(1-E(mu_i)) / (pi (1-E_avg)) restores a white
+# furnace for F0=1 (Kulla & Conty 2017; reference analog: Falcor BxDF
+# energy compensation, arch-doc gap #5). E(mu, alpha) is the directional
+# albedo of the single-scatter lobe, tabulated once on first use.
+
+_E_TABLE = None           # (E [NA, NM], E_avg [NA]) jnp arrays
+_E_RES = 32
+
+
+def _energy_tables():
+    global _E_TABLE
+    if _E_TABLE is None:
+        import numpy as _np
+        na = nm = _E_RES
+        # Deterministic hemisphere quadrature of the EXACT single-scatter
+        # eval (F=1), so the compensation complements precisely what
+        # _eval_spec_refl computes (incl. its clamps and MIN_COS gates).
+        K = 64
+        th = (_np.arange(K) + 0.5) / K * (_np.pi / 2)
+        ph = (_np.arange(K) + 0.5) / K * (2 * _np.pi)
+        TH, PH = _np.meshgrid(th, ph, indexing="ij")
+        wi = _np.stack([_np.sin(TH) * _np.cos(PH),
+                        _np.sin(TH) * _np.sin(PH),
+                        _np.cos(TH)], -1).reshape(-1, 3).astype(_np.float32)
+        dw = ((_np.pi / 2 / K) * (2 * _np.pi / K)
+              * _np.sin(TH).reshape(-1)).astype(_np.float32)
+        wi_j = jnp.asarray(wi)
+        dw_j = jnp.asarray(dw)
+        mus = _np.arange(nm) / (nm - 1.0)             # endpoint-inclusive
+        alphas = (_np.arange(na) / (na - 1.0)) ** 2   # sqrt spacing
+        E = _np.zeros((na, nm), _np.float32)
+        g = 64                                    # VNDF-grid fallback
+        gi = (_np.arange(g) + 0.5) / g
+        u1g = jnp.asarray(_np.repeat(gi, g), jnp.float32)
+        u2g = jnp.asarray(_np.tile(gi, g), jnp.float32)
+        for ai, a in enumerate(alphas):
+            rows = []
+            for mu in mus:
+                if a >= 0.15:
+                    # wide lobes: exact-eval quadrature (grid resolves D)
+                    wo_ = jnp.tile(jnp.asarray(
+                        [[_np.sqrt(max(0.0, 1 - mu * mu)), 0.0, mu]],
+                        jnp.float32), (len(wi), 1))
+                    al = jnp.full((len(wi),), a, jnp.float32)
+                    h = m.normalize(wo_ + wi_j)
+                    num = (ggx_ndf(al, h[..., 2])
+                           * smith_g2(al, wo_[..., 2], wi_j[..., 2])
+                           / jnp.maximum(4.0 * wo_[..., 2], 1e-9))
+                    ok_ = (wi_j[..., 2] > MIN_COS)                         & (wo_[..., 2] > MIN_COS)
+                    rows.append(float(jnp.sum(
+                        jnp.where(ok_, num, 0.0) * dw_j)))
+                else:
+                    # narrow lobes: the fixed grid misses the D spike, so
+                    # integrate in VNDF-warped space (1-E is ~0 here, so
+                    # the estimator's small bias is inconsequential)
+                    wo_ = jnp.tile(jnp.asarray(
+                        [[_np.sqrt(max(0.0, 1 - mu * mu)), 0.0, mu]],
+                        jnp.float32), (g * g, 1))
+                    al = jnp.full((g * g,), max(a, 1e-4), jnp.float32)
+                    h = sample_ggx_vndf(wo_, al, u1g, u2g)
+                    wi_v = m.normalize(2.0 * m.dot(wo_, h) * h - wo_)
+                    g2 = smith_g2(al, wo_[..., 2], wi_v[..., 2])
+                    g1 = smith_g1(al, wo_[..., 2])
+                    ok_ = (wi_v[..., 2] > MIN_COS)                         & (wo_[..., 2] > MIN_COS)
+                    rows.append(float(jnp.mean(jnp.where(
+                        ok_, g2 / jnp.maximum(g1, 1e-9), 0.0))))
+            E[ai] = _np.asarray(rows, _np.float32)
+        E = _np.clip(E, 0.0, 1.0)
+        E_avg = 2.0 * _np.trapezoid(E * mus[None, :], mus, axis=1)
+        _E_TABLE = (jnp.asarray(E), jnp.asarray(_np.asarray(
+            E_avg, _np.float32)))
+    return _E_TABLE
+
+
+def _E_lookup(alpha, mu):
+    E, _ = _energy_tables()
+    ai = jnp.clip(jnp.sqrt(jnp.clip(alpha, 0.0, 1.0)) * (_E_RES - 1.0),
+                  0.0, _E_RES - 1.0)
+    mi = jnp.clip(jnp.clip(mu, 0.0, 1.0) * (_E_RES - 1.0),
+                  0.0, _E_RES - 1.0)
+    a0 = jnp.floor(ai).astype(jnp.int32)
+    m0 = jnp.floor(mi).astype(jnp.int32)
+    a1 = jnp.minimum(a0 + 1, _E_RES - 1)
+    m1 = jnp.minimum(m0 + 1, _E_RES - 1)
+    fa = ai - a0
+    fm = mi - m0
+    return ((E[a0, m0] * (1 - fm) + E[a0, m1] * fm) * (1 - fa)
+            + (E[a1, m0] * (1 - fm) + E[a1, m1] * fm) * fa)
+
+
+def _E_avg_lookup(alpha):
+    _, Ea = _energy_tables()
+    ai = jnp.clip(jnp.sqrt(jnp.clip(alpha, 0.0, 1.0)) * (_E_RES - 1.0),
+                  0.0, _E_RES - 1.0)
+    a0 = jnp.floor(ai).astype(jnp.int32)
+    a1 = jnp.minimum(a0 + 1, _E_RES - 1)
+    fa = ai - a0
+    return Ea[a0] * (1 - fa) + Ea[a1] * fa
+
+
+def _ms_color(data):
+    """Kulla-Conty multi-scatter Fresnel factor (per channel)."""
+    e_avg = _E_avg_lookup(data.alpha)[..., None]
+    f_avg = data.specular_f0 + (1.0 - data.specular_f0) / 21.0
+    return f_avg * f_avg * e_avg / jnp.maximum(
+        1.0 - f_avg * (1.0 - e_avg), 1e-4)
+
+
+def _eval_spec_ms(data, wo, wi):
+    """Energy-compensation lobe * cos(wi)."""
+    woz, wiz = wo[..., 2], wi[..., 2]
+    e_o = _E_lookup(data.alpha, woz)
+    e_i = _E_lookup(data.alpha, wiz)
+    e_avg = _E_avg_lookup(data.alpha)
+    f = ((1.0 - e_o) * (1.0 - e_i)
+         / (jnp.pi * jnp.maximum(1.0 - e_avg, 1e-4)))
+    f_cos = (f * jnp.maximum(wiz, 0.0))[..., None] * _ms_color(data)
+    valid = (woz > MIN_COS) & (wiz > MIN_COS) & (data.alpha >= DELTA_ALPHA)
+    return jnp.where(valid[..., None], f_cos, 0.0)
+
+
 def _eval_spec_refl(data, wo, wi):
     woz, wiz = wo[..., 2], wi[..., 2]
     h = m.normalize(wo + wi)
@@ -252,6 +381,7 @@ def bsdf_eval(data: BSDFData, wo, wi):
          * (1.0 - data.diffuse_transmission)[..., None]
          + _eval_diffuse_trans(data, wo, wi)
          + _eval_spec_refl(data, wo, wi)
+         + _eval_spec_ms(data, wo, wi)
          + _eval_spec_trans(data, wo, wi))
     return f
 
@@ -264,7 +394,8 @@ def bsdf_eval_split(data: BSDFData, wo, wi):
     f_d = (_eval_diffuse(data, wo, wi) * (1.0 - data.transmission)[..., None]
            * (1.0 - data.diffuse_transmission)[..., None]
            + _eval_diffuse_trans(data, wo, wi))
-    f_s = _eval_spec_refl(data, wo, wi) + _eval_spec_trans(data, wo, wi)
+    f_s = (_eval_spec_refl(data, wo, wi) + _eval_spec_ms(data, wo, wi)
+           + _eval_spec_trans(data, wo, wi))
     return f_d, f_s
 
 

@@ -167,9 +167,24 @@ def spatial_reuse(res: GIReservoir, gb: GBuffer, width, height, seed,
 
 def temporal_reuse(res: GIReservoir, prev: Optional[GIReservoir],
                    gb: GBuffer, prev_gb: Optional[GBuffer], seed,
-                   m_clamp: float = 20.0):
+                   m_clamp: float = 20.0, motion_flat=None,
+                   width: int = 0, height: int = 0):
+    """Motion-aware temporal reuse: reproject the previous reservoirs by
+    the frame's motion vectors before validation/merge (RtxdiPass GI
+    temporal; fixes the camera-static limitation of round 1)."""
     if prev is None or prev_gb is None:
         return res
+    if motion_flat is not None and width > 0:
+        n = gb.pos.shape[0]
+        px = jnp.arange(n, dtype=jnp.int32) % width
+        py = jnp.arange(n, dtype=jnp.int32) // width
+        qx = jnp.clip(jnp.round(px + motion_flat[..., 0])
+                      .astype(jnp.int32), 0, width - 1)
+        qy = jnp.clip(jnp.round(py + motion_flat[..., 1])
+                      .astype(jnp.int32), 0, height - 1)
+        qi = qy * width + qx
+        prev = GIReservoir(*[jnp.take(f, qi, axis=0) for f in prev])
+        prev_gb = GBuffer(*[jnp.take(f, qi, axis=0) for f in prev_gb])
     ok = (jnp.abs(prev_gb.depth - gb.depth)
           < 0.1 * jnp.maximum(gb.depth, 1e-3)) \
         & (jnp.sum(prev_gb.normal * gb.normal, -1) > 0.9) & gb.valid
@@ -208,9 +223,10 @@ class GIState(NamedTuple):
 
 def restir_gi(scene, gb: GBuffer, cfg, width: int, height: int,
               frame_index, state: Optional[GIState] = None,
-              spatial_passes: int = 1):
+              spatial_passes: int = 1, motion_flat=None):
     """Full GI pipeline for one frame. Returns (indirect radiance [N,3],
-    new state). `cfg` bounds the initial path's continuation budget."""
+    new state). `cfg` bounds the initial path's continuation budget;
+    `motion_flat` [N,2] enables motion-aware temporal reprojection."""
     n = gb.pos.shape[0]
     px = jnp.arange(n, dtype=jnp.int32) % width
     py = jnp.arange(n, dtype=jnp.int32) // width
@@ -218,7 +234,9 @@ def restir_gi(scene, gb: GBuffer, cfg, width: int, height: int,
                             jnp.uint32(frame_index * 2654435761 % (1 << 31)))
     res = initial_samples(scene, gb, cfg, px, py, frame_index)
     if state is not None and state.reservoir is not None:
-        res = temporal_reuse(res, state.reservoir, gb, state.gbuffer, seed)
+        res = temporal_reuse(res, state.reservoir, gb, state.gbuffer, seed,
+                             motion_flat=motion_flat, width=width,
+                             height=height)
     for _ in range(spatial_passes):
         res = spatial_reuse(res, gb, width, height, seed)
     color = final_shade(res, gb, scene.bvh)

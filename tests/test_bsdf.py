@@ -141,3 +141,39 @@ def test_smooth_glass_refracts():
     sin_i = np.sqrt(np.clip(1 - woh[refr, 2] ** 2, 0, 1))
     sin_t = np.sqrt(np.clip(1 - wi[refr, 2] ** 2, 0, 1))
     np.testing.assert_allclose(sin_i / 1.5, sin_t, atol=2e-3)
+
+
+def test_energy_compensation_metal_furnace():
+    """VERDICT r1 #8 gate: Kulla-Conty multiple-scattering compensation —
+    a white metal (F0=1) must pass the furnace at roughness 1.0 within 1%
+    (single-scatter GGX alone loses ~62% there)."""
+    import numpy as np2
+    n = 200000
+    rng2 = np.random.default_rng(0)
+    data = B.make_bsdf_data(
+        base_color=jnp.ones((n, 3)), metallic=jnp.ones((n,)),
+        roughness=jnp.full((n,), 1.0), ior=jnp.full((n,), 1.5),
+        transmission=jnp.zeros((n,)), diffuse_transmission=jnp.zeros((n,)),
+        specular_scale=jnp.full((n,), 0.5), front=jnp.ones((n,), bool))
+    uo = rng2.uniform(size=(2, n)).astype(np2.float32)
+    wo, _ = m.sample_cosine_hemisphere(jnp.asarray(uo[0]),
+                                       jnp.asarray(uo[1]))
+    u = jnp.asarray(rng2.uniform(size=(3, n)), jnp.float32)
+    bs = B.bsdf_sample(data, wo, u[0], u[1], u[2])
+    albedo = float(np2.mean(np2.asarray(
+        m.luminance(bs["weight"]) * bs["valid"])))
+    assert abs(albedo - 1.0) < 0.01, albedo
+
+
+def test_energy_compensation_zero_for_smooth():
+    """The ms lobe must vanish for smooth surfaces (delta handled apart)."""
+    n = 16
+    data = B.make_bsdf_data(
+        base_color=jnp.ones((n, 3)), metallic=jnp.ones((n,)),
+        roughness=jnp.full((n,), 0.05), ior=jnp.full((n,), 1.5),
+        transmission=jnp.zeros((n,)), diffuse_transmission=jnp.zeros((n,)),
+        specular_scale=jnp.full((n,), 0.5), front=jnp.ones((n,), bool))
+    wo = jnp.tile(jnp.asarray([[0.0, 0.6, 0.8]]), (n, 1))
+    wi = jnp.tile(jnp.asarray([[0.0, -0.6, 0.8]]), (n, 1))
+    fms = np.asarray(B._eval_spec_ms(data, wo, wi))
+    assert fms.max() < 0.02
