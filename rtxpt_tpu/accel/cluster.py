@@ -154,6 +154,9 @@ def build_cluster_tables(positions, normals, indices, tri_material,
     t = len(indices)
     n_mats = len(np.asarray(materials.base_color))
     n_lights = int(np.asarray(lights.num))
+    if getattr(materials, "anisotropy", None) is not None and \
+            float(np.max(np.asarray(materials.anisotropy))) > 0.0:
+        return None      # anisotropic GGX runs on the XLA path
     n_clusters = -(-t // CT)
     if (t == 0 or n_clusters > MAX_CLUSTERS or n_mats > MAX_MATERIALS
             or n_lights > MAX_LIGHTS):

@@ -103,7 +103,12 @@ MT_EMISSIVE = 8         # 8:11
 MT_SPEC = 11
 MT_THIN = 12
 MT_VOLABS = 13          # 13:16
-MT_ROWS = 16
+# Kulla-Conty energy rows: per-material directional albedo E(alpha_m,
+# mu_k) at the 32 table mu bins + E_avg (bsdf.bake_e_rows_np) — the
+# kernel's runtime mu-lerp exactly matches the XLA bilinear lookup.
+MT_EROWS = 16           # 16:48
+MT_EAVG = 48
+MT_ROWS = 49
 
 # Effect seeds — must match pt/integrator.py
 EFFECT_SCATTER = 29
@@ -145,6 +150,11 @@ def pack_materials(materials) -> np.ndarray:
     mat[MT_THIN, :n_mats] = np.asarray(materials.thin)
     mat[MT_VOLABS:MT_VOLABS + 3, :n_mats] = \
         np.asarray(materials.volume_absorption).T
+    from rtxpt_tpu.pt.bsdf import bake_e_rows_np
+    r = np.asarray(materials.roughness, np.float64)
+    e_rows, e_avg = bake_e_rows_np(np.clip(r * r, 0.0, 1.0))
+    mat[MT_EROWS:MT_EROWS + 32, :n_mats] = e_rows
+    mat[MT_EAVG, :n_mats] = e_avg
     return mat
 
 
@@ -174,6 +184,9 @@ def pack_lights(lights) -> np.ndarray:
 def build_bounce_tables(positions, normals, indices, tri_material,
                         materials, lights) -> Optional[BounceTables]:
     """Host-side table bake; returns None when the scene is ineligible."""
+    if getattr(materials, "anisotropy", None) is not None and \
+            float(np.max(np.asarray(materials.anisotropy))) > 0.0:
+        return None      # anisotropic GGX runs on the XLA path
     positions = np.asarray(positions, np.float32)
     normals = np.asarray(normals, np.float32)
     indices = np.asarray(indices, np.int32)
@@ -434,8 +447,11 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
         for j in range(3)], axis=0)
     thp = thp * jnp.where(in_medium, jnp.exp(-sigma * t), 1.0)
 
+    e_rows = jnp.stack([mrow(MT_EROWS + k) for k in range(32)], axis=0)
+    e_avg = mrow(MT_EAVG)
     bsdf = W.make_bsdf_w(base_color, metallic, roughness, ior, transmission,
-                         dtrans, spec_scale, front, cur_ior, below_ior)
+                         dtrans, spec_scale, front, cur_ior, below_ior,
+                         e_rows=e_rows, e_avg=e_avg)
     emissive = jnp.where(front, emissive, 0.0)
 
     # ----- emissive hit + MIS (baked per-tri light pdf/area) -----

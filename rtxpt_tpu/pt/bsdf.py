@@ -49,6 +49,19 @@ class BSDFData:
     diffuse_transmission: jnp.ndarray  # [N]
     eta: jnp.ndarray            # [N] relative IoR n_incident / n_transmitted
     transmission_color: jnp.ndarray  # [N,3]
+    # Anisotropic GGX alphas (Disney aspect remap of `anisotropy`;
+    # both == alpha for isotropic materials). The tangent frame comes
+    # from utils.math.to_local's deterministic normal basis.
+    alpha_x: jnp.ndarray = None  # [N]
+    alpha_y: jnp.ndarray = None  # [N]
+
+    @property
+    def ax(self):
+        return self.alpha if self.alpha_x is None else self.alpha_x
+
+    @property
+    def ay(self):
+        return self.alpha if self.alpha_y is None else self.alpha_y
 
 
 # ---------------------------------------------------------------------------
@@ -62,6 +75,15 @@ def ggx_ndf(alpha, hz):
     return a2 / jnp.maximum(jnp.pi * den * den, 1e-12)
 
 
+def ggx_ndf_aniso(ax, ay, h):
+    """Anisotropic GGX NDF (Burley/Heitz; == ggx_ndf when ax == ay)."""
+    hx, hy, hz = h[..., 0], h[..., 1], h[..., 2]
+    axs = jnp.maximum(ax, 1e-5)
+    ays = jnp.maximum(ay, 1e-5)
+    den = (hx * hx) / (axs * axs) + (hy * hy) / (ays * ays) + hz * hz
+    return 1.0 / jnp.maximum(jnp.pi * axs * ays * den * den, 1e-12)
+
+
 def smith_lambda(alpha, wz):
     wz = jnp.clip(jnp.abs(wz), MIN_COS, 1.0)
     a2 = alpha * alpha
@@ -69,12 +91,27 @@ def smith_lambda(alpha, wz):
     return 0.5 * (jnp.sqrt(1.0 + a2 * tan2) - 1.0)
 
 
+def smith_lambda_aniso(ax, ay, w):
+    wz = jnp.clip(jnp.abs(w[..., 2]), MIN_COS, 1.0)
+    a2 = (ax * ax * w[..., 0] ** 2 + ay * ay * w[..., 1] ** 2) / (wz * wz)
+    return 0.5 * (jnp.sqrt(1.0 + a2) - 1.0)
+
+
 def smith_g1(alpha, wz):
     return 1.0 / (1.0 + smith_lambda(alpha, wz))
 
 
+def smith_g1_aniso(ax, ay, w):
+    return 1.0 / (1.0 + smith_lambda_aniso(ax, ay, w))
+
+
 def smith_g2(alpha, woz, wiz):
     return 1.0 / (1.0 + smith_lambda(alpha, woz) + smith_lambda(alpha, wiz))
+
+
+def smith_g2_aniso(ax, ay, wo, wi):
+    return 1.0 / (1.0 + smith_lambda_aniso(ax, ay, wo)
+                  + smith_lambda_aniso(ax, ay, wi))
 
 
 def fresnel_schlick(f0, cos_h):
@@ -103,10 +140,11 @@ def fresnel_dielectric(cos_i, eta):
     return jnp.where(tir, 1.0, f)
 
 
-def sample_ggx_vndf(wo, alpha, u1, u2):
+def sample_ggx_vndf(wo, alpha, u1, u2, alpha_y=None):
     """Visible-NDF GGX half-vector sampling (Heitz 2018). wo.z > 0."""
+    ay = alpha if alpha_y is None else alpha_y
     vx = alpha * wo[..., 0]
-    vy = alpha * wo[..., 1]
+    vy = ay * wo[..., 1]
     vz = wo[..., 2]
     vh = m.normalize(jnp.stack([vx, vy, vz], axis=-1))
     lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
@@ -124,16 +162,19 @@ def sample_ggx_vndf(wo, alpha, u1, u2):
     p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1)) + s * p2
     nh = (p1[..., None] * t1 + p2[..., None] * t2
           + jnp.sqrt(jnp.maximum(0.0, 1.0 - p1 * p1 - p2 * p2))[..., None] * vh)
-    h = jnp.stack([alpha * nh[..., 0], alpha * nh[..., 1],
+    h = jnp.stack([alpha * nh[..., 0], ay * nh[..., 1],
                    jnp.maximum(nh[..., 2], 0.0)], axis=-1)
     return m.normalize(h)
 
 
-def ggx_vndf_pdf(wo, h, alpha):
+def ggx_vndf_pdf(wo, h, alpha, alpha_y=None):
     """pdf of sampling half-vector h by VNDF from wo (both local)."""
     woz = jnp.maximum(wo[..., 2], MIN_COS)
     doth = jnp.maximum(m.dot(wo, h, False), 0.0)
-    return smith_g1(alpha, woz) * ggx_ndf(alpha, h[..., 2]) * doth / woz
+    if alpha_y is None:
+        return smith_g1(alpha, woz) * ggx_ndf(alpha, h[..., 2]) * doth / woz
+    return (smith_g1_aniso(alpha, alpha_y, wo)
+            * ggx_ndf_aniso(alpha, alpha_y, h) * doth / woz)
 
 
 # ---------------------------------------------------------------------------
@@ -151,7 +192,7 @@ def _lobe_probs(data: BSDFData):
     # budget so rough metals (diffuse=0) still cover it with pdf > 0
     pd = pd + jnp.where(data.alpha >= DELTA_ALPHA,
                         m.luminance(_ms_color(data))
-                        * (1.0 - _E_avg_lookup(data.alpha)), 0.0)
+                        * (1.0 - _E_avg_lookup(_ms_alpha(data))), 0.0)
     pdt = data.diffuse_transmission * m.luminance(data.transmission_color)
     ps = f_avg
     pt = data.transmission * (1.0 - f_avg) * m.luminance(data.transmission_color)
@@ -228,70 +269,120 @@ _E_RES = 32
 def _energy_tables():
     global _E_TABLE
     if _E_TABLE is None:
+        # Pure numpy build (may be triggered from inside a jit trace via
+        # the first bsdf_eval — no jnp ops allowed here). Disk-cached:
+        # the table is deterministic in (_E_RES, build version).
+        import os as _os
+        import tempfile as _tf
         import numpy as _np
+        cache = _os.path.join(_tf.gettempdir(),
+                              f"rtxpt_tpu_ggx_E_v3_{_E_RES}.npz")
+        try:
+            z = _np.load(cache)
+            _E_TABLE = (z["E"], z["E_avg"])
+            return _E_TABLE
+        except Exception:
+            pass
+
+        def _ndf(a, hz):
+            a2 = a * a
+            den = hz * hz * (a2 - 1.0) + 1.0
+            return a2 / _np.maximum(_np.pi * den * den, 1e-12)
+
+        def _lam(a, wz):
+            wz = _np.clip(_np.abs(wz), MIN_COS, 1.0)
+            return 0.5 * (_np.sqrt(1.0 + a * a * (1.0 - wz * wz)
+                                   / (wz * wz)) - 1.0)
+
+        def _g2(a, woz, wiz):
+            return 1.0 / (1.0 + _lam(a, woz) + _lam(a, wiz))
+
+        def _g1(a, wz):
+            return 1.0 / (1.0 + _lam(a, wz))
+
+        def _vndf(wo, a, u1, u2):
+            vh = wo * _np.asarray([a, a, 1.0])
+            vh = vh / _np.linalg.norm(vh, axis=-1, keepdims=True)
+            lensq = vh[:, 0] ** 2 + vh[:, 1] ** 2
+            inv = 1.0 / _np.sqrt(_np.maximum(lensq, 1e-20))
+            t1 = _np.where((lensq > 1e-16)[:, None],
+                           _np.stack([-vh[:, 1] * inv, vh[:, 0] * inv,
+                                      _np.zeros_like(inv)], -1),
+                           _np.asarray([[1.0, 0.0, 0.0]]))
+            t2 = _np.cross(vh, t1)
+            r = _np.sqrt(u1)
+            phi = 2.0 * _np.pi * u2
+            p1 = r * _np.cos(phi)
+            p2 = r * _np.sin(phi)
+            sble = 0.5 * (1.0 + vh[:, 2])
+            p2 = (1.0 - sble) * _np.sqrt(
+                _np.maximum(0.0, 1.0 - p1 * p1)) + sble * p2
+            nh = (p1[:, None] * t1 + p2[:, None] * t2
+                  + _np.sqrt(_np.maximum(
+                      0.0, 1.0 - p1 * p1 - p2 * p2))[:, None] * vh)
+            h = _np.stack([a * nh[:, 0], a * nh[:, 1],
+                           _np.maximum(nh[:, 2], 0.0)], -1)
+            return h / _np.maximum(
+                _np.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+
         na = nm = _E_RES
-        # Deterministic hemisphere quadrature of the EXACT single-scatter
-        # eval (F=1), so the compensation complements precisely what
-        # _eval_spec_refl computes (incl. its clamps and MIN_COS gates).
         K = 64
         th = (_np.arange(K) + 0.5) / K * (_np.pi / 2)
         ph = (_np.arange(K) + 0.5) / K * (2 * _np.pi)
         TH, PH = _np.meshgrid(th, ph, indexing="ij")
         wi = _np.stack([_np.sin(TH) * _np.cos(PH),
                         _np.sin(TH) * _np.sin(PH),
-                        _np.cos(TH)], -1).reshape(-1, 3).astype(_np.float32)
+                        _np.cos(TH)], -1).reshape(-1, 3)
         dw = ((_np.pi / 2 / K) * (2 * _np.pi / K)
-              * _np.sin(TH).reshape(-1)).astype(_np.float32)
-        wi_j = jnp.asarray(wi)
-        dw_j = jnp.asarray(dw)
-        mus = _np.arange(nm) / (nm - 1.0)             # endpoint-inclusive
-        alphas = (_np.arange(na) / (na - 1.0)) ** 2   # sqrt spacing
-        E = _np.zeros((na, nm), _np.float32)
-        g = 64                                    # VNDF-grid fallback
+              * _np.sin(TH).reshape(-1))
+        g = 64
         gi = (_np.arange(g) + 0.5) / g
-        u1g = jnp.asarray(_np.repeat(gi, g), jnp.float32)
-        u2g = jnp.asarray(_np.tile(gi, g), jnp.float32)
+        u1g = _np.repeat(gi, g)
+        u2g = _np.tile(gi, g)
+        mus = _np.arange(nm) / (nm - 1.0)
+        alphas = (_np.arange(na) / (na - 1.0)) ** 2
+        E = _np.zeros((na, nm), _np.float64)
         for ai, a in enumerate(alphas):
-            rows = []
-            for mu in mus:
+            for mi, mu in enumerate(mus):
+                wo3 = _np.asarray(
+                    [_np.sqrt(max(0.0, 1 - mu * mu)), 0.0, mu])
                 if a >= 0.15:
-                    # wide lobes: exact-eval quadrature (grid resolves D)
-                    wo_ = jnp.tile(jnp.asarray(
-                        [[_np.sqrt(max(0.0, 1 - mu * mu)), 0.0, mu]],
-                        jnp.float32), (len(wi), 1))
-                    al = jnp.full((len(wi),), a, jnp.float32)
-                    h = m.normalize(wo_ + wi_j)
-                    num = (ggx_ndf(al, h[..., 2])
-                           * smith_g2(al, wo_[..., 2], wi_j[..., 2])
-                           / jnp.maximum(4.0 * wo_[..., 2], 1e-9))
-                    ok_ = (wi_j[..., 2] > MIN_COS)                         & (wo_[..., 2] > MIN_COS)
-                    rows.append(float(jnp.sum(
-                        jnp.where(ok_, num, 0.0) * dw_j)))
+                    # wide lobes: exact-eval hemisphere quadrature
+                    h = wo3[None] + wi
+                    h = h / _np.maximum(
+                        _np.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+                    num = (_ndf(a, h[:, 2]) * _g2(a, mu, wi[:, 2])
+                           / max(4.0 * mu, 1e-9))
+                    ok = (wi[:, 2] > MIN_COS) & (mu > MIN_COS)
+                    E[ai, mi] = float((_np.where(ok, num, 0.0) * dw).sum())
                 else:
-                    # narrow lobes: the fixed grid misses the D spike, so
-                    # integrate in VNDF-warped space (1-E is ~0 here, so
-                    # the estimator's small bias is inconsequential)
-                    wo_ = jnp.tile(jnp.asarray(
-                        [[_np.sqrt(max(0.0, 1 - mu * mu)), 0.0, mu]],
-                        jnp.float32), (g * g, 1))
-                    al = jnp.full((g * g,), max(a, 1e-4), jnp.float32)
-                    h = sample_ggx_vndf(wo_, al, u1g, u2g)
-                    wi_v = m.normalize(2.0 * m.dot(wo_, h) * h - wo_)
-                    g2 = smith_g2(al, wo_[..., 2], wi_v[..., 2])
-                    g1 = smith_g1(al, wo_[..., 2])
-                    ok_ = (wi_v[..., 2] > MIN_COS)                         & (wo_[..., 2] > MIN_COS)
-                    rows.append(float(jnp.mean(jnp.where(
-                        ok_, g2 / jnp.maximum(g1, 1e-9), 0.0))))
-            E[ai] = _np.asarray(rows, _np.float32)
+                    # narrow lobes: VNDF-warped grid (the fixed grid
+                    # misses the D spike; 1-E ~ 0 here anyway)
+                    wo_ = _np.tile(wo3[None], (g * g, 1))
+                    h = _vndf(wo_, max(a, 1e-4), u1g, u2g)
+                    wiv = 2.0 * (wo_ * h).sum(-1, keepdims=True) * h - wo_
+                    wiv = wiv / _np.maximum(
+                        _np.linalg.norm(wiv, axis=-1, keepdims=True),
+                        1e-12)
+                    w = _np.where(
+                        (wiv[:, 2] > MIN_COS) & (mu > MIN_COS),
+                        _g2(a, mu, wiv[:, 2])
+                        / _np.maximum(_g1(a, mu), 1e-9), 0.0)
+                    E[ai, mi] = float(w.mean())
         E = _np.clip(E, 0.0, 1.0)
         E_avg = 2.0 * _np.trapezoid(E * mus[None, :], mus, axis=1)
-        _E_TABLE = (jnp.asarray(E), jnp.asarray(_np.asarray(
-            E_avg, _np.float32)))
+        # cache NUMPY (converted per lookup): jnp constants created inside
+        # one jit trace must not leak into another
+        _E_TABLE = (E.astype(_np.float32), E_avg.astype(_np.float32))
+        try:
+            _np.savez(cache, E=_E_TABLE[0], E_avg=_E_TABLE[1])
+        except Exception:
+            pass
     return _E_TABLE
 
 
 def _E_lookup(alpha, mu):
-    E, _ = _energy_tables()
+    E = jnp.asarray(_energy_tables()[0])
     ai = jnp.clip(jnp.sqrt(jnp.clip(alpha, 0.0, 1.0)) * (_E_RES - 1.0),
                   0.0, _E_RES - 1.0)
     mi = jnp.clip(jnp.clip(mu, 0.0, 1.0) * (_E_RES - 1.0),
@@ -307,7 +398,7 @@ def _E_lookup(alpha, mu):
 
 
 def _E_avg_lookup(alpha):
-    _, Ea = _energy_tables()
+    Ea = jnp.asarray(_energy_tables()[1])
     ai = jnp.clip(jnp.sqrt(jnp.clip(alpha, 0.0, 1.0)) * (_E_RES - 1.0),
                   0.0, _E_RES - 1.0)
     a0 = jnp.floor(ai).astype(jnp.int32)
@@ -316,9 +407,35 @@ def _E_avg_lookup(alpha):
     return Ea[a0] * (1 - fa) + Ea[a1] * fa
 
 
+def bake_e_rows_np(alphas):
+    """Host bake of per-material energy rows for the fused kernels:
+    E(alpha_m, mu_k) at the table's mu grid (k/(R-1)) with bilinear
+    alpha interpolation, + E_avg(alpha_m). Separable bilinear makes the
+    kernel's runtime mu-lerp EXACTLY match _E_lookup. Returns
+    (e_rows [32, M], e_avg [M]) float32 numpy."""
+    import numpy as _np
+    E, Ea = _energy_tables()
+    alphas = _np.asarray(alphas, _np.float64)
+    ai = _np.clip(_np.sqrt(_np.clip(alphas, 0.0, 1.0)) * (_E_RES - 1.0),
+                  0.0, _E_RES - 1.0)
+    a0 = _np.floor(ai).astype(_np.int64)
+    a1 = _np.minimum(a0 + 1, _E_RES - 1)
+    fa = (ai - a0).astype(_np.float32)
+    rows = (E[a0].T * (1.0 - fa) + E[a1].T * fa).astype(_np.float32)
+    eavg = (Ea[a0] * (1.0 - fa) + Ea[a1] * fa).astype(_np.float32)
+    return rows, eavg
+
+
+def _ms_alpha(data):
+    """Energy-table key for (an)isotropic lobes: the mean alpha tracks
+    the single-scatter loss of the stretched lobe far better than the
+    geometric mean (validated by the anisotropic furnace check)."""
+    return 0.5 * (data.ax + data.ay)
+
+
 def _ms_color(data):
     """Kulla-Conty multi-scatter Fresnel factor (per channel)."""
-    e_avg = _E_avg_lookup(data.alpha)[..., None]
+    e_avg = _E_avg_lookup(_ms_alpha(data))[..., None]
     f_avg = data.specular_f0 + (1.0 - data.specular_f0) / 21.0
     return f_avg * f_avg * e_avg / jnp.maximum(
         1.0 - f_avg * (1.0 - e_avg), 1e-4)
@@ -327,9 +444,10 @@ def _ms_color(data):
 def _eval_spec_ms(data, wo, wi):
     """Energy-compensation lobe * cos(wi)."""
     woz, wiz = wo[..., 2], wi[..., 2]
-    e_o = _E_lookup(data.alpha, woz)
-    e_i = _E_lookup(data.alpha, wiz)
-    e_avg = _E_avg_lookup(data.alpha)
+    a_ms = _ms_alpha(data)
+    e_o = _E_lookup(a_ms, woz)
+    e_i = _E_lookup(a_ms, wiz)
+    e_avg = _E_avg_lookup(a_ms)
     f = ((1.0 - e_o) * (1.0 - e_i)
          / (jnp.pi * jnp.maximum(1.0 - e_avg, 1e-4)))
     f_cos = (f * jnp.maximum(wiz, 0.0))[..., None] * _ms_color(data)
@@ -341,8 +459,8 @@ def _eval_spec_refl(data, wo, wi):
     woz, wiz = wo[..., 2], wi[..., 2]
     h = m.normalize(wo + wi)
     doth = jnp.maximum(m.dot(wo, h, False), 0.0)
-    D = ggx_ndf(data.alpha, h[..., 2])
-    G = smith_g2(data.alpha, woz, wiz)
+    D = ggx_ndf_aniso(data.ax, data.ay, h)
+    G = smith_g2_aniso(data.ax, data.ay, wo, wi)
     F = fresnel_schlick(data.specular_f0, doth)
     spec = F * (D * G / jnp.maximum(4.0 * woz, 1e-9) )[..., None]
     # (f * cos_wi) = F D G / (4 woz wiz) * wiz = F D G / (4 woz)
@@ -361,8 +479,10 @@ def _eval_spec_trans(data, wo, wi):
     dot_oh = m.dot(wo, h, False)
     dot_ih = m.dot(wi, h, False)
     F = fresnel_dielectric(jnp.abs(dot_oh), eta)
-    D = ggx_ndf(data.alpha, h[..., 2])
-    G = smith_g2(data.alpha, woz, jnp.abs(wiz))
+    D = ggx_ndf_aniso(data.ax, data.ay, h)
+    G = smith_g2_aniso(data.ax, data.ay, wo,
+                       jnp.stack([wi[..., 0], wi[..., 1],
+                                  jnp.abs(wiz)], axis=-1))
     denom = (dot_oh * eta + dot_ih)
     jac = jnp.abs(dot_ih) / jnp.maximum(denom * denom, 1e-9)
     f_cos = ((1.0 - F) * D * G * jac * jnp.abs(dot_oh)
@@ -409,7 +529,7 @@ def bsdf_pdf(data: BSDFData, wo, wi):
     pdf_dt = jnp.maximum(-wiz, 0.0) / jnp.pi
 
     h_r = m.normalize(wo + wi)
-    pdf_s = ggx_vndf_pdf(wo, h_r, data.alpha) / jnp.maximum(
+    pdf_s = ggx_vndf_pdf(wo, h_r, data.ax, data.ay) / jnp.maximum(
         4.0 * jnp.abs(m.dot(wo, h_r, False)), 1e-9)
     pdf_s = jnp.where(smooth & (wiz > MIN_COS) & (woz > MIN_COS), pdf_s, 0.0)
 
@@ -421,7 +541,7 @@ def bsdf_pdf(data: BSDFData, wo, wi):
     denom = (dot_oh * eta + dot_ih)
     jac_t = jnp.abs(dot_ih) / jnp.maximum(denom * denom, 1e-9)
     F = fresnel_dielectric(jnp.abs(dot_oh), eta)
-    pdf_t = ggx_vndf_pdf(wo, h_t, data.alpha) * jac_t * (1.0 - F)
+    pdf_t = ggx_vndf_pdf(wo, h_t, data.ax, data.ay) * jac_t * (1.0 - F)
     pdf_t = jnp.where(smooth & (wiz < -MIN_COS) & (woz > MIN_COS)
                       & (dot_oh > 0.0) & (dot_ih < 0.0), pdf_t, 0.0)
     # Reflection lobe also leaves (1-F)->F split implicit in lobe probs; the
@@ -459,8 +579,9 @@ def bsdf_sample(data: BSDFData, wo, u_lobe, u1, u2):
     # --- candidate wi per lobe ---
     wi_cos, _ = m.sample_cosine_hemisphere(u1, u2)
 
-    alpha_s = jnp.maximum(data.alpha, DELTA_ALPHA)
-    h = sample_ggx_vndf(wo, alpha_s, u1, u2)
+    alpha_s = jnp.maximum(data.ax, DELTA_ALPHA)
+    alpha_sy = jnp.maximum(data.ay, DELTA_ALPHA)
+    h = sample_ggx_vndf(wo, alpha_s, u1, u2, alpha_sy)
     h_eff = jnp.where(smooth[..., None], h,
                       jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), h.shape))
     wi_refl = m.normalize(2.0 * m.dot(wo, h_eff) * h_eff - wo)
@@ -524,7 +645,8 @@ def bsdf_sample(data: BSDFData, wo, u_lobe, u1, u2):
 
 def make_bsdf_data(base_color, metallic, roughness, ior, transmission,
                    diffuse_transmission, specular_scale, front,
-                   cur_ior=None, below_ior=None) -> BSDFData:
+                   cur_ior=None, below_ior=None,
+                   anisotropy=None) -> BSDFData:
     """Assemble BSDFData from (possibly textured) material parameters.
 
     `front`: bool [N], True when the shading point is seen from outside
@@ -546,7 +668,15 @@ def make_bsdf_data(base_color, metallic, roughness, ior, transmission,
         eta = jnp.where(front, cur_ior / mat_ior,
                         cur_ior / jnp.maximum(bi, 1.0))
     alpha = jnp.clip(roughness * roughness, 0.0, 1.0)
+    if anisotropy is None:
+        ax = ay = alpha
+    else:
+        # Disney aspect remap (KHR_materials_anisotropy strength)
+        aspect = jnp.sqrt(1.0 - 0.9 * jnp.clip(anisotropy, 0.0, 1.0))
+        ax = jnp.clip(alpha / jnp.maximum(aspect, 1e-3), 0.0, 1.0)
+        ay = jnp.clip(alpha * aspect, 0.0, 1.0)
     return BSDFData(
+        alpha_x=ax, alpha_y=ay,
         diffuse=diffuse,
         specular_f0=specular_f0,
         alpha=alpha,

@@ -84,6 +84,7 @@ def load_surface(scene: SceneData, hit: Hit, ray_o, ray_d,
         diffuse_transmission = mp[:, 7]
         emissive = mp[:, 8:11]
         specular_scale = mp[:, 11]
+        anisotropy = mp[:, 17]
     else:
         base_color = jnp.take(mats.base_color, mid, axis=0)
         metallic = jnp.take(mats.metallic, mid)
@@ -93,6 +94,7 @@ def load_surface(scene: SceneData, hit: Hit, ray_o, ray_d,
         diffuse_transmission = jnp.take(mats.diffuse_transmission, mid)
         specular_scale = jnp.take(mats.specular_f0_scale, mid)
         emissive = jnp.take(mats.emissive, mid, axis=0)
+        anisotropy = jnp.take(mats.anisotropy, mid)
 
     # Texture lookups (atlas) hook in here; ray-cone LOD:
     # lod ~ log2(cone_width / sqrt(tri_area_uv/tri_area_world)); textures are
@@ -152,7 +154,8 @@ def load_surface(scene: SceneData, hit: Hit, ray_o, ray_d,
 
     bsdf = make_bsdf_data(base_color, metallic, roughness, ior, transmission,
                           diffuse_transmission, specular_scale, front,
-                          cur_ior=cur_ior, below_ior=below_ior)
+                          cur_ior=cur_ior, below_ior=below_ior,
+                          anisotropy=anisotropy)
     return Surface(pos=pos, geo_n=geo_n, sh_n=sh_n, uv=uv, front=front,
                    mat_id=mid, emissive=emissive, bsdf=bsdf, mip_level=mip)
 

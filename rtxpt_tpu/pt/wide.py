@@ -133,11 +133,16 @@ class BSDFW(NamedTuple):
     diffuse_transmission: jnp.ndarray
     eta: jnp.ndarray
     transmission_color: jnp.ndarray  # vec3
+    # Kulla-Conty energy rows (per-lane E(mu_k) k=0..31 + E_avg), baked
+    # per material into the MT table (bsdf.bake_e_rows_np). None -> the
+    # ms lobe is disabled (legacy callers).
+    e_rows: jnp.ndarray = None       # [32, ...]
+    e_avg: jnp.ndarray = None
 
 
 def make_bsdf_w(base_color, metallic, roughness, ior, transmission,
                 diffuse_transmission, specular_scale, front,
-                cur_ior, below_ior) -> BSDFW:
+                cur_ior, below_ior, e_rows=None, e_avg=None) -> BSDFW:
     """make_bsdf_data port (pt/bsdf.py:380)."""
     f0_dielec = splat3(0.08 * specular_scale)
     specular_f0 = f0_dielec * (1.0 - metallic) + base_color * metallic
@@ -150,7 +155,8 @@ def make_bsdf_w(base_color, metallic, roughness, ior, transmission,
     return BSDFW(diffuse=diffuse, specular_f0=specular_f0, alpha=alpha,
                  transmission=transmission * (1.0 - metallic),
                  diffuse_transmission=diffuse_transmission * (1.0 - metallic),
-                 eta=eta, transmission_color=one)
+                 eta=eta, transmission_color=one,
+                 e_rows=e_rows, e_avg=e_avg)
 
 
 def _pow5(x):
@@ -205,6 +211,10 @@ def _lobe_probs_w(data: BSDFW):
     f_avg = jnp.where(f0_lum > 1e-6, jnp.clip(f0_lum + 0.04, 0.0, 1.0), 0.0)
     pd = luminance3(data.diffuse) * (1.0 - data.transmission) * \
         (1.0 - data.diffuse_transmission)
+    if data.e_rows is not None:
+        pd = pd + jnp.where(data.alpha >= DELTA_ALPHA,
+                            luminance3(_ms_color_w(data))
+                            * (1.0 - data.e_avg), 0.0)
     pdt = data.diffuse_transmission * luminance3(data.transmission_color)
     ps = f_avg
     pt = data.transmission * (1.0 - f_avg) * \
@@ -234,6 +244,40 @@ def _eval_diffuse_trans_w(data: BSDFW, wo, wi):
          / jnp.pi * jnp.maximum(-wiz, 0.0))
     valid = (woz > MIN_COS) & (wiz < -MIN_COS)
     return jnp.where(valid, f, 0.0)
+
+
+def _E_w(data: BSDFW, mu):
+    """Runtime mu-lerp of the per-lane baked energy rows (exactly the
+    mu half of bsdf._E_lookup's separable bilinear)."""
+    res = data.e_rows.shape[0]
+    mi = jnp.clip(jnp.clip(mu, 0.0, 1.0) * (res - 1.0), 0.0, res - 1.0)
+    m0 = jnp.floor(mi).astype(jnp.int32)
+    fm = mi - m0
+    lo = jnp.zeros_like(mu)
+    hi = jnp.zeros_like(mu)
+    for k in range(res):
+        lo = jnp.where(m0 == k, data.e_rows[k], lo)
+        hi = jnp.where(m0 == k, data.e_rows[min(k + 1, res - 1)], hi)
+    return lo * (1.0 - fm) + hi * fm
+
+
+def _ms_color_w(data: BSDFW):
+    e_avg = data.e_avg
+    f_avg = data.specular_f0 + (1.0 - data.specular_f0) / 21.0
+    return f_avg * f_avg * e_avg / jnp.maximum(
+        1.0 - f_avg * (1.0 - e_avg), 1e-4)
+
+
+def _eval_spec_ms_w(data: BSDFW, wo, wi):
+    """Kulla-Conty compensation lobe * cos (mirror of bsdf._eval_spec_ms)."""
+    woz, wiz = wo[2], wi[2]
+    e_o = _E_w(data, woz)
+    e_i = _E_w(data, wiz)
+    f = ((1.0 - e_o) * (1.0 - e_i)
+         / (jnp.pi * jnp.maximum(1.0 - data.e_avg, 1e-4)))
+    f_cos = (f * jnp.maximum(wiz, 0.0)) * _ms_color_w(data)
+    valid = (woz > MIN_COS) & (wiz > MIN_COS) & (data.alpha >= DELTA_ALPHA)
+    return jnp.where(valid, f_cos, 0.0)
 
 
 def _eval_spec_refl_w(data: BSDFW, wo, wi):
@@ -271,11 +315,14 @@ def _eval_spec_trans_w(data: BSDFW, wo, wi):
 
 def bsdf_eval_w(data: BSDFW, wo, wi):
     """Sum of non-delta lobes f(wo,wi)*|cos(wi)| (vec3)."""
-    return (_eval_diffuse_w(data, wo, wi)
-            * (1.0 - data.transmission) * (1.0 - data.diffuse_transmission)
-            + _eval_diffuse_trans_w(data, wo, wi)
-            + _eval_spec_refl_w(data, wo, wi)
-            + _eval_spec_trans_w(data, wo, wi))
+    f = (_eval_diffuse_w(data, wo, wi)
+         * (1.0 - data.transmission) * (1.0 - data.diffuse_transmission)
+         + _eval_diffuse_trans_w(data, wo, wi)
+         + _eval_spec_refl_w(data, wo, wi)
+         + _eval_spec_trans_w(data, wo, wi))
+    if data.e_rows is not None:
+        f = f + _eval_spec_ms_w(data, wo, wi)
+    return f
 
 
 def bsdf_pdf_w(data: BSDFW, wo, wi):

@@ -168,7 +168,7 @@ def _materials_from_gltf(gltf: dict, tex_source: Dict[int, int]) -> Materials:
     m = Materials.create(n)
     bc, met, rough, ior, trans, emis, thin, alpha = \
         [], [], [], [], [], [], [], []
-    bct, emt, mrt, nmt, prio = [], [], [], [], []
+    bct, emt, mrt, nmt, prio, aniso = [], [], [], [], [], []
     for mj in mats_json:
         pbr = mj.get("pbrMetallicRoughness", {})
         bc.append(pbr.get("baseColorFactor", [1, 1, 1, 1])[:3])
@@ -198,10 +198,12 @@ def _materials_from_gltf(gltf: dict, tex_source: Dict[int, int]) -> Materials:
         mrt.append(tex_idx(pbr.get("metallicRoughnessTexture")))
         nmt.append(tex_idx(mj.get("normalTexture")))
         prio.append(int(mj.get("extras", {}).get("nestedPriority", 0)))
+        aniso.append(float(ext.get("KHR_materials_anisotropy", {})
+                           .get("anisotropyStrength", 0.0)))
     if not mats_json:
         bc, met, rough, ior = [[0.8] * 3], [0.0], [0.7], [1.5]
         trans, emis, thin, alpha = [0.0], [[0, 0, 0]], [1.0], [-1.0]
-        bct, emt, mrt, nmt, prio = [-1], [-1], [-1], [-1], [0]
+        bct, emt, mrt, nmt, prio, aniso = [-1], [-1], [-1], [-1], [0], [0.0]
     return m.replace(
         base_color=jnp.asarray(np.asarray(bc, np.float32)),
         metallic=jnp.asarray(np.asarray(met, np.float32)),
@@ -216,6 +218,7 @@ def _materials_from_gltf(gltf: dict, tex_source: Dict[int, int]) -> Materials:
         metal_rough_tex=jnp.asarray(np.asarray(mrt, np.int32)),
         normal_tex=jnp.asarray(np.asarray(nmt, np.int32)),
         nested_priority=jnp.asarray(np.asarray(prio, np.int32)),
+        anisotropy=jnp.asarray(np.asarray(aniso, np.float32)),
     )
 
 

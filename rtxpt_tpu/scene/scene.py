@@ -64,6 +64,8 @@ class Materials:
     # hits the boundary of a LOWER-priority medium, the hit is a false
     # intersection and is skipped. 0 = default; vacuum is -1 implicitly.
     nested_priority: jnp.ndarray = None  # [M] i32
+    # KHR_materials_anisotropy strength (0 = isotropic)
+    anisotropy: jnp.ndarray = None       # [M]
 
     @staticmethod
     def create(n: int) -> "Materials":
@@ -71,6 +73,7 @@ class Materials:
         zi = lambda: jnp.full((n,), -1, jnp.int32)
         return Materials(
             nested_priority=jnp.zeros((n,), jnp.int32),
+            anisotropy=jnp.zeros((n,), jnp.float32),
             base_color=jnp.full((n, 3), 0.5, jnp.float32),
             metallic=z(), roughness=jnp.full((n,), 0.5, jnp.float32),
             ior=jnp.full((n,), 1.5, jnp.float32), transmission=z(),
@@ -178,7 +181,8 @@ def build_packs(geometry: Geometry, materials: Materials):
         m.specular_f0_scale[:, None], m.thin[:, None],  # 11,12
         m.alpha_cutoff[:, None],                       # 13
         m.volume_absorption,                           # 14:17
-    ], axis=1)                                         # [M, 17]
+        m.anisotropy[:, None],                         # 17
+    ], axis=1)                                         # [M, 18]
     return tri_pack, mat_pack
 
 

@@ -55,3 +55,23 @@ def test_stochastic_filtering_matches_bilinear_in_mean():
     uj = jnp.asarray(r.uniform(0, 1, (n, 2)), jnp.float32)
     sto = np.asarray(sample_texture_stochastic(atlas, tid, uv, lod, uj))
     np.testing.assert_allclose(sto.mean(0)[:3], ref[:3], atol=0.02)
+
+
+def test_concurrent_warmup_compiles_permutations():
+    """PTPipelineBaker analog: concurrent jit warmup of config/resolution
+    permutations; all compile, later renders are cache hits."""
+    import jax.numpy as jnp
+    from rtxpt_tpu.config import NEEMode, PathTracerConfig
+    from rtxpt_tpu.prepare import prepare
+    from rtxpt_tpu.scene.procedural import cornell_box, default_camera
+    from rtxpt_tpu.utils.warmup import warmup_pipelines
+
+    host = cornell_box()
+    scene = prepare(host)
+    cam = default_camera(host, 16, 16)
+    perms = [
+        (PathTracerConfig(max_bounces=1, nee=NEEMode.POWER), 16, 16),
+        (PathTracerConfig(max_bounces=1, nee=NEEMode.OFF), 16, 16),
+    ]
+    results = warmup_pipelines(scene, cam, perms, max_workers=2)
+    assert all(v is None for v in results.values()), results
