@@ -64,7 +64,6 @@ class PathTracerConfig:
     # Sampling
     low_discrepancy: bool = True     # Owen-scrambled Sobol' vs hash chains
     # Wavefront execution
-    sort_by_material: bool = False   # SER analog: sort ray stream by hit key
     ray_chunk: int = 1 << 16         # rays per wavefront chunk
     # Clustered large-scene path (pt/bounce_clustered.py)
     sort_rays: bool = True           # inter-bounce (cell, octant) ray sort

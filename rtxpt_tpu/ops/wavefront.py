@@ -46,3 +46,26 @@ def compact_mask_prefix(active):
     perm[i] = old index of the lane that should sit at slot i."""
     order = jnp.argsort(jnp.where(active, 0, 1), stable=True)
     return order, jnp.sum(active.astype(jnp.int32))
+
+
+def _spread6(v):
+    v = (v | (v << 8)) & 0x00F00F
+    v = (v | (v << 4)) & 0x0C30C3
+    v = (v | (v << 2)) & 0x249249
+    return v
+
+
+def ray_coherence_key(o3, d3, scene_lo, scene_ext, active):
+    """SER-analog coherence key for inter-bounce ray sorting: 18-bit
+    origin-cell Morton (64^3 grid over the scene bounds) + 3-bit
+    direction octant; inactive lanes sort last (which doubles as
+    compaction — their groups get empty candidate lists). Used by the
+    clustered driver (pt/bounce_clustered.py); reference:
+    PathTracerSample.hlsl:136-151 + SERUtils.hlsli:22-50."""
+    q = jnp.clip(((o3 - scene_lo[:, None]) / scene_ext[:, None]) * 63.0,
+                 0.0, 63.0).astype(jnp.int32)
+    cell = (_spread6(q[0]) << 2) | (_spread6(q[1]) << 1) | _spread6(q[2])
+    octant = ((d3[0] > 0).astype(jnp.int32)
+              | ((d3[1] > 0).astype(jnp.int32) << 1)
+              | ((d3[2] > 0).astype(jnp.int32) << 2))
+    return jnp.where(active, (cell << 3) | octant, jnp.int32(2 ** 30))

@@ -604,27 +604,15 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
     # Cost: one 2M-key argsort + row-gather permutation per bounce —
     # O(10ms) vs O(100ms) kernel time. Reference: SER
     # (PathTracerSample.hlsl:136-151 / SERUtils.hlsli:22-50).
+    from rtxpt_tpu.ops.wavefront import ray_coherence_key
     slo = jnp.min(tbl.aabb_lo, axis=0)
     sext = jnp.maximum(jnp.max(tbl.aabb_hi, axis=0) - slo, 1e-6)
-
-    def _spread6(v):
-        v = (v | (v << 8)) & 0x00F00F
-        v = (v | (v << 4)) & 0x0C30C3
-        v = (v | (v << 2)) & 0x249249
-        return v
 
     def _sort_wavefront(fs, is_, src):
         of = fs[FS_O:FS_O + 3].reshape(3, npad)
         df = fs[FS_D:FS_D + 3].reshape(3, npad)
         active = is_[IS_ACTIVE].reshape(npad) > 0
-        q = jnp.clip(((of - slo[:, None]) / sext[:, None]) * 63.0,
-                     0.0, 63.0).astype(jnp.int32)
-        cell = ((_spread6(q[0]) << 2) | (_spread6(q[1]) << 1)
-                | _spread6(q[2]))
-        octant = ((df[0] > 0).astype(jnp.int32)
-                  | ((df[1] > 0).astype(jnp.int32) << 1)
-                  | ((df[2] > 0).astype(jnp.int32) << 2))
-        skey = jnp.where(active, (cell << 3) | octant, jnp.int32(2**30))
+        skey = ray_coherence_key(of, df, slo, sext, active)
         order = jnp.argsort(skey)
         fsT = fs.reshape(NF, npad).T
         isT = is_.reshape(NI, npad).T
@@ -666,15 +654,8 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                 # wavefront is sorted on its own (cell, octant) key.
                 sof = sh[SH_O:SH_O + 3].reshape(3, npad)
                 sdf = sh[SH_D:SH_D + 3].reshape(3, npad)
-                qs = jnp.clip(((sof - slo[:, None]) / sext[:, None])
-                              * 63.0, 0.0, 63.0).astype(jnp.int32)
-                cells = ((_spread6(qs[0]) << 2) | (_spread6(qs[1]) << 1)
-                         | _spread6(qs[2]))
-                octs = ((sdf[0] > 0).astype(jnp.int32)
-                        | ((sdf[1] > 0).astype(jnp.int32) << 1)
-                        | ((sdf[2] > 0).astype(jnp.int32) << 2))
-                skey = jnp.where(do.reshape(npad),
-                                 (cells << 3) | octs, jnp.int32(2**30))
+                skey = ray_coherence_key(sof, sdf, slo, sext,
+                                         do.reshape(npad))
                 sorder = jnp.argsort(skey)
                 shp = jnp.take(sh.reshape(SH_ROWS, npad).T, sorder,
                                axis=0).T.reshape(SH_ROWS, nrows, 128)
