@@ -60,6 +60,10 @@ class PathTracerConfig:
     enable_mis: bool = True
     firefly_clamp: float = 0.0       # 0 = off; radiance clamp scale
     texture_mips: bool = True        # ray-cone driven MIP selection
+    # Stochastic texture filtering (RTXTF analog, Config.h:95): one
+    # jittered texel instead of bilinear+mip blend — 4x fewer gathers,
+    # unbiased in expectation; noise folds into the denoiser.
+    stochastic_texture_filtering: bool = False
     max_ray_travel: float = 1.0e27   # Config.h:84-86 kMaxRayTravel analog
     # Sampling
     low_discrepancy: bool = True     # Owen-scrambled Sobol' vs hash chains

@@ -43,6 +43,7 @@ EFFECT_LENS = 17
 EFFECT_SCATTER = 29
 EFFECT_NEE = 31
 EFFECT_RR = 37
+EFFECT_STF = 41
 # Bounded false-hit skips per bounce for nested-dielectric priorities
 # (reference rejects in the traversal loop; 2 covers e.g. ice-in-water
 # where both interfaces of the occluded medium overlap the segment).
@@ -301,8 +302,14 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         below_ior = jnp.where(med1 >= 0,
                               jnp.take(scene.materials.ior,
                                        jnp.maximum(med1, 0)), 1.0)
+        stf_u = None
+        if cfg.stochastic_texture_filtering and scene.textures is not None:
+            seed_tx = rng.pixel_seed(px, py, bounce, EFFECT_STF)
+            su1, su2 = _lds(cfg, sample_idx, seed_tx, (0, 1))
+            stf_u = jnp.stack([su1, su2], axis=-1)
         surf = load_surface(scene, hit, o, d, cone_width,
-                            cur_ior=cur_ior, below_ior=below_ior)
+                            cur_ior=cur_ior, below_ior=below_ior,
+                            stf_u=stf_u)
         thp = thp * jnp.where(in_medium[..., None],
                               jnp.exp(-medium_sigma * hit.t[..., None]), 1.0)
 

@@ -31,7 +31,8 @@ class Surface:
 
 
 def load_surface(scene: SceneData, hit: Hit, ray_o, ray_d,
-                 cone_width, cur_ior=None, below_ior=None) -> Surface:
+                 cone_width, cur_ior=None, below_ior=None,
+                 stf_u=None) -> Surface:
     """Build shading data for (masked) hits. Lanes with hit.miss hold
     garbage-but-finite values; callers mask with ~hit.miss."""
     geo = scene.geometry
@@ -104,7 +105,13 @@ def load_surface(scene: SceneData, hit: Hit, ray_o, ray_d,
                          / tri_area2)
 
     if scene.textures is not None:
-        from rtxpt_tpu.scene.textures import sample_texture
+        from rtxpt_tpu.scene.textures import (sample_texture,
+                                              sample_texture_stochastic)
+        if stf_u is not None:
+            # RTXTF stochastic filtering: one jittered texel per lookup
+            def sample_texture(atlas, tid, uv_, mip_,
+                               _u=stf_u):        # noqa: F811
+                return sample_texture_stochastic(atlas, tid, uv_, mip_, _u)
         mats_bt = jnp.take(mats.base_color_tex, mid)
         tex_rgba = sample_texture(scene.textures, mats_bt, uv, mip)
         has_tex = (mats_bt >= 0)[..., None]

@@ -110,3 +110,33 @@ def test_histogram_auto_exposure_rejects_outliers():
     assert abs(e_hot - e_plain) / e_plain < 0.05
     e_logmean_hot = float(auto_exposure(jnp2.asarray(hot)))
     assert e_logmean_hot < e_plain * 0.8
+
+
+def test_stochastic_texture_filtering_unbiased(cornell_scene):
+    """RTXTF: jittered single-texel filtering matches bilinear filtering
+    in expectation on a textured render."""
+    import jax.numpy as jnp2
+    from rtxpt_tpu.config import NEEMode, PathTracerConfig
+    from rtxpt_tpu.prepare import prepare
+    from rtxpt_tpu.pt.integrator import render
+    from rtxpt_tpu.scene.procedural import cornell_box, default_camera
+
+    host = cornell_box()
+    # checkerboard base-color texture on material 0
+    img = np.zeros((8, 8, 4), np.float32)
+    img[::2, ::2] = 1.0
+    img[1::2, 1::2] = 1.0
+    img[..., 3] = 1.0
+    host.textures = [img]
+    mats = host.materials
+    host.materials = mats.replace(
+        base_color_tex=mats.base_color_tex.at[0].set(0))
+    scene = prepare(host)
+    cam = default_camera(host, 24, 24)
+    base = dict(max_bounces=2, nee=NEEMode.POWER)
+    a, _, _ = render(scene, cam, PathTracerConfig(**base), 24, 24, spp=48)
+    b, _, _ = render(scene, cam,
+                     PathTracerConfig(stochastic_texture_filtering=True,
+                                      **base), 24, 24, spp=48)
+    a = np.asarray(a); b = np.asarray(b)
+    assert abs(a.mean() - b.mean()) / a.mean() < 0.03
