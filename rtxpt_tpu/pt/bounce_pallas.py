@@ -103,12 +103,13 @@ MT_EMISSIVE = 8         # 8:11
 MT_SPEC = 11
 MT_THIN = 12
 MT_VOLABS = 13          # 13:16
-# Kulla-Conty energy rows: per-material directional albedo E(alpha_m,
-# mu_k) at the 32 table mu bins + E_avg (bsdf.bake_e_rows_np) — the
-# kernel's runtime mu-lerp exactly matches the XLA bilinear lookup.
-MT_EROWS = 16           # 16:48
-MT_EAVG = 48
-MT_ROWS = 49
+# Kulla-Conty energy fit: per-material polynomial coefficients of
+# E(mu) in the sqrt(mu) basis (degree 5, bsdf.bake_e_poly_np) + E_avg —
+# 5 in-kernel FMAs per lookup (a 32-bin table lerp costs ~24% of the
+# whole bounce kernel; the XLA path keeps the exact table).
+MT_EPOLY = 16           # 16:22
+MT_EAVG = 22
+MT_ROWS = 23
 
 # Effect seeds — must match pt/integrator.py
 EFFECT_SCATTER = 29
@@ -150,10 +151,10 @@ def pack_materials(materials) -> np.ndarray:
     mat[MT_THIN, :n_mats] = np.asarray(materials.thin)
     mat[MT_VOLABS:MT_VOLABS + 3, :n_mats] = \
         np.asarray(materials.volume_absorption).T
-    from rtxpt_tpu.pt.bsdf import bake_e_rows_np
+    from rtxpt_tpu.pt.bsdf import bake_e_poly_np
     r = np.asarray(materials.roughness, np.float64)
-    e_rows, e_avg = bake_e_rows_np(np.clip(r * r, 0.0, 1.0))
-    mat[MT_EROWS:MT_EROWS + 32, :n_mats] = e_rows
+    e_poly, e_avg = bake_e_poly_np(np.clip(r * r, 0.0, 1.0))
+    mat[MT_EPOLY:MT_EPOLY + 6, :n_mats] = e_poly
     mat[MT_EAVG, :n_mats] = e_avg
     return mat
 
@@ -447,11 +448,15 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
         for j in range(3)], axis=0)
     thp = thp * jnp.where(in_medium, jnp.exp(-sigma * t), 1.0)
 
-    e_rows = jnp.stack([mrow(MT_EROWS + k) for k in range(32)], axis=0)
-    e_avg = mrow(MT_EAVG)
+    if os.environ.get("RTXPT_TPU_KERNEL_MS") == "0":
+        e_poly = None
+        e_avg = None
+    else:
+        e_poly = jnp.stack([mrow(MT_EPOLY + k) for k in range(6)], axis=0)
+        e_avg = mrow(MT_EAVG)
     bsdf = W.make_bsdf_w(base_color, metallic, roughness, ior, transmission,
                          dtrans, spec_scale, front, cur_ior, below_ior,
-                         e_rows=e_rows, e_avg=e_avg)
+                         e_poly=e_poly, e_avg=e_avg)
     emissive = jnp.where(front, emissive, 0.0)
 
     # ----- emissive hit + MIS (baked per-tri light pdf/area) -----

@@ -426,6 +426,24 @@ def bake_e_rows_np(alphas):
     return rows, eavg
 
 
+def bake_e_poly_np(alphas):
+    """Per-material polynomial fit of E(mu) in the sqrt(mu) basis
+    (degree 5, cos-weighted, mu >= 0.02): the fused kernels evaluate 5
+    FMAs instead of a 32-bin table lerp (worst-case fit error ~1e-2 on
+    the sharpest rows; the XLA path keeps the exact table). Returns
+    (coef [6, M], e_avg [M]) float32."""
+    import numpy as _np
+    rows, e_avg = bake_e_rows_np(alphas)        # [32, M] exact per alpha
+    nm = rows.shape[0]
+    mus = _np.arange(nm) / (nm - 1.0)
+    sel = mus >= 0.02
+    sm = _np.sqrt(mus[sel])
+    w = _np.sqrt(mus[sel])
+    A = _np.stack([sm ** i for i in range(6)], -1) * w[:, None]
+    coef, *_ = _np.linalg.lstsq(A, rows[sel] * w[:, None], rcond=None)
+    return coef.astype(_np.float32), e_avg
+
+
 def _ms_alpha(data):
     """Energy-table key for (an)isotropic lobes: the mean alpha tracks
     the single-scatter loss of the stretched lobe far better than the

@@ -133,16 +133,16 @@ class BSDFW(NamedTuple):
     diffuse_transmission: jnp.ndarray
     eta: jnp.ndarray
     transmission_color: jnp.ndarray  # vec3
-    # Kulla-Conty energy rows (per-lane E(mu_k) k=0..31 + E_avg), baked
-    # per material into the MT table (bsdf.bake_e_rows_np). None -> the
-    # ms lobe is disabled (legacy callers).
-    e_rows: jnp.ndarray = None       # [32, ...]
+    # Kulla-Conty energy fit (per-lane degree-5 sqrt(mu) polynomial of
+    # E(mu) + E_avg), baked per material into the MT table
+    # (bsdf.bake_e_poly_np). None -> the ms lobe is disabled.
+    e_poly: jnp.ndarray = None       # [6, ...]
     e_avg: jnp.ndarray = None
 
 
 def make_bsdf_w(base_color, metallic, roughness, ior, transmission,
                 diffuse_transmission, specular_scale, front,
-                cur_ior, below_ior, e_rows=None, e_avg=None) -> BSDFW:
+                cur_ior, below_ior, e_poly=None, e_avg=None) -> BSDFW:
     """make_bsdf_data port (pt/bsdf.py:380)."""
     f0_dielec = splat3(0.08 * specular_scale)
     specular_f0 = f0_dielec * (1.0 - metallic) + base_color * metallic
@@ -156,7 +156,7 @@ def make_bsdf_w(base_color, metallic, roughness, ior, transmission,
                  transmission=transmission * (1.0 - metallic),
                  diffuse_transmission=diffuse_transmission * (1.0 - metallic),
                  eta=eta, transmission_color=one,
-                 e_rows=e_rows, e_avg=e_avg)
+                 e_poly=e_poly, e_avg=e_avg)
 
 
 def _pow5(x):
@@ -211,7 +211,7 @@ def _lobe_probs_w(data: BSDFW):
     f_avg = jnp.where(f0_lum > 1e-6, jnp.clip(f0_lum + 0.04, 0.0, 1.0), 0.0)
     pd = luminance3(data.diffuse) * (1.0 - data.transmission) * \
         (1.0 - data.diffuse_transmission)
-    if data.e_rows is not None:
+    if data.e_poly is not None:
         pd = pd + jnp.where(data.alpha >= DELTA_ALPHA,
                             luminance3(_ms_color_w(data))
                             * (1.0 - data.e_avg), 0.0)
@@ -247,18 +247,13 @@ def _eval_diffuse_trans_w(data: BSDFW, wo, wi):
 
 
 def _E_w(data: BSDFW, mu):
-    """Runtime mu-lerp of the per-lane baked energy rows (exactly the
-    mu half of bsdf._E_lookup's separable bilinear)."""
-    res = data.e_rows.shape[0]
-    mi = jnp.clip(jnp.clip(mu, 0.0, 1.0) * (res - 1.0), 0.0, res - 1.0)
-    m0 = jnp.floor(mi).astype(jnp.int32)
-    fm = mi - m0
-    lo = jnp.zeros_like(mu)
-    hi = jnp.zeros_like(mu)
-    for k in range(res):
-        lo = jnp.where(m0 == k, data.e_rows[k], lo)
-        hi = jnp.where(m0 == k, data.e_rows[min(k + 1, res - 1)], hi)
-    return lo * (1.0 - fm) + hi * fm
+    """Per-lane polynomial E(mu) (degree-5 Horner in sqrt(mu))."""
+    t = jnp.sqrt(jnp.clip(mu, 0.0, 1.0))
+    c = data.e_poly
+    acc = c[5]
+    for k in (4, 3, 2, 1, 0):
+        acc = acc * t + c[k]
+    return jnp.clip(acc, 0.0, 1.0)
 
 
 def _ms_color_w(data: BSDFW):
@@ -320,7 +315,7 @@ def bsdf_eval_w(data: BSDFW, wo, wi):
          + _eval_diffuse_trans_w(data, wo, wi)
          + _eval_spec_refl_w(data, wo, wi)
          + _eval_spec_trans_w(data, wo, wi))
-    if data.e_rows is not None:
+    if data.e_poly is not None:
         f = f + _eval_spec_ms_w(data, wo, wi)
     return f
 
