@@ -5,7 +5,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from rtxpt_tpu.accel.lbvh import build_bvh
-from rtxpt_tpu.accel.refit import build_refit_tables, refit_bvh
+from rtxpt_tpu.accel.refit import (build_refit_tables, derive_children,
+                                   refit_bvh)
 from rtxpt_tpu.accel.traverse import intersect_closest
 
 
@@ -30,8 +31,7 @@ def test_refit_children_derivation():
     """left=i+1 / right=miss[i+1] reconstructs a consistent binary tree."""
     pos, idx = _soup(300)
     bvh = build_bvh(pos, idx)
-    tab = build_refit_tables(bvh)
-    ch = np.asarray(tab.children)
+    ch = derive_children(bvh)
     prim = np.asarray(bvh.node_prim)
     internal = prim < 0
     # every node except the root is some node's child, exactly once
