@@ -32,9 +32,11 @@ def main():
     cfg = PathTracerConfig(max_bounces=4, nee=NEEMode.POWER,
                            ray_chunk=1 << 18)
 
-    # Warmup (compile) — excluded from timing.
+    # Warmup (compile) — excluded from timing; also warms the
+    # accumulation add (its first dispatch would otherwise compile
+    # inside the timed loop and cost ~30% of the measurement).
     out = render_sample_jit(scene, cam, cfg, width, height, jnp.uint32(0))
-    jax.block_until_ready(out["L"])
+    jax.block_until_ready(out["L"] + out["L"])
 
     t0 = time.perf_counter()
     total_rays = 0
@@ -63,7 +65,7 @@ def main():
                                 ray_chunk=1 << 30)
         out = render_sample_jit(cscene, ccam, ccfg, width, height,
                                 jnp.uint32(0))
-        jax.block_until_ready(out["L"])
+        jax.block_until_ready(out["L"] + out["L"])
         t0 = time.perf_counter()
         crays = 0
         cacc = None
