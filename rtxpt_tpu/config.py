@@ -75,6 +75,20 @@ class PathTracerConfig:
     # Diffuse/specular radiance split for per-channel denoising
     # (NRD RELAX_DIFFUSE_SPECULAR semantics, NrdConfig.cpp:25-27)
     split_channels: bool = False
+    # --- kernel-tier dispatch (pt/dispatch.py) ---------------------------
+    # Which bounce-kernel tier serves trace_paths. "auto" is resolved to a
+    # concrete tier OUTSIDE jit by pt/dispatch.resolve(); the resolved
+    # value rides in this frozen (static-jit-arg) config so the jit cache
+    # key captures the dispatch decision — env vars / backend state are
+    # never consulted at trace time (round-2 order-dependent cache bug).
+    kernel_tier: str = "auto"        # "auto" | "fused" | "clustered" | "xla"
+    pallas_interpret: Optional[bool] = None   # None = resolve from backend
+    # Kulla-Conty multiple-scattering energy compensation inside the
+    # fused kernels (was env RTXPT_TPU_KERNEL_MS).
+    kernel_energy_comp: bool = True
+    # Disable the clustered kernel's early visit-prune (debug; was env
+    # RTXPT_TPU_CLUSTER_NOPRUNE).
+    cluster_noprune: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -87,12 +87,18 @@ def tile_of(state: NEEATState, px, py):
     return ty * state.n_tiles_x + tx
 
 
-def _slot_of(state: NEEATState, li):
-    """Salted hash slot for light li (salt = frame index so persistent
-    collisions alternate rather than starving one light)."""
-    salt = state.frame if state.frame is not None else jnp.uint32(0)
-    h = (li.astype(jnp.uint32) * jnp.uint32(2654435761)
-         + salt * jnp.uint32(0x9E3779B9))
+def _slot_of(state: NEEATState, li, salt=None):
+    """Hash slot for light li. The PRIMARY slot (salt=None) is stable
+    across frames so update()'s same-id EMA merge actually matches — a
+    frame-salted primary made every persistent light restart its history
+    each frame and smear decayed copies across slots (ADVICE r2). The
+    frame salt is applied only as a SECONDARY probe for lanes that lose
+    the primary-slot claim, so colliding lights alternate instead of
+    starving."""
+    h = li.astype(jnp.uint32) * jnp.uint32(2654435761)
+    if salt is not None:
+        h = h + salt.astype(jnp.uint32) * jnp.uint32(0x9E3779B9) \
+            + jnp.uint32(0x85EBCA6B)
     return (h % jnp.uint32(TOPK)).astype(jnp.int32)
 
 
@@ -185,16 +191,25 @@ def accumulate_feedback(state: NEEATState, hist, tile, li, weight, valid):
     # then merge with the running accumulator — merging (not in-place
     # claiming) keeps earlier bounces' weights attributed to the right
     # light ids (no cross-light slot contamination).
-    slot = _slot_of(state, li)
-    # invalid lanes scatter out of bounds (dropped) so they can't clobber
-    tile_eff = jnp.where(valid, tile, state.ema.shape[0])
-    idx_b = jnp.full_like(state.idx_k, -1
-                          ).at[tile_eff, slot].set(li, mode="drop")
-    owner = valid & (idx_b[tile, slot] == li)
-    h_b = jnp.zeros_like(state.ema
-                         ).at[tile_eff, slot].add(
-        jnp.where(owner, w, 0.0), mode="drop")
-    return _merge_sparse(hist, (h_b, idx_b))
+    frame = state.frame if state.frame is not None else jnp.uint32(0)
+
+    def claim(slot, lanes):
+        # invalid lanes scatter out of bounds (dropped) so they can't
+        # clobber
+        tile_eff = jnp.where(lanes, tile, state.ema.shape[0])
+        idx_b = jnp.full_like(state.idx_k, -1
+                              ).at[tile_eff, slot].set(li, mode="drop")
+        owner = lanes & (idx_b[tile, slot] == li)
+        h_b = jnp.zeros_like(state.ema
+                             ).at[tile_eff, slot].add(
+            jnp.where(owner, w, 0.0), mode="drop")
+        return (h_b, idx_b), owner
+
+    tab0, owner0 = claim(_slot_of(state, li), valid)
+    # collision losers re-probe a frame-salted secondary slot; conflicts
+    # between the two tables resolve heavier-wins in _merge_sparse
+    tab1, _ = claim(_slot_of(state, li, frame), valid & ~owner0)
+    return _merge_sparse(hist, _merge_sparse(tab0, tab1))
 
 
 def _merge_sparse(a, b):

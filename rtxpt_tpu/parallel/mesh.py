@@ -75,6 +75,8 @@ def render_sample_sharded(scene, cam, cfg: PathTracerConfig, width: int,
     scene = jax.device_put(scene, repl)
     cam = jax.device_put(cam, repl)
 
+    from rtxpt_tpu.pt.dispatch import resolve
+    cfg = resolve(scene, cfg)
     L, rays = _render_pixels_jit(scene, cam, cfg, px, py,
                                  jnp.asarray(sample_idx).astype(jnp.uint32))
     return L[:npix].reshape(height, width, 3), rays
@@ -121,6 +123,8 @@ def render_tile_spp_sharded(scene, cam, cfg: PathTracerConfig, width: int,
     scene = jax.device_put(scene, repl)
     cam = jax.device_put(cam, repl)
 
+    from rtxpt_tpu.pt.dispatch import resolve
+    cfg = resolve(scene, cfg)
     L, rays = _render_tile_spp_jit(scene, cam, cfg, pxb, pyb, sidx)
     return L[:npix].reshape(height, width, 3), rays
 

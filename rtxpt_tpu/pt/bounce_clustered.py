@@ -206,8 +206,10 @@ def _kernel_a(scal_ref, cand_ref, fs_ref, is_ref, mat_ref, light_ref,
     for r in range(_R):
         best_ref[r] = init
 
+    noprune = cfg_key[8]
+
     def visit(i, cur):
-        if os.environ.get("RTXPT_TPU_CLUSTER_NOPRUNE") == "1":
+        if noprune:
             _visit_body(i, cur)
             return
         # Early pruning: candidates arrive sorted by conservative entry
@@ -521,29 +523,10 @@ def _kernel_b_call(cand, sh, blocks, kslots, interpret=False):
 
 
 def eligible(scene, cfg, neeat_state) -> bool:
-    """Static eligibility for the clustered path (structure only)."""
-    if os.environ.get("RTXPT_TPU_PALLAS_CLUSTER") == "0":
-        return False
-    if getattr(scene, "cluster_tables", None) is None:
-        return False
-    if scene.textures is not None or scene.tri_opacity is not None:
-        return False
-    if neeat_state is not None:
-        return False
-    if getattr(cfg, "split_channels", False):
-        return False
-    if cfg.nee.value not in (0, 1, 2):
-        return False
-    if int(cfg.nee_candidates) > 1:
-        return False
-    try:
-        backend = jax.default_backend()
-    except Exception:
-        return False
-    if backend == "cpu" and os.environ.get(
-            "RTXPT_TPU_PALLAS_INTERPRET") != "1":
-        return False
-    return backend not in ("gpu",)
+    """Back-compat structural eligibility (tier resolution lives in
+    pt/dispatch.py, outside jit)."""
+    from rtxpt_tpu.pt.dispatch import clustered_structural_ok
+    return clustered_structural_ok(scene, cfg, neeat_state)
 
 
 def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
@@ -589,7 +572,7 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
 
     sample_idx = jnp.asarray(sample_idx).astype(jnp.uint32)
     key = _cfg_key(cfg)
-    interp = _interpret()
+    interp = _interpret(cfg)
     use_nee = key[0] in (1, 2) and tbl.n_lights > 0
 
     def g4(x3):

@@ -393,7 +393,7 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
     Rtxpt/Shaders/PathTracer/PathTracer.hlsli HandleHit / HandleNEE /
     GenerateScatterRay (see module docstring)."""
     (nee_mode, enable_mis, firefly, rr_enable, min_rr, max_travel,
-     low_discrepancy) = cfg_key
+     low_discrepancy, energy_comp, noprune) = cfg_key
     f32 = jnp.float32
 
     def lds(seed, dims):
@@ -448,7 +448,7 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
         for j in range(3)], axis=0)
     thp = thp * jnp.where(in_medium, jnp.exp(-sigma * t), 1.0)
 
-    if os.environ.get("RTXPT_TPU_KERNEL_MS") == "0":
+    if not energy_comp:
         e_poly = None
         e_avg = None
     else:
@@ -583,7 +583,7 @@ def _bounce_kernel(scal_ref, fs_ref, is_ref, tri_ref, attr_ref, mat_ref,
                    light_ref, fs_out, is_out, hit_out, *,
                    cfg_key, tc, n_chunks, n_lights, first_emissive):
     (nee_mode, enable_mis, firefly, rr_enable, min_rr, max_travel,
-     low_discrepancy) = cfg_key
+     low_discrepancy, energy_comp, noprune) = cfg_key
     f32 = jnp.float32
     sample_idx = scal_ref[0, 0]
     bounce = scal_ref[0, 1].astype(jnp.int32)
@@ -657,7 +657,12 @@ def _bounce_kernel(scal_ref, fs_ref, is_ref, tri_ref, attr_ref, mat_ref,
 # ---------------------------------------------------------------------------
 
 
-def _interpret() -> bool:
+def _interpret(cfg=None) -> bool:
+    """Interpret-mode resolution. Prefer the concrete cfg.pallas_interpret
+    (set by pt/dispatch.resolve outside jit); env/backend reads remain
+    only as an eager-caller fallback."""
+    if cfg is not None and cfg.pallas_interpret is not None:
+        return bool(cfg.pallas_interpret)
     if os.environ.get("RTXPT_TPU_PALLAS_INTERPRET") == "1":
         return True
     try:
@@ -711,38 +716,21 @@ def _bounce_call(scal, fs, is_, tri_rows, attr_rows, mat_rows, light_rows,
 
 
 def _cfg_key(cfg):
+    """Static kernel-permutation key. Every flag that changes the traced
+    kernel body MUST ride here (it is a static jit argname of
+    _bounce_call) — never read env/process state inside the kernel."""
     return (int(cfg.nee.value), bool(cfg.enable_mis),
             float(cfg.firefly_clamp), bool(cfg.enable_russian_roulette),
             int(cfg.min_bounces_before_rr), float(cfg.max_ray_travel),
-            bool(cfg.low_discrepancy))
+            bool(cfg.low_discrepancy), bool(cfg.kernel_energy_comp),
+            bool(cfg.cluster_noprune))
 
 
 def eligible(scene, cfg, neeat_state) -> bool:
-    """Static eligibility for the fused kernel (falls back to the XLA
-    wavefront otherwise). Evaluated at trace time on pytree STRUCTURE
-    only — array values are tracers."""
-    if os.environ.get("RTXPT_TPU_PALLAS_BOUNCE") == "0":
-        return False
-    if getattr(scene, "bounce_tables", None) is None:
-        return False
-    if scene.textures is not None or scene.tri_opacity is not None:
-        return False
-    if neeat_state is not None:
-        return False
-    if getattr(cfg, "split_channels", False):
-        return False
-    if cfg.nee.value not in (0, 1, 2):
-        return False
-    if int(cfg.nee_candidates) > 1:
-        return False
-    try:
-        backend = jax.default_backend()
-    except Exception:
-        return False
-    if backend == "cpu" and os.environ.get(
-            "RTXPT_TPU_PALLAS_INTERPRET") != "1":
-        return False
-    return backend not in ("gpu",)
+    """Back-compat structural eligibility (see pt/dispatch.py — tier
+    resolution now happens there, outside jit)."""
+    from rtxpt_tpu.pt.dispatch import fused_structural_ok
+    return fused_structural_ok(scene, cfg, neeat_state)
 
 
 def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
@@ -785,7 +773,7 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
 
     sample_idx = jnp.asarray(sample_idx).astype(jnp.uint32)
     key = _cfg_key(cfg)
-    interp = _interpret()
+    interp = _interpret(cfg)
 
     ray_count = jnp.zeros((), jnp.int32)
     occupancy = []

@@ -79,19 +79,23 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
           consumed path vertices; StablePlanes vertex-index bookkeeping).
     Returns dict(L [N,3], aux guide buffers when want_aux, ray_count []).
     """
-    # Fused Pallas bounce kernel (pt/bounce_pallas.py) — the TPU hot path.
-    # Eligibility is structural (tables baked at prepare, no textures/env/
-    # NEE-AT); everything else takes the general XLA wavefront below.
+    # Kernel-tier dispatch: purely on the STATIC cfg.kernel_tier (resolved
+    # outside jit by pt/dispatch.resolve — env vars / backend state are
+    # never read at trace time, so the jit cache key owns the decision).
+    # "auto" here means an eager / third-party caller skipped resolution;
+    # resolving inline is then safe because nothing caches the trace.
     # V-buffer restarts take the XLA path (hit injection into the fused
     # kernels is future work).
-    from rtxpt_tpu.pt import bounce_pallas as bp
-    if first_hit is None and bp.eligible(scene, cfg, neeat_state):
+    from rtxpt_tpu.pt import dispatch
+    if cfg.kernel_tier == "auto":
+        cfg = dispatch.resolve(scene, cfg, neeat_state)
+    if first_hit is None and cfg.kernel_tier == "fused":
+        from rtxpt_tpu.pt import bounce_pallas as bp
         return bp.trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py,
                                      sample_idx, want_aux=want_aux,
                                      first_emissive=first_emissive)
-    # Large scenes: clustered streamed kernels (pt/bounce_clustered.py).
-    from rtxpt_tpu.pt import bounce_clustered as bc
-    if first_hit is None and bc.eligible(scene, cfg, neeat_state):
+    if first_hit is None and cfg.kernel_tier == "clustered":
+        from rtxpt_tpu.pt import bounce_clustered as bc
         return bc.trace_paths_clustered(scene, cfg, o, d, cone_spread,
                                         px, py, sample_idx,
                                         want_aux=want_aux,
@@ -612,10 +616,24 @@ def render_sample(scene: SceneData, cam: Camera, cfg: PathTracerConfig,
 
 
 @partial(jax.jit, static_argnames=("cfg", "width", "height", "want_aux"))
-def render_sample_jit(scene, cam, cfg, width, height, sample_idx,
-                      want_aux=False, neeat_state=None):
+def _render_sample_jit_inner(scene, cam, cfg, width, height, sample_idx,
+                             want_aux=False, neeat_state=None):
     return render_sample(scene, cam, cfg, width, height, sample_idx,
                          want_aux=want_aux, neeat_state=neeat_state)
+
+
+def render_sample_jit(scene, cam, cfg, width, height, sample_idx,
+                      want_aux=False, neeat_state=None):
+    """Jitted render_sample. Resolves the kernel tier OUTSIDE the jit
+    boundary (pt/dispatch.py) so the dispatch decision is part of the
+    static cache key; the out-of-band `kernel_tier` entry reports which
+    tier served the frame (VERDICT r2: silent tier cliffs)."""
+    from rtxpt_tpu.pt import dispatch
+    cfg = dispatch.resolve(scene, cfg, neeat_state)
+    out = dict(_render_sample_jit_inner(scene, cam, cfg, width, height,
+                                        sample_idx, want_aux, neeat_state))
+    out["kernel_tier"] = cfg.kernel_tier
+    return out
 
 
 def render_adaptive(scene: SceneData, cam: Camera, cfg: PathTracerConfig,

@@ -467,21 +467,40 @@ def _quat_to_mat3(q: np.ndarray) -> np.ndarray:
 
 def _sample_channel(ch: AnimChannel, t: float) -> np.ndarray:
     times = ch.times
+    cubic = ch.interp == "CUBICSPLINE"
+    # glTF 2.0 spec: CUBICSPLINE output accessors hold 3 elements per
+    # keyframe (in-tangent, value, out-tangent) — indexing values[i]
+    # directly would read a tangent (ADVICE r2).
+    val = (lambda i: ch.values[3 * i + 1]) if cubic \
+        else (lambda i: ch.values[i])
     if len(times) == 1:
-        return ch.values[0]
+        return val(0)
     t = float(np.clip(t, times[0], times[-1]))
     i = int(np.searchsorted(times, t, side="right") - 1)
     i = min(max(i, 0), len(times) - 2)
     if ch.interp == "STEP":
-        return ch.values[i]
+        return val(i)
     t0, t1 = times[i], times[i + 1]
     a = 0.0 if t1 <= t0 else (t - t0) / (t1 - t0)
-    v = (1.0 - a) * ch.values[i] + a * ch.values[i + 1]
+    v0, v1 = val(i), val(i + 1)
+    if cubic:
+        # cubic Hermite (glTF spec eq.; tangents scaled by keyframe dt)
+        td = t1 - t0
+        bk = ch.values[3 * i + 2] * td        # out-tangent of key i
+        ak1 = ch.values[3 * (i + 1)] * td     # in-tangent of key i+1
+        a2, a3 = a * a, a * a * a
+        v = ((2 * a3 - 3 * a2 + 1) * v0 + (a3 - 2 * a2 + a) * bk
+             + (-2 * a3 + 3 * a2) * v1 + (a3 - a2) * ak1)
+    else:
+        v = (1.0 - a) * v0 + a * v1
     if ch.path == "rotation":
-        # nlerp with shortest-arc sign fix
-        if np.dot(ch.values[i], ch.values[i + 1]) < 0.0:
-            v = (1.0 - a) * ch.values[i] - a * ch.values[i + 1]
-        v = v / max(np.linalg.norm(v), 1e-12)
+        if cubic:
+            v = v / max(np.linalg.norm(v), 1e-12)
+        else:
+            # nlerp with shortest-arc sign fix
+            if np.dot(v0, v1) < 0.0:
+                v = (1.0 - a) * v0 - a * v1
+            v = v / max(np.linalg.norm(v), 1e-12)
     return v
 
 

@@ -29,8 +29,9 @@ print("clustered: depth mean", depth_c.mean(), "hit frac",
       (depth_c > 0).mean(), "L mean", L_c.mean(),
       "overflow", int(out.get("cull_overflow", -1)))
 
-os.environ["RTXPT_TPU_PALLAS_CLUSTER"] = "0"
-out2 = render_sample_jit(sd, cam, cfg, 64, 48, jnp.uint32(0), True)
+import dataclasses
+cfg_ref = dataclasses.replace(cfg, kernel_tier="xla")
+out2 = render_sample_jit(sd, cam, cfg_ref, 64, 48, jnp.uint32(0), True)
 depth_r = np.asarray(out2["depth"])
 L_r = np.asarray(out2["L"])
 print("reference: depth mean", depth_r.mean(), "hit frac",
