@@ -88,7 +88,11 @@ AT_LAREA = 23            # light area
 AT_ISLIGHT = 24
 AT_LOCALJ = 25           # triangle index within the cluster (iota)
 AT_VALID = 26            # 1 for real triangles, 0 for padding
-AT_ROWS = 27
+AT_UV0 = 27              # 27:29 texture uv at v0
+AT_UV1 = 29
+AT_UV2 = 31
+AT_LODB = 33             # -0.5*log2(tri_area2): ray-cone LOD bias
+AT_ROWS = 34
 
 
 @struct.dataclass
@@ -100,9 +104,20 @@ class ClusterTables:
     aabb_hi: jnp.ndarray    # [C, 3] f32
     mat_rows: jnp.ndarray   # [MT_ROWS, 128]
     light_rows: jnp.ndarray  # [LROWS, 128]
+    env_rows: Optional[jnp.ndarray] = None   # [EV_ROWS, 128]
+    tex_ct: Optional[jnp.ndarray] = None     # [4*128, TR]
+    tex_meta: Optional[jnp.ndarray] = None   # [TXM_ROWS, 128]
     n_clusters: int = struct.field(pytree_node=False, default=0)
     n_tris: int = struct.field(pytree_node=False, default=0)
     n_lights: int = struct.field(pytree_node=False, default=0)
+    tr: int = struct.field(pytree_node=False, default=0)
+    tex_maps: tuple = struct.field(pytree_node=False, default=(1, 0, 0))
+
+    @property
+    def tex_rows(self):
+        """Non-None when the in-kernel texture path is available
+        (pt/dispatch.py structural eligibility)."""
+        return self.tex_ct
 
 
 def bf16_round(x: np.ndarray) -> np.ndarray:
@@ -139,13 +154,15 @@ def morton_permutation(positions: np.ndarray, indices: np.ndarray
 
 
 def build_cluster_tables(positions, normals, indices, tri_material,
-                         materials, lights) -> Optional[ClusterTables]:
+                         materials, lights, uvs=None, envmap=None,
+                         textures=None) -> Optional[ClusterTables]:
     """Bake cluster blocks. Triangles must already be Morton-ordered
     (prepare() applies morton_permutation to all per-tri arrays).
     Returns None when the scene is ineligible (see pt/bounce_clustered
-    eligibility: table caps, env light)."""
+    eligibility: table caps, env/texture table requirements)."""
     from rtxpt_tpu.pt.bounce_pallas import (
-        MAX_LIGHTS, MAX_MATERIALS, pack_lights, pack_materials)
+        EV_AUX, EVA_SELPDF, MAX_LIGHTS, MAX_MATERIALS, _tex_maps_of,
+        build_env_rows, build_tex_tables, pack_lights, pack_materials)
 
     positions = np.asarray(positions, np.float32)
     normals = np.asarray(normals, np.float32)
@@ -161,8 +178,21 @@ def build_cluster_tables(positions, normals, indices, tri_material,
     if (t == 0 or n_clusters > MAX_CLUSTERS or n_mats > MAX_MATERIALS
             or n_lights > MAX_LIGHTS):
         return None
+    env_rows = None
     if int(np.asarray(lights.env_light)) >= 0:
-        return None
+        env_rows = build_env_rows(envmap) if envmap is not None else None
+        if env_rows is None:
+            return None
+        env_rows[EV_AUX + EVA_SELPDF, :] = float(
+            np.asarray(lights.power)[int(np.asarray(lights.env_light))])
+    tex = None
+    if textures is not None:
+        arr = getattr(materials, "normal_tex", None)
+        if arr is not None and int(np.max(np.asarray(arr))) >= 0:
+            return None      # normal mapping is XLA-only
+        tex = build_tex_tables(textures, materials)
+        if tex is None:
+            return None
 
     v0 = positions[indices[:, 0]]
     v1 = positions[indices[:, 1]]
@@ -263,6 +293,15 @@ def build_cluster_tables(positions, normals, indices, tri_material,
     put1(AT_LOCALJ, np.tile(np.arange(CT, dtype=np.float32),
                             (n_clusters, 1)).reshape(-1))
     put1(AT_VALID, validp)
+    if uvs is not None:
+        uvs = np.asarray(uvs, np.float32)
+        for row, vi in ((AT_UV0, 0), (AT_UV1, 1), (AT_UV2, 2)):
+            uvv = pp(uvs[indices[:, vi]])
+            put1(row, uvv[:, 0])
+            put1(row + 1, uvv[:, 1])
+    tri_area2 = np.linalg.norm(np_, axis=-1)
+    put1(AT_LODB, (-0.5 * np.log2(np.maximum(tri_area2, 1e-20))
+                   ).astype(np.float32))
     for i in range(AT_ROWS):
         blocks[:, ATTR_BASE + i // 4,
                (i % 4) * CT:(i % 4 + 1) * CT] = attr[:, i, :]
@@ -272,4 +311,9 @@ def build_cluster_tables(positions, normals, indices, tri_material,
         aabb_lo=jnp.asarray(lo), aabb_hi=jnp.asarray(hi),
         mat_rows=jnp.asarray(pack_materials(materials)),
         light_rows=jnp.asarray(pack_lights(lights)),
-        n_clusters=n_clusters, n_tris=t, n_lights=n_lights)
+        env_rows=(jnp.asarray(env_rows) if env_rows is not None else None),
+        tex_ct=(tex[0] if tex is not None else None),
+        tex_meta=(tex[1] if tex is not None else None),
+        n_clusters=n_clusters, n_tris=t, n_lights=n_lights,
+        tr=(tex[2] if tex is not None else 0),
+        tex_maps=_tex_maps_of(materials))

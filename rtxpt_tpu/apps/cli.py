@@ -29,11 +29,21 @@ def build_scene(name: str, args):
         return procedural.furnace_box()
     if name == "triangle":
         return procedural.single_triangle()
+    if name == "cornell-textured":
+        return procedural.textured_cornell(with_env=True)
+    if name == "city":
+        return procedural.city_scene()
+    if name == "city-textured":
+        return procedural.city_scene(textured=True, with_env=True)
+    if name == "kitchen":
+        return procedural.kitchen_scene()
     if name.endswith((".gltf", ".glb")):
         from rtxpt_tpu.scene.gltf import load_gltf
         return load_gltf(name)
     raise SystemExit(f"unknown scene '{name}' (procedural: cornell, "
-                     f"cornell-specular, furnace, triangle; or a .gltf/.glb)")
+                     f"cornell-specular, cornell-textured, furnace, "
+                     f"triangle, city, city-textured, kitchen; or a "
+                     f".gltf/.glb)")
 
 
 def main(argv=None):
@@ -74,6 +84,10 @@ def main(argv=None):
     p.add_argument("--stable-planes", action="store_true",
                    help="real-time path-space decomposition (delta chains)")
     p.add_argument("--taa", action="store_true")
+    p.add_argument("--stf", action="store_true",
+                   help="stochastic texture filtering (RTXTF analog; "
+                        "required for textured scenes on the Pallas hot "
+                        "tiers)")
     p.add_argument("--bloom", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--camera-json", default=None,
@@ -152,7 +166,11 @@ def main(argv=None):
         enable_mis=not args.no_mis,
         enable_russian_roulette=not args.no_rr,
         firefly_clamp=args.firefly_clamp,
+        stochastic_texture_filtering=args.stf,
     )
+    from rtxpt_tpu.pt.dispatch import resolve as _resolve_tier
+    print(f"[dispatch] kernel tier: {_resolve_tier(scene, cfg).kernel_tier}",
+          file=sys.stderr)
 
     t0 = time.time()
     if args.realtime:

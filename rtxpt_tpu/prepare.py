@@ -22,8 +22,16 @@ def scene_radius(positions: np.ndarray) -> float:
     return float(np.linalg.norm(hi - lo) * 0.5 + 1e-6)
 
 
-def prepare(host: HostScene) -> SceneData:
-    """Flatten + OMM opacity bake + build BVH + bake envmap & lights."""
+def prepare(host: HostScene, env_res="auto") -> SceneData:
+    """Flatten + OMM opacity bake + build BVH + bake envmap & lights.
+
+    env_res: equirect bake resolution for the environment. "auto" (the
+    default) bakes at the Pallas kernels' fixed (64,128) resolution when
+    an env source exists, so BOTH the fused/clustered hot tiers and the
+    XLA wavefront share one EnvMap and stay in exact sampling parity
+    (reference analog: EnvMapBaker's fixed-res cubemap + reduced-res
+    importance map, Lighting/Distant/EnvMapBaker.h:40-60). Pass None for
+    native-resolution XLA-only rendering, or an explicit (h, w)."""
     import jax.numpy as jnp
 
     sd = host.flatten()
@@ -70,8 +78,12 @@ def prepare(host: HostScene) -> SceneData:
             tri_opacity = jnp.asarray(np.asarray(tri_opacity)[perm])
 
     bvh = build_bvh(pos, idx)                       # LBVH (accel/lbvh.py)
+    if env_res == "auto":
+        from rtxpt_tpu.pt.bounce_pallas import ENV_H, ENV_W
+        env_res = (ENV_H, ENV_W) if host.envmap_image is not None else None
     envmap = bake_envmap(host.envmap_image, host.envmap_scale,
-                         host.envmap_rotation)      # EnvMapBaker analog
+                         host.envmap_rotation,
+                         res=env_res)               # EnvMapBaker analog
     from rtxpt_tpu.scene.scene import build_packs
     tri_pack, mat_pack = build_packs(sd.geometry, sd.materials)
     sd = sd.replace(bvh=bvh, envmap=envmap, tri_opacity=tri_opacity,
@@ -84,18 +96,22 @@ def prepare(host: HostScene) -> SceneData:
     # Fused Pallas bounce-kernel tables (the TPU hot path; pt/bounce_pallas)
     bounce_tables = None
     cluster_tables = None
-    if textures is None and tri_opacity is None:
+    if tri_opacity is None:
         from rtxpt_tpu.pt.bounce_pallas import build_bounce_tables
         bounce_tables = build_bounce_tables(
             pos, np.asarray(sd.geometry.normals), idx,
-            np.asarray(sd.geometry.tri_material), sd.materials, lights)
+            np.asarray(sd.geometry.tri_material), sd.materials, lights,
+            uvs=np.asarray(sd.geometry.uvs), envmap=envmap,
+            textures=textures)
         if bounce_tables is None and len(idx) > PALLAS_MAX_TRIS:
             # Large-scene tier: clustered streamed kernel
             # (accel/cluster.py + pt/bounce_clustered.py).
             from rtxpt_tpu.accel.cluster import build_cluster_tables
             cluster_tables = build_cluster_tables(
                 pos, np.asarray(sd.geometry.normals), idx,
-                np.asarray(sd.geometry.tri_material), sd.materials, lights)
+                np.asarray(sd.geometry.tri_material), sd.materials, lights,
+                uvs=np.asarray(sd.geometry.uvs), envmap=envmap,
+                textures=textures)
     has_prio = bool(np.any(np.asarray(sd.materials.nested_priority) != 0))
     return sd.replace(lights=lights, textures=textures,
                       bounce_tables=bounce_tables,

@@ -77,17 +77,22 @@ SH_CONTRIB = 7    # 7:10
 SH_DO = 10
 SH_ROWS = 11
 
-# best-hit scratch row map ([R, 32, 128]: per ray-row one [32,128] tile)
+# best-hit scratch row map ([R, _B_ROWS, 128]: one tile per ray-row)
 _B_T = 0
 _B_CID = 1
 _B_ATTR = 2                      # 2 .. 2+CL.AT_ROWS
-_B_CEN = 2 + CL.AT_ROWS          # 29:32 cluster center
+_B_CEN = 2 + CL.AT_ROWS          # 3 rows: cluster center
+_B_ROWS = _round_up(2 + CL.AT_ROWS + 3, 8)
 
 # bounce_pallas logical attr index -> cluster-table attr row
 _ATTR_MAP = {bp.AT_N0: CL.AT_N0, bp.AT_N1: CL.AT_N1, bp.AT_N2: CL.AT_N2,
              bp.AT_GN: CL.AT_GN, bp.AT_MID: CL.AT_MID,
              bp.AT_LPDF: CL.AT_LPDF, bp.AT_LAREA: CL.AT_LAREA,
-             bp.AT_ISLIGHT: CL.AT_ISLIGHT}
+             bp.AT_ISLIGHT: CL.AT_ISLIGHT, bp.AT_LODB: CL.AT_LODB}
+for _j in range(2):
+    _ATTR_MAP[bp.AT_UV0 + _j] = CL.AT_UV0 + _j
+    _ATTR_MAP[bp.AT_UV1 + _j] = CL.AT_UV1 + _j
+    _ATTR_MAP[bp.AT_UV2 + _j] = CL.AT_UV2 + _j
 
 
 def default_kslots() -> int:
@@ -185,11 +190,30 @@ def _quantities(cur, cols):
             prod[3 * CT:4 * CT])
 
 
-def _kernel_a(scal_ref, cand_ref, fs_ref, is_ref, mat_ref, light_ref,
-              blocks_hbm, fs_out, is_out, sh_out, hit_out,
-              buf0, buf1, best_ref, sem0, sem1, *,
-              cfg_key, kslots, n_lights, first_emissive):
+def _kernel_a(*refs,
+              cfg_key, kslots, n_lights, tr, first_emissive,
+              has_env, has_tex, tex_maps, final_env=False):
     f32 = jnp.float32
+    it = iter(refs)
+    scal_ref = next(it)
+    cand_ref = next(it)
+    fs_ref = next(it)
+    is_ref = next(it)
+    mat_ref = next(it)
+    light_ref = next(it)
+    env_ref = next(it) if has_env else None
+    tex_ct_ref = next(it) if has_tex else None
+    tex_meta_ref = next(it) if has_tex else None
+    blocks_hbm = next(it)
+    fs_out = next(it)
+    is_out = next(it)
+    sh_out = next(it)
+    hit_out = next(it)
+    buf0 = next(it)
+    buf1 = next(it)
+    best_ref = next(it)
+    sem0 = next(it)
+    sem1 = next(it)
     max_travel = cfg_key[5]
     sample_idx = scal_ref[0, 0]
     bounce = scal_ref[0, 1].astype(jnp.int32)
@@ -202,7 +226,8 @@ def _kernel_a(scal_ref, cand_ref, fs_ref, is_ref, mat_ref, light_ref,
 
     # reset persistent scratch for this grid step
     init = jnp.concatenate(
-        [jnp.full((1, 128), _BIG, f32), jnp.zeros((31, 128), f32)], axis=0)
+        [jnp.full((1, 128), _BIG, f32),
+         jnp.zeros((_B_ROWS - 1, 128), f32)], axis=0)
     for r in range(_R):
         best_ref[r] = init
 
@@ -277,7 +302,9 @@ def _kernel_a(scal_ref, cand_ref, fs_ref, is_ref, mat_ref, light_ref,
                 amat, sel, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
                 precision=jax.lax.Precision.HIGHEST)            # [27,128]
-            new = jnp.concatenate([t_c, cidv, attr_c, cx, cy, cz], axis=0)
+            new = jnp.concatenate(
+                [t_c, cidv, attr_c, cx, cy, cz,
+                 jnp.zeros((_B_ROWS - 5 - CL.AT_ROWS, 128), f32)], axis=0)
             best_ref[r] = jnp.where(improved, new, b)
 
     _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
@@ -349,6 +376,35 @@ def _kernel_a(scal_ref, cand_ref, fs_ref, is_ref, mat_ref, light_ref,
             jnp.concatenate([b[base + j:base + j + 1] for b in best_rows],
                             axis=0) for j in range(k)], axis=0)
 
+    if final_env:
+        # Final env-only round (bounce == max_bounces) — see
+        # bounce_pallas._bounce_kernel final_env.
+        nee_mode_ = cfg_key[0]
+        enable_mis_ = cfg_key[1]
+        use_nee_ = nee_mode_ in (1, 2) and n_lights > 0
+        active_in = is_[IS_ACTIVE] > 0
+        prev_delta_in = is_[IS_PREVDELTA] > 0
+        miss_mask = active_in & ~hit
+        L = fs[bp.FS_L:bp.FS_L + 3]
+        env_L, p_env = bp._env_eval_pdf(
+            env_ref, d, nee_mode_ == 1, n_lights,
+            with_pdf=use_nee_ and bool(enable_mis_))
+        if use_nee_ and enable_mis_:
+            w_env = jnp.where(prev_delta_in, 1.0,
+                              W.power_heuristic(fs[FS_PREVPDF], p_env))
+        else:
+            w_env = jnp.ones_like(t)
+        L = L + jnp.where(miss_mask,
+                          fs[FS_THP:FS_THP + 3] * env_L * w_env, 0.0)
+        fs_out[:] = jnp.concatenate([fs[:FS_L], L, fs[FS_L + 3:]], axis=0)
+        is_out[:] = jnp.concatenate(
+            [jnp.zeros((1, _R, 128), jnp.int32), is_[1:]], axis=0)
+        sh_out[:] = jnp.zeros((SH_ROWS, _R, 128), f32)
+        hit_out[:] = jnp.stack(
+            [jnp.where(hit, t, 0.0), prim_f, bu, bv,
+             front.astype(f32), jnp.zeros_like(t)], axis=0)
+        return
+
     s = surface_and_shade(
         o=o, d=d, t=t, hit=hit, front=front, bu=bu, bv=bv, attr=attr,
         thp=fs[FS_THP:FS_THP + 3], L=fs[FS_L:FS_L + 3],
@@ -357,10 +413,15 @@ def _kernel_a(scal_ref, cand_ref, fs_ref, is_ref, mat_ref, light_ref,
         med0=is_[IS_MED0], med1=is_[IS_MED1],
         px=is_[IS_PX], py=is_[IS_PY], sample_idx=sample_idx, bounce=bounce,
         mat_ref=mat_ref, light_ref=light_ref, cfg_key=cfg_key,
-        n_lights=n_lights, first_emissive=first_emissive)
+        n_lights=n_lights, first_emissive=first_emissive,
+        env_ref=env_ref,
+        tex_refs=((tex_ct_ref, tex_meta_ref, tr) if has_tex else None),
+        tex_maps=tex_maps,
+        cone=fs[bp.FS_CONE], spread=fs[bp.FS_SPREAD])
 
     fs_out[:] = jnp.concatenate(
-        [s["o_new"], s["wi_world"], s["thp"], s["L"], s["prev_pdf"][None]],
+        [s["o_new"], s["wi_world"], s["thp"], s["L"], s["prev_pdf"][None],
+         s["cone"][None], s["spread"][None]],
         axis=0)
     is_out[:] = jnp.stack(
         [s["active"].astype(jnp.int32), s["prev_delta"].astype(jnp.int32),
@@ -435,33 +496,51 @@ def _kernel_b(cand_ref, sh_ref, blocks_hbm, occ_out,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg_key", "kslots", "n_lights", "first_emissive",
+    static_argnames=("cfg_key", "kslots", "n_lights", "tr",
+                     "first_emissive", "tex_maps", "final_env",
                      "interpret"))
-def _kernel_a_call(scal, cand, fs, is_, mat_rows, light_rows, blocks,
-                   cfg_key, kslots, n_lights, first_emissive,
-                   interpret=False):
+def _kernel_a_call(scal, cand, fs, is_, mat_rows, light_rows, env_rows,
+                   tex_ct, tex_meta, blocks,
+                   cfg_key, kslots, n_lights, tr, first_emissive,
+                   tex_maps=(1, 0, 0), final_env=False, interpret=False):
     nrows = fs.shape[1]
     grid = nrows // _R
+    has_env = env_rows is not None
+    has_tex = tex_ct is not None
     kern = functools.partial(
         _kernel_a, cfg_key=cfg_key, kslots=kslots, n_lights=n_lights,
-        first_emissive=first_emissive)
+        tr=tr, first_emissive=first_emissive, has_env=has_env,
+        has_tex=has_tex, tex_maps=tex_maps, final_env=final_env)
     const2 = lambda b: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, 2), const2, memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, cand.shape[2]), lambda b: (b, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((NF, _R, 128), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NI, _R, 128), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(mat_rows.shape, const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(light_rows.shape, const2,
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [scal, cand, fs, is_, mat_rows, light_rows]
+    if has_env:
+        in_specs.append(pl.BlockSpec(env_rows.shape, const2,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(env_rows)
+    if has_tex:
+        in_specs.append(pl.BlockSpec(tex_ct.shape, const2,
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(tex_meta.shape, const2,
+                                     memory_space=pltpu.VMEM))
+        inputs.extend([tex_ct, tex_meta])
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    inputs.append(blocks)
     return pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((1, 2), const2, memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, cand.shape[2]), lambda b: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((NF, _R, 128), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NI, _R, 128), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(mat_rows.shape, const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec(light_rows.shape, const2,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((NF, _R, 128), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
@@ -481,12 +560,12 @@ def _kernel_a_call(scal, cand, fs, is_, mat_rows, light_rows, blocks,
         scratch_shapes=[
             pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
             pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
-            pltpu.VMEM((_R, 32, 128), jnp.float32),
+            pltpu.VMEM((_R, _B_ROWS, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(scal, cand, fs, is_, mat_rows, light_rows, blocks)
+    )(*inputs)
 
 
 @functools.partial(jax.jit, static_argnames=("kslots", "interpret"))
@@ -559,7 +638,9 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         rows3(o), rows3(d, 1.0),
         jnp.ones((3, nrows, 128), f32),
         jnp.zeros((3, nrows, 128), f32),
-        jnp.zeros((1, nrows, 128), f32),
+        jnp.zeros((1, nrows, 128), f32),         # prev_pdf
+        jnp.zeros((1, nrows, 128), f32),         # cone width
+        rows1(cone_spread)[None],                # cone spread
     ], axis=0)
     ones_mask = pad1(jnp.ones((n,), jnp.int32)).reshape(1, nrows, 128)
     is_ = jnp.concatenate([
@@ -574,6 +655,9 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
     key = _cfg_key(cfg)
     interp = _interpret(cfg)
     use_nee = key[0] in (1, 2) and tbl.n_lights > 0
+    use_tex = tbl.tex_ct is not None and \
+        bool(cfg.stochastic_texture_filtering)
+    tex_maps = tbl.tex_maps if use_tex else (1, 0, 0)
 
     def g4(x3):
         return x3.reshape(3, n_groups, _R, 128)
@@ -624,8 +708,13 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         overflow = overflow + ovf
         scal = jnp.stack([sample_idx, jnp.uint32(bounce)]).reshape(1, 2)
         fs, is_, sh, hitb = _kernel_a_call(
-            scal, cand, fs, is_, tbl.mat_rows, tbl.light_rows, tbl.blocks,
-            key, kslots, tbl.n_lights, first_emissive, interpret=interp)
+            scal, cand, fs, is_, tbl.mat_rows, tbl.light_rows,
+            tbl.env_rows,
+            tbl.tex_ct if use_tex else None,
+            tbl.tex_meta if use_tex else None,
+            tbl.blocks,
+            key, kslots, tbl.n_lights, tbl.tr, first_emissive,
+            tex_maps=tex_maps, interpret=interp)
         ray_count = ray_count + jnp.sum(active_in)
         if bounce == 0:
             hit0 = hitb
@@ -661,6 +750,23 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                 0.0)
             fs = jnp.concatenate([fs[:FS_L], L, fs[FS_L + 3:]], axis=0)
             ray_count = ray_count + jnp.sum(do.astype(jnp.int32))
+    if tbl.env_rows is not None:
+        # final env-only round for escaping rays (XLA loop parity)
+        active_in = is_[IS_ACTIVE]
+        act = (active_in > 0).reshape(n_groups, _R, 128)
+        cand, ovf = cull_candidates(
+            g4(fs[FS_O:FS_O + 3]), g4(fs[FS_D:FS_D + 3]), act,
+            jnp.float32(cfg.max_ray_travel),
+            tbl.aabb_lo, tbl.aabb_hi, kslots)
+        overflow = overflow + ovf
+        scal = jnp.stack(
+            [sample_idx, jnp.uint32(cfg.max_bounces)]).reshape(1, 2)
+        fs, is_, _sh, _hitf = _kernel_a_call(
+            scal, cand, fs, is_, tbl.mat_rows, tbl.light_rows,
+            tbl.env_rows, None, None, tbl.blocks,
+            key, kslots, tbl.n_lights, tbl.tr, first_emissive,
+            final_env=True, interpret=interp)
+        ray_count = ray_count + jnp.sum(active_in)
     occupancy.append(jnp.sum(is_[IS_ACTIVE]))
 
     # undo the lane permutation (src is a permutation of 0..npad-1, so

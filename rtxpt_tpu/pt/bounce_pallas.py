@@ -35,10 +35,18 @@ in-kernel while_loop, python-unrolled chunk loops, all slicing static,
 2D-shaped integer ops only. Validate with interpret=True before any TPU
 compile.
 
+Round 3 additions (VERDICT r2 "next round" #2): in-kernel ENV lighting
+(miss eval, MIS pdf, NEE importance sampling over a baked [64,128]
+equirect table — one-hot MXU matmul gathers + in-register two-level CDF
+inversion; parity-exact with lighting/envmap.py which shares the same
+bake) and in-kernel TEXTURES (stochastic texture filtering over a
+transposed VMEM atlas <=64k texels; mirrors
+scene/textures.sample_texture_stochastic bit-for-bit).
+
 Eligibility (everything else falls back to the XLA wavefront in
 pt/integrator.py): <= PALLAS_MAX_TRIS triangles, <=128 lights, <=128
-materials, no envmap light, no textures/alpha, NEE in {OFF, UNIFORM,
-POWER} with 1 candidate.
+materials, pow2 textures within the atlas cap (with STF enabled), NEE
+in {OFF, UNIFORM, POWER} with 1 candidate; see pt/dispatch.py.
 """
 
 from __future__ import annotations
@@ -70,7 +78,9 @@ FS_D = 3                # 3:6 ray direction
 FS_THP = 6              # 6:9 throughput
 FS_L = 9                # 9:12 accumulated radiance
 FS_PREVPDF = 12
-NF = 13
+FS_CONE = 13            # ray-cone width accumulated so far
+FS_SPREAD = 14          # ray-cone spread angle
+NF = 15
 
 # is_ (i32 state) channel map
 IS_ACTIVE = 0
@@ -90,7 +100,11 @@ AT_MID = 12
 AT_LPDF = 13            # baked power-CDF selection pdf of this tri's light
 AT_LAREA = 14
 AT_ISLIGHT = 15
-AT_ROWS = 16
+AT_UV0 = 16             # 16:18 texture uv at v0
+AT_UV1 = 18
+AT_UV2 = 20
+AT_LODB = 22            # -0.5*log2(tri_area2): ray-cone LOD bias
+AT_ROWS = 23
 
 # material table rows (one column per material)
 MT_BASE = 0             # 0:3
@@ -109,12 +123,48 @@ MT_VOLABS = 13          # 13:16
 # whole bounce kernel; the XLA path keeps the exact table).
 MT_EPOLY = 16           # 16:22
 MT_EAVG = 22
-MT_ROWS = 23
+MT_BTEX = 23            # base-color texture id (-1 none)
+MT_MRTEX = 24           # metal-rough texture id
+MT_ETEX = 25            # emissive texture id
+MT_ROWS = 26
+
+# --- environment table (in-kernel env eval/sampling; EnvMap analog of
+# Shaders/PathTracer/Lighting/EnvMap.hlsli evaluated inside the
+# megakernel). Fixed kernel resolution ENV_H x ENV_W equirect baked by
+# prepare(); the XLA path shares the SAME EnvMap so both tiers sample the
+# same texels from the same uniforms. Stored transposed (x-major rows,
+# y lanes) so the winner row one-hot works as a matmul gather without an
+# in-kernel transpose.
+ENV_H = 64
+ENV_W = 128
+EV_CT = 0         # 4 planes (R,G,B,texel_pdf) x 128 rows(x), lane = y
+EV_CONDT = 512    # [128 rows(x), lane y] conditional CDF transposed
+EV_COL = 640      # [128,128] row-marginal CDF replicated across lanes
+EV_COSB = 768     # [128,128] cos row-boundaries replicated (-2 pads)
+EV_AUX = 896      # aux lane rows below
+EV_ROWS = 904
+EVA_ROWCDF = 0    # row_cdf as lane row (lane = y)
+EVA_SA = 1        # per-row texel solid angle (lane = y)
+EVA_COS = 2       # cos(rotation) replicated
+EVA_SIN = 3       # sin(rotation) replicated
+EVA_SELPDF = 4    # power-mode selection pmf of the env light (replicated)
+
+# --- texture atlas tables (in-kernel stochastic texture filtering; the
+# RTXTF analog run INSIDE the bounce kernel — reference samples bindless
+# MIP textures in-kernel at PathTracerBridgeDonut.hlsli:270-285).
+TEX_MAX_ROWS = 512          # atlas cap: 512*128 = 64k texels (all MIPs)
+TXM_W = 0                   # texture meta lane table (lane = texture id)
+TXM_H = 1
+TXM_NMIPS = 2
+TXM_OFF = 3                 # 3:17 per-MIP start texel
+TXM_POW = 17                # lanes k hold 2^-k (shared; not per-texture)
+TXM_ROWS = 18
 
 # Effect seeds — must match pt/integrator.py
 EFFECT_SCATTER = 29
 EFFECT_NEE = 31
 EFFECT_RR = 37
+EFFECT_STF = 41
 
 
 @struct.dataclass
@@ -125,10 +175,22 @@ class BounceTables:
     attr_rows: jnp.ndarray   # [AT_ROWS, Tpad]
     mat_rows: jnp.ndarray    # [MT_ROWS, 128]
     light_rows: jnp.ndarray  # [W.LROWS, 128]
+    env_rows: Optional[jnp.ndarray] = None   # [EV_ROWS, 128]
+    tex_ct: Optional[jnp.ndarray] = None     # [4*128, TR] transposed atlas
+    tex_meta: Optional[jnp.ndarray] = None   # [TXM_ROWS, 128]
     tc: int = struct.field(pytree_node=False, default=128)
     n_chunks: int = struct.field(pytree_node=False, default=1)
     n_lights: int = struct.field(pytree_node=False, default=0)
     n_tris: int = struct.field(pytree_node=False, default=0)
+    tr: int = struct.field(pytree_node=False, default=0)
+    # static: which maps any material binds (base, metal_rough, emissive)
+    tex_maps: tuple = struct.field(pytree_node=False, default=(1, 0, 0))
+
+    @property
+    def tex_rows(self):
+        """Non-None when the in-kernel texture path is available
+        (pt/dispatch.py structural eligibility)."""
+        return self.tex_ct
 
 
 def _round_up(x: int, m: int) -> int:
@@ -156,7 +218,98 @@ def pack_materials(materials) -> np.ndarray:
     e_poly, e_avg = bake_e_poly_np(np.clip(r * r, 0.0, 1.0))
     mat[MT_EPOLY:MT_EPOLY + 6, :n_mats] = e_poly
     mat[MT_EAVG, :n_mats] = e_avg
+    mat[MT_BTEX, :] = -1.0
+    mat[MT_MRTEX, :] = -1.0
+    mat[MT_ETEX, :] = -1.0
+    for row, field in ((MT_BTEX, "base_color_tex"),
+                       (MT_MRTEX, "metal_rough_tex"),
+                       (MT_ETEX, "emissive_tex")):
+        arr = getattr(materials, field, None)
+        if arr is not None:
+            mat[row, :n_mats] = np.asarray(arr, np.float32)
     return mat
+
+
+def _tex_maps_of(materials) -> tuple:
+    """Static (base, metal_rough, emissive) map-presence flags."""
+    def has(field):
+        arr = getattr(materials, field, None)
+        return int(arr is not None and int(np.max(np.asarray(arr))) >= 0)
+    return (has("base_color_tex"), has("metal_rough_tex"),
+            has("emissive_tex"))
+
+
+def build_env_rows(envmap) -> Optional[np.ndarray]:
+    """Bake the [EV_ROWS,128] in-kernel environment table from an EnvMap
+    baked at exactly (ENV_H, ENV_W); returns None otherwise."""
+    img = np.asarray(envmap.image)
+    if img.shape[:2] != (ENV_H, ENV_W):
+        return None
+    rows = np.zeros((EV_ROWS, 128), np.float32)
+    pdf = np.asarray(envmap.texel_pdf)                     # [64,128]
+    # transposed planes: row = plane*128 + x, lane = y
+    for c in range(3):
+        rows[EV_CT + c * 128:EV_CT + (c + 1) * 128, :ENV_H] = img[..., c].T
+    rows[EV_CT + 3 * 128:EV_CT + 4 * 128, :ENV_H] = pdf.T
+    rows[EV_CONDT:EV_CONDT + 128, :ENV_H] = \
+        np.asarray(envmap.cond_cdf).T                      # [128(x),64(y)]
+    # row-marginal CDF replicated across lanes; pad rows never satisfy <=u
+    col = np.full((128, 128), 2.0, np.float32)
+    col[:ENV_H, :] = np.asarray(envmap.row_cdf)[:, None]
+    rows[EV_COL:EV_COL + 128] = col
+    # cos boundaries: row i holds cos(pi*i/ENV_H) for 1<=i<ENV_H; yi =
+    # #{i: d_y <= cosb_i}; pads are -2 (never satisfied)
+    cosb = np.full((128, 128), -2.0, np.float32)
+    for i in range(1, ENV_H):
+        cosb[i, :] = np.cos(np.pi * i / ENV_H)
+    rows[EV_COSB:EV_COSB + 128] = cosb
+    theta = (np.arange(ENV_H) + 0.5) / ENV_H * np.pi
+    sa = (2.0 * np.pi / ENV_W) * (np.pi / ENV_H) * np.maximum(
+        np.sin(theta), 1e-6)
+    rows[EV_AUX + EVA_ROWCDF, :ENV_H] = np.asarray(envmap.row_cdf)
+    rows[EV_AUX + EVA_ROWCDF, ENV_H:] = 1.0
+    rows[EV_AUX + EVA_SA, :ENV_H] = sa
+    rows[EV_AUX + EVA_SA, ENV_H:] = 1.0
+    rows[EV_AUX + EVA_COS, :] = float(np.asarray(envmap.cos_rot))
+    rows[EV_AUX + EVA_SIN, :] = float(np.asarray(envmap.sin_rot))
+    return rows
+
+
+def build_tex_tables(atlas, materials):
+    """Bake (tex_ct [4*128,TR], tex_meta [TXM_ROWS,128], tr) for in-kernel
+    stochastic texture filtering; None when the atlas exceeds the VMEM
+    budget, has >128 textures, >14 MIPs, or non-power-of-two dims."""
+    if atlas is None:
+        return None
+    data = np.asarray(atlas.data, np.float32)              # [texels,4]
+    texels = data.shape[0]
+    tr = _round_up(max(texels, 128), 128) // 128
+    tr = _round_up(tr, 8)
+    if tr > TEX_MAX_ROWS:
+        return None
+    widths = np.asarray(atlas.width)
+    heights = np.asarray(atlas.height)
+    nmips = np.asarray(atlas.n_mips)
+    if atlas.count > 128 or int(nmips.max(initial=0)) > 14:
+        return None
+    if np.any(widths & (widths - 1)) or np.any(heights & (heights - 1)):
+        return None                 # kernel uses exact pow2 MIP halving
+    pad = np.zeros((tr * 128 - texels, 4), np.float32)
+    flat = np.concatenate([data, pad], axis=0)             # [tr*128,4]
+    # tex_ct[plane*128 + l, q] = flat[q*128 + l, plane]
+    cube = flat.reshape(tr, 128, 4)                        # [q,l,plane]
+    tex_ct = np.transpose(cube, (2, 1, 0)).reshape(4 * 128, tr)
+    meta = np.zeros((TXM_ROWS, 128), np.float32)
+    n = atlas.count
+    meta[TXM_W, :n] = widths
+    meta[TXM_H, :n] = heights
+    meta[TXM_NMIPS, :n] = nmips
+    off = np.asarray(atlas.mip_offset)                     # [T, MAX_MIPS]
+    for k in range(min(14, off.shape[1])):
+        meta[TXM_OFF + k, :n] = off[:, k]
+    meta[TXM_POW, :15] = 2.0 ** -np.arange(15)
+    return (jnp.asarray(np.ascontiguousarray(tex_ct), jnp.float32),
+            jnp.asarray(meta), tr)
 
 
 def pack_lights(lights) -> np.ndarray:
@@ -183,7 +336,8 @@ def pack_lights(lights) -> np.ndarray:
 
 
 def build_bounce_tables(positions, normals, indices, tri_material,
-                        materials, lights) -> Optional[BounceTables]:
+                        materials, lights, uvs=None, envmap=None,
+                        textures=None) -> Optional[BounceTables]:
     """Host-side table bake; returns None when the scene is ineligible."""
     if getattr(materials, "anisotropy", None) is not None and \
             float(np.max(np.asarray(materials.anisotropy))) > 0.0:
@@ -198,8 +352,27 @@ def build_bounce_tables(positions, normals, indices, tri_material,
     if (t == 0 or t > PALLAS_MAX_TRIS or n_mats > MAX_MATERIALS
             or n_lights > MAX_LIGHTS):
         return None
+    env_rows = None
     if int(np.asarray(lights.env_light)) >= 0:
-        return None
+        # env light in the sampler: needs the in-kernel env table, which
+        # demands the (ENV_H, ENV_W) kernel-resolution bake (prepare()'s
+        # default when an envmap source is present).
+        env_rows = build_env_rows(envmap) if envmap is not None else None
+        if env_rows is None:
+            return None
+        sel = float(np.asarray(lights.power)[int(np.asarray(
+            lights.env_light))])
+        env_rows[EV_AUX + EVA_SELPDF, :] = sel
+    tex = None
+    if textures is not None:
+        # normal maps are XLA-only (tangent-frame perturbation unported)
+        for f in ("normal_tex",):
+            arr = getattr(materials, f, None)
+            if arr is not None and int(np.max(np.asarray(arr))) >= 0:
+                return None
+        tex = build_tex_tables(textures, materials)
+        if tex is None:
+            return None
 
     v0 = positions[indices[:, 0]]
     v1 = positions[indices[:, 1]]
@@ -252,11 +425,23 @@ def build_bounce_tables(positions, normals, indices, tri_material,
     attr[AT_LAREA, :t] = np.where(
         has_l, np.asarray(lights.extra)[li, 0], 1.0)
     attr[AT_ISLIGHT, :t] = has_l.astype(np.float32)
+    if uvs is not None:
+        uvs = np.asarray(uvs, np.float32)
+        attr[AT_UV0:AT_UV0 + 2, :t] = uvs[indices[:, 0]].T
+        attr[AT_UV1:AT_UV1 + 2, :t] = uvs[indices[:, 1]].T
+        attr[AT_UV2:AT_UV2 + 2, :t] = uvs[indices[:, 2]].T
+    tri_area2 = np.linalg.norm(n, axis=-1)
+    attr[AT_LODB, :t] = -0.5 * np.log2(np.maximum(tri_area2, 1e-20))
 
     return BounceTables(
         tri_rows=jnp.asarray(tri_rows), attr_rows=jnp.asarray(attr),
         mat_rows=jnp.asarray(mat), light_rows=jnp.asarray(lt),
-        tc=tc, n_chunks=n_chunks, n_lights=n_lights, n_tris=t)
+        env_rows=(jnp.asarray(env_rows) if env_rows is not None else None),
+        tex_ct=(tex[0] if tex is not None else None),
+        tex_meta=(tex[1] if tex is not None else None),
+        tc=tc, n_chunks=n_chunks, n_lights=n_lights, n_tris=t,
+        tr=(tex[2] if tex is not None else 0),
+        tex_maps=_tex_maps_of(materials))
 
 
 # ---------------------------------------------------------------------------
@@ -370,6 +555,211 @@ def _stack_groups(parts):
     return jnp.concatenate(parts, axis=0)
 
 
+def _onehot_rows(idx, nrows):
+    """[1,128] i32 -> [nrows,128] f32 one-hot over the sublane axis."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, 128), 0)
+    return (iota == idx).astype(jnp.float32)
+
+
+def _atan2_w(z, x):
+    """atan2(z, x) in (-pi, pi] — minimax polynomial (|err| < 2e-5 rad;
+    Mosaic has no atan2 primitive). Only used for env texel lookup of an
+    arbitrary direction; the env SAMPLER inverts CDFs and never calls
+    this, so sampling parity with the XLA path is exact."""
+    ax = jnp.abs(x)
+    az = jnp.abs(z)
+    mx = jnp.maximum(ax, az)
+    mn = jnp.minimum(ax, az)
+    t = mn / jnp.maximum(mx, 1e-30)
+    t2 = t * t
+    p = t * (0.99997726 + t2 * (-0.33262347 + t2 * (
+        0.19354346 + t2 * (-0.11643287 + t2 * (
+            0.05265332 - t2 * 0.01172120)))))
+    p = jnp.where(az > ax, 0.5 * jnp.pi - p, p)
+    p = jnp.where(x < 0.0, jnp.pi - p, p)
+    return jnp.where(z < 0.0, -p, p)
+
+
+# --------------------------- in-kernel environment -------------------------
+
+
+def _env_rotate(env_ref, dx, dz):
+    c = env_ref[EV_AUX + EVA_COS:EV_AUX + EVA_COS + 1, :]
+    s = env_ref[EV_AUX + EVA_SIN:EV_AUX + EVA_SIN + 1, :]
+    return c * dx + s * dz, -s * dx + c * dz
+
+
+def _env_idx_of_dir(env_ref, d3):
+    """Direction rows [3,R,128] -> (yi, xi) texel indices [R,128]."""
+    rr = d3.shape[1]
+    cosb = env_ref[EV_COSB:EV_COSB + 128, :]
+    yis, xis = [], []
+    for r in range(rr):
+        dy = d3[1, r:r + 1]
+        cnt = jnp.sum((dy <= cosb).astype(jnp.float32), axis=0,
+                      keepdims=True)
+        yis.append(jnp.clip(cnt.astype(jnp.int32), 0, ENV_H - 1))
+        xr, zr = _env_rotate(env_ref, d3[0, r:r + 1], d3[2, r:r + 1])
+        u = _atan2_w(zr, xr) * (1.0 / (2.0 * jnp.pi))
+        u = u - jnp.floor(u)
+        xis.append(jnp.clip((u * ENV_W).astype(jnp.int32), 0, ENV_W - 1))
+    return _stack_groups(yis), _stack_groups(xis)
+
+
+def _env_fetch_row(env_ref, yi_r, xi_r):
+    """(yi, xi) [1,128] -> (r, g, b, texel_pdf) each [1,128] via one-hot
+    matmul gathers of the transposed planes."""
+    yoh = _onehot_rows(yi_r, 128)
+    D = _mm(env_ref[EV_CT:EV_CT + 512, :], yoh)            # [512,128]
+    xoh = _onehot_rows(xi_r, 128)
+
+    def pick(c):
+        return jnp.sum(D[c * 128:(c + 1) * 128] * xoh, axis=0,
+                       keepdims=True)
+
+    return pick(0), pick(1), pick(2), pick(3)
+
+
+def _env_eval_pdf(env_ref, d3, nee_uniform, n_lights, with_pdf=True):
+    """Radiance (+ solid-angle selection*source pdf) of directions d3
+    [3,R,128]. Mirrors envmap.env_eval / env_pdf * env_select_pdf.
+    Lane-gathers run batched at [R,128] — Mosaic's gather lowering
+    rejects single-sublane [1,128] take_along_axis."""
+    yi, xi = _env_idx_of_dir(env_ref, d3)
+    rr = yi.shape[0]
+    Ls, pts = [], []
+    for r in range(rr):
+        er, eg, eb, pt = _env_fetch_row(env_ref, yi[r:r + 1], xi[r:r + 1])
+        Ls.append((er, eg, eb))
+        pts.append(pt)
+    L3 = jnp.stack([_stack_groups([t_[c] for t_ in Ls])
+                    for c in range(3)], axis=0)
+    if not with_pdf:
+        return L3, None
+    sa_row = env_ref[EV_AUX + EVA_SA:EV_AUX + EVA_SA + 1, :]
+    sa = _gather128(sa_row, yi)                            # [R,128]
+    if nee_uniform:
+        sel = jnp.full(yi.shape, 1.0 / float(max(n_lights, 1)),
+                       jnp.float32)
+    else:
+        sel = jnp.broadcast_to(
+            env_ref[EV_AUX + EVA_SELPDF:EV_AUX + EVA_SELPDF + 1, :],
+            yi.shape)
+    return L3, sel * _stack_groups(pts) / sa
+
+
+def _env_sample_w(env_ref, u1, u2):
+    """In-kernel env importance sample, [R,128] uniforms. Exactly the
+    two-level inversion of envmap.env_sample (same uniforms -> same texel
+    -> same sub-texel jitter), so fused/XLA tiers stay in parity.
+    Returns (wi [3,R,128], Li [3,R,128], pdf_src [R,128])."""
+    rr = u1.shape[0]
+    col = env_ref[EV_COL:EV_COL + 128, :]
+    rowcdf = env_ref[EV_AUX + EVA_ROWCDF:EV_AUX + EVA_ROWCDF + 1, :]
+    sa_row = env_ref[EV_AUX + EVA_SA:EV_AUX + EVA_SA + 1, :]
+    u1 = jnp.clip(u1, 0.0, 1.0 - 1e-7)
+    u2 = jnp.clip(u2, 0.0, 1.0 - 1e-7)
+    # Pass 1: row selection for every ray row, then BATCHED [R,128]
+    # rescale gathers (Mosaic rejects [1,128] take_along_axis).
+    yis = []
+    for r in range(rr):
+        cnt = jnp.sum((col <= u1[r:r + 1]).astype(jnp.float32), axis=0,
+                      keepdims=True)
+        yis.append(jnp.clip(cnt.astype(jnp.int32), 0, ENV_H - 1))
+    yi_all = _stack_groups(yis)                            # [R,128]
+    c_lo_all = jnp.where(
+        yi_all > 0, _gather128(rowcdf, jnp.maximum(yi_all - 1, 0)), 0.0)
+    c_hi_all = _gather128(rowcdf, yi_all)
+    jv_all = jnp.clip((u1 - c_lo_all)
+                      / jnp.maximum(c_hi_all - c_lo_all, 1e-12),
+                      0.0, 1.0 - 1e-6)
+    sa_all = _gather128(sa_row, yi_all)
+    wis, lis, pdfs = [], [], []
+    for r in range(rr):
+        a = u1[r:r + 1]
+        b = u2[r:r + 1]
+        yi = yi_all[r:r + 1]
+        jv = jv_all[r:r + 1]
+        yoh = _onehot_rows(yi, 128)
+        C = _mm(env_ref[EV_CONDT:EV_CONDT + 128, :], yoh)   # [128(x),128]
+        xcnt = jnp.sum((C <= b).astype(jnp.float32), axis=0, keepdims=True)
+        xi = jnp.clip(xcnt.astype(jnp.int32), 0, ENV_W - 1)
+        d_lo = jnp.where(
+            xi > 0,
+            jnp.sum(C * _onehot_rows(jnp.maximum(xi - 1, 0), 128),
+                    axis=0, keepdims=True), 0.0)
+        d_hi = jnp.sum(C * _onehot_rows(xi, 128), axis=0, keepdims=True)
+        ju = jnp.clip((b - d_lo) / jnp.maximum(d_hi - d_lo, 1e-12),
+                      0.0, 1.0 - 1e-6)
+        u = (xi.astype(jnp.float32) + ju) * (1.0 / ENV_W)
+        v = (yi.astype(jnp.float32) + jv) * (1.0 / ENV_H)
+        phi = u * (2.0 * jnp.pi)
+        theta = v * jnp.pi
+        st = jnp.sin(theta)
+        x = st * jnp.cos(phi)
+        z = st * jnp.sin(phi)
+        y = jnp.cos(theta)
+        c = env_ref[EV_AUX + EVA_COS:EV_AUX + EVA_COS + 1, :]
+        s = env_ref[EV_AUX + EVA_SIN:EV_AUX + EVA_SIN + 1, :]
+        wis.append((c * x - s * z, y, s * x + c * z))
+        er, eg, eb, pt = _env_fetch_row(env_ref, yi, xi)
+        lis.append((er, eg, eb))
+        pdfs.append(pt / sa_all[r:r + 1])
+    wi3 = jnp.stack([_stack_groups([t_[c] for t_ in wis])
+                     for c in range(3)], axis=0)
+    li3 = jnp.stack([_stack_groups([t_[c] for t_ in lis])
+                     for c in range(3)], axis=0)
+    return wi3, li3, _stack_groups(pdfs)
+
+
+# ----------------------------- in-kernel textures --------------------------
+
+
+def _tex_fetch_w(tex_ct_ref, tex_meta_ref, tr, tid, uv_u, uv_v, mip,
+                 ju0, ju1):
+    """Stochastic-filtered texel fetch, [R,128] operands. Mirrors
+    scene/textures.py sample_texture_stochastic exactly (same jitter
+    uses) for pow2 textures. Returns rgba as 4 x [R,128]; lanes with
+    tid < 0 return white."""
+    rr = tid.shape[0]
+    tid_c = jnp.clip(tid, 0, 127)
+    nm = _gather128(tex_meta_ref[TXM_NMIPS:TXM_NMIPS + 1, :],
+                    tid_c).astype(jnp.int32)
+    level = jnp.clip(jnp.floor(mip + ju0).astype(jnp.int32), 0, nm - 1)
+    p2 = _gather128(tex_meta_ref[TXM_POW:TXM_POW + 1, :],
+                    jnp.clip(level, 0, 14))
+    w0 = _gather128(tex_meta_ref[TXM_W:TXM_W + 1, :], tid_c)
+    h0 = _gather128(tex_meta_ref[TXM_H:TXM_H + 1, :], tid_c)
+    wl = jnp.maximum(jnp.floor(w0 * p2 + 0.5), 1.0)        # == w0 >> level
+    hl = jnp.maximum(jnp.floor(h0 * p2 + 0.5), 1.0)
+    off = jnp.zeros(tid.shape, jnp.float32)
+    for k in range(14):
+        off_k = _gather128(tex_meta_ref[TXM_OFF + k:TXM_OFF + k + 1, :],
+                           tid_c)
+        off = off + jnp.where(level == k, off_k, 0.0)
+    u = uv_u + (ju0 - 0.5) / wl
+    v = uv_v + (ju1 - 0.5) / hl
+    u = u - jnp.floor(u)
+    v = v - jnp.floor(v)
+    xi = jnp.clip((u * wl).astype(jnp.int32), 0, wl.astype(jnp.int32) - 1)
+    yi = jnp.clip((v * hl).astype(jnp.int32), 0, hl.astype(jnp.int32) - 1)
+    idx = off.astype(jnp.int32) + yi * wl.astype(jnp.int32) + xi
+    q = jax.lax.shift_right_logical(idx, 7)
+    lane = jax.lax.bitwise_and(idx, 127)
+    outs = []
+    for r in range(rr):
+        qoh = _onehot_rows(q[r:r + 1], tr)                 # [TR,128]
+        D = _mm(tex_ct_ref[:, :], qoh)                     # [512,128]
+        loh = _onehot_rows(lane[r:r + 1], 128)
+        outs.append(tuple(
+            jnp.sum(D[c * 128:(c + 1) * 128] * loh, axis=0, keepdims=True)
+            for c in range(4)))
+    white = tid < 0
+    return tuple(
+        jnp.where(white, 1.0, _stack_groups([o[c] for o in outs]))
+        for c in range(4))
+
+
 def _ray_offset_w(pos, gn, direction):
     mag = jnp.sqrt(jnp.maximum(W.dot3(pos, pos), 0.0))
     scale = jnp.maximum(1.0, mag) * 3e-5
@@ -380,7 +770,9 @@ def _ray_offset_w(pos, gn, direction):
 def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
                       thp, L, prev_pdf, active, prev_delta, med0, med1,
                       px, py, sample_idx, bounce, mat_ref, light_ref,
-                      cfg_key, n_lights, first_emissive):
+                      cfg_key, n_lights, first_emissive,
+                      env_ref=None, tex_refs=None, tex_maps=(1, 0, 0),
+                      cone=None, spread=None):
     """Shared post-intersection bounce body: surface fetch, volume
     absorption, emissive-hit MIS, NEE light sample + BSDF eval (shadow ray
     RETURNED, not resolved), BSDF scatter sample, medium stack, RR.
@@ -402,8 +794,23 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
         return tuple(rng.uniform_sample(
             seed, rng.hash_combine(sample_idx, dd)) for dd in dims)
 
+    use_nee = nee_mode in (1, 2) and n_lights > 0
+    nee_uniform = nee_mode == 1
+    em_gate = jnp.asarray(first_emissive, bool) | (bounce > 0)
+
     hit_mask = active & hit
-    active = active & hit                     # miss terminates (no envmap)
+    # ----- HandleMiss: environment (PathTracer.hlsli:407-503) -----
+    if env_ref is not None:
+        miss_mask = active & ~hit
+        env_L, p_env = _env_eval_pdf(env_ref, d, nee_uniform, n_lights,
+                                     with_pdf=use_nee and bool(enable_mis))
+        if use_nee and enable_mis:
+            w_env = jnp.where(prev_delta | (bounce == 0), 1.0,
+                              W.power_heuristic(prev_pdf, p_env))
+        else:
+            w_env = jnp.ones_like(t)
+        L = L + jnp.where(miss_mask & em_gate, thp * env_L * w_env, 0.0)
+    active = active & hit                     # miss terminates
 
     # ----- surface (load_surface analog; zero HBM gathers) -----
     pos = o + t * d
@@ -433,6 +840,48 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
     thin = mrow(MT_THIN) > 0.5
     ior = mrow(MT_IOR)
 
+    # ----- ray-cone width + in-kernel stochastic texturing (RTXTF) -----
+    # (reference: in-megakernel bindless MIP sampling,
+    # PathTracerBridgeDonut.hlsli:270-285; STF per Config.h:95)
+    if cone is not None:
+        cone = cone + spread * jnp.where(hit, t, 0.0)
+    if tex_refs is not None:
+        tex_ct_ref, tex_meta_ref, tr = tex_refs
+        uv0u = attr(AT_UV0)
+        uv0v = attr(AT_UV0 + 1)
+        uv1u = attr(AT_UV1)
+        uv1v = attr(AT_UV1 + 1)
+        uv2u = attr(AT_UV2)
+        uv2v = attr(AT_UV2 + 1)
+        bw_ = 1.0 - bu - bv
+        uv_u = bw_ * uv0u + bu * uv1u + bv * uv2u
+        uv_v = bw_ * uv0v + bu * uv1v + bv * uv2v
+        mip = 0.5 * jnp.log2(jnp.maximum(cone * cone, 1e-30))             + attr(AT_LODB)
+        seed_tx = rng.pixel_seed(px, py, bounce, EFFECT_STF)
+        ju0, ju1 = lds(seed_tx, (0, 1))
+
+        def tfetch(row):
+            tid = mrow(row).astype(jnp.int32)
+            rgba = _tex_fetch_w(tex_ct_ref, tex_meta_ref, tr, tid,
+                                uv_u, uv_v, mip, ju0, ju1)
+            return tid >= 0, rgba
+
+        if tex_maps[0]:
+            has_b, brgba = tfetch(MT_BTEX)
+            base_color = jnp.where(has_b,
+                                   base_color * jnp.stack(brgba[:3], 0),
+                                   base_color)
+        if tex_maps[1]:
+            has_m, mrgba = tfetch(MT_MRTEX)
+            # glTF convention: B = metallic, G = roughness
+            metallic = jnp.where(has_m, metallic * mrgba[2], metallic)
+            roughness = jnp.where(has_m, roughness * mrgba[1], roughness)
+        if tex_maps[2]:
+            has_e, ergba = tfetch(MT_ETEX)
+            emissive = jnp.where(has_e,
+                                 emissive * jnp.stack(ergba[:3], 0),
+                                 emissive)
+
     # medium stack IoRs (ior row indexed by medium material id)
     def med_ior(med):
         i = jnp.clip(med, 0, 127)
@@ -460,9 +909,6 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
     emissive = jnp.where(front, emissive, 0.0)
 
     # ----- emissive hit + MIS (baked per-tri light pdf/area) -----
-    use_nee = nee_mode in (1, 2) and n_lights > 0
-    nee_uniform = nee_mode == 1
-    em_gate = jnp.asarray(first_emissive, bool) | (bounce > 0)
     if use_nee and enable_mis:
         cos_l = jnp.abs(W.dot3(-d, gn))
         if nee_uniform:
@@ -511,7 +957,10 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
             extra=jnp.stack([lrow(W.LROW_EXTRA + j) for j in range(4)],
                             axis=0),
             normal=lrow3(W.LROW_NORMAL), power=sel_pdf)
-        ls = W.sample_light_fields_w(lf, sel_pdf, pos, u1, u2)
+        env_s = None
+        if env_ref is not None:
+            env_s = _env_sample_w(env_ref, u1, u2)
+        ls = W.sample_light_fields_w(lf, sel_pdf, pos, u1, u2, env=env_s)
         wi_l = W.to_local3(ls["wi"], sh_n)
         f_l = W.bsdf_eval_w(bsdf, wo, wi_l)
         pdf_b = W.bsdf_pdf_w(bsdf, wo, wi_l)
@@ -572,19 +1021,39 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
 
     o_new = _ray_offset_w(pos, gn, wi_world)
 
+    # Ray-cone spread growth by lobe roughness (TexLODHelpers.hlsli use at
+    # PathTracer.hlsli:284-293) — mirrors integrator.py.
+    if spread is not None:
+        spread = spread + jnp.sqrt(bsdf.alpha) * 0.25 \
+            * (1.0 - bs["is_delta"].astype(f32))
+
     return dict(
         o_new=o_new, wi_world=wi_world, thp=thp, L=L, prev_pdf=prev_pdf,
         active=active, prev_delta=prev_delta, med0=med0, med1=med1,
         do_nee=do_nee, shadow_o=shadow_o, shadow_d=shadow_d, sdist=sdist,
-        contrib=contrib)
+        contrib=contrib, cone=cone, spread=spread)
 
 
-def _bounce_kernel(scal_ref, fs_ref, is_ref, tri_ref, attr_ref, mat_ref,
-                   light_ref, fs_out, is_out, hit_out, *,
-                   cfg_key, tc, n_chunks, n_lights, first_emissive):
+def _bounce_kernel(*refs,
+                   cfg_key, tc, n_chunks, n_lights, tr, first_emissive,
+                   has_env, has_tex, tex_maps, final_env=False):
     (nee_mode, enable_mis, firefly, rr_enable, min_rr, max_travel,
      low_discrepancy, energy_comp, noprune) = cfg_key
     f32 = jnp.float32
+    it = iter(refs)
+    scal_ref = next(it)
+    fs_ref = next(it)
+    is_ref = next(it)
+    tri_ref = next(it)
+    attr_ref = next(it)
+    mat_ref = next(it)
+    light_ref = next(it)
+    env_ref = next(it) if has_env else None
+    tex_ct_ref = next(it) if has_tex else None
+    tex_meta_ref = next(it) if has_tex else None
+    fs_out = next(it)
+    is_out = next(it)
+    hit_out = next(it)
     sample_idx = scal_ref[0, 0]
     bounce = scal_ref[0, 1].astype(jnp.int32)
 
@@ -620,6 +1089,35 @@ def _bounce_kernel(scal_ref, fs_ref, is_ref, tri_ref, attr_ref, mat_ref,
     hit = t < _BIG
     front = det_pick > 0.0
 
+    if final_env:
+        # Final wavefront iteration (bounce == max_bounces): the XLA loop
+        # runs one extra round that ONLY adds env radiance for escaping
+        # rays (integrator.py: break after HandleMiss) — mirror it with
+        # an intersect+env-only pass.
+        (nee_mode_, enable_mis_, *_rest) = cfg_key
+        use_nee_ = nee_mode_ in (1, 2) and n_lights > 0
+        active_in = is_[IS_ACTIVE] > 0
+        prev_delta_in = is_[IS_PREVDELTA] > 0
+        miss_mask = active_in & ~hit
+        L = fs[FS_L:FS_L + 3]
+        env_L, p_env = _env_eval_pdf(
+            env_ref, d, nee_mode_ == 1, n_lights,
+            with_pdf=use_nee_ and bool(enable_mis_))
+        if use_nee_ and enable_mis_:
+            w_env = jnp.where(prev_delta_in, 1.0,
+                              W.power_heuristic(fs[FS_PREVPDF], p_env))
+        else:
+            w_env = jnp.ones_like(t)
+        L = L + jnp.where(miss_mask, fs[FS_THP:FS_THP + 3] * env_L * w_env,
+                          0.0)
+        fs_out[:] = jnp.concatenate([fs[:FS_L], L, fs[FS_L + 3:]], axis=0)
+        is_out[:] = jnp.concatenate(
+            [jnp.zeros((1, _R, 128), jnp.int32), is_[1:]], axis=0)
+        hit_out[:] = jnp.stack(
+            [jnp.where(hit, t, 0.0), prim_f, bu, bv,
+             front.astype(f32), jnp.zeros_like(t)], axis=0)
+        return
+
     s = surface_and_shade(
         o=o, d=d, t=t, hit=hit, front=front, bu=bu, bv=bv, attr=attr,
         thp=fs[FS_THP:FS_THP + 3], L=fs[FS_L:FS_L + 3],
@@ -628,7 +1126,11 @@ def _bounce_kernel(scal_ref, fs_ref, is_ref, tri_ref, attr_ref, mat_ref,
         med0=is_[IS_MED0], med1=is_[IS_MED1],
         px=is_[IS_PX], py=is_[IS_PY], sample_idx=sample_idx, bounce=bounce,
         mat_ref=mat_ref, light_ref=light_ref, cfg_key=cfg_key,
-        n_lights=n_lights, first_emissive=first_emissive)
+        n_lights=n_lights, first_emissive=first_emissive,
+        env_ref=env_ref,
+        tex_refs=((tex_ct_ref, tex_meta_ref, tr) if has_tex else None),
+        tex_maps=tex_maps,
+        cone=fs[FS_CONE], spread=fs[FS_SPREAD])
 
     # ----- NEE shadow occlusion (in-kernel second matmul pass) -----
     L = s["L"]
@@ -642,7 +1144,8 @@ def _bounce_kernel(scal_ref, fs_ref, is_ref, tri_ref, attr_ref, mat_ref,
     L = L + jnp.where(do_nee & ~occluded, s["contrib"], 0.0)
 
     fs_out[:] = jnp.concatenate(
-        [s["o_new"], s["wi_world"], s["thp"], L, s["prev_pdf"][None]],
+        [s["o_new"], s["wi_world"], s["thp"], L, s["prev_pdf"][None],
+         s["cone"][None], s["spread"][None]],
         axis=0)
     is_out[:] = jnp.stack(
         [s["active"].astype(jnp.int32), s["prev_delta"].astype(jnp.int32),
@@ -673,31 +1176,49 @@ def _interpret(cfg=None) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg_key", "tc", "n_chunks", "n_lights",
-                     "first_emissive", "interpret"))
+    static_argnames=("cfg_key", "tc", "n_chunks", "n_lights", "tr",
+                     "first_emissive", "tex_maps", "final_env",
+                     "interpret"))
 def _bounce_call(scal, fs, is_, tri_rows, attr_rows, mat_rows, light_rows,
-                 cfg_key, tc, n_chunks, n_lights, first_emissive,
-                 interpret=False):
+                 env_rows, tex_ct, tex_meta,
+                 cfg_key, tc, n_chunks, n_lights, tr, first_emissive,
+                 tex_maps=(1, 0, 0), final_env=False, interpret=False):
     nrows = fs.shape[1]
     grid = nrows // _R
+    has_env = env_rows is not None
+    has_tex = tex_ct is not None
     kern = functools.partial(
         _bounce_kernel, cfg_key=cfg_key, tc=tc, n_chunks=n_chunks,
-        n_lights=n_lights, first_emissive=first_emissive)
+        n_lights=n_lights, tr=tr, first_emissive=first_emissive,
+        has_env=has_env, has_tex=has_tex, tex_maps=tex_maps,
+        final_env=final_env)
     const = lambda b: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, 2), const, memory_space=pltpu.SMEM),
+        pl.BlockSpec((NF, _R, 128), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NI, _R, 128), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(tri_rows.shape, const, memory_space=pltpu.VMEM),
+        pl.BlockSpec(attr_rows.shape, const, memory_space=pltpu.VMEM),
+        pl.BlockSpec(mat_rows.shape, const, memory_space=pltpu.VMEM),
+        pl.BlockSpec(light_rows.shape, const, memory_space=pltpu.VMEM),
+    ]
+    inputs = [scal, fs, is_, tri_rows, attr_rows, mat_rows, light_rows]
+    if has_env:
+        in_specs.append(pl.BlockSpec(env_rows.shape, const,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(env_rows)
+    if has_tex:
+        in_specs.append(pl.BlockSpec(tex_ct.shape, const,
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(tex_meta.shape, const,
+                                     memory_space=pltpu.VMEM))
+        inputs.extend([tex_ct, tex_meta])
     return pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((1, 2), const, memory_space=pltpu.SMEM),
-            pl.BlockSpec((NF, _R, 128), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NI, _R, 128), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(tri_rows.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(attr_rows.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(mat_rows.shape, const, memory_space=pltpu.VMEM),
-            pl.BlockSpec(light_rows.shape, const, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((NF, _R, 128), lambda b: (0, b, 0),
                          memory_space=pltpu.VMEM),
@@ -712,7 +1233,7 @@ def _bounce_call(scal, fs, is_, tri_rows, attr_rows, mat_rows, light_rows,
             jax.ShapeDtypeStruct((6, nrows, 128), jnp.float32),
         ),
         interpret=interpret,
-    )(scal, fs, is_, tri_rows, attr_rows, mat_rows, light_rows)
+    )(*inputs)
 
 
 def _cfg_key(cfg):
@@ -761,6 +1282,8 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         jnp.ones((3, nrows, 128), f32),          # thp
         jnp.zeros((3, nrows, 128), f32),         # L
         jnp.zeros((1, nrows, 128), f32),         # prev_pdf
+        jnp.zeros((1, nrows, 128), f32),         # cone width
+        rows1(cone_spread)[None],                # cone spread
     ], axis=0)
     ones_mask = pad1(jnp.ones((n,), jnp.int32)).reshape(1, nrows, 128)
     is_ = jnp.concatenate([
@@ -774,6 +1297,9 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
     sample_idx = jnp.asarray(sample_idx).astype(jnp.uint32)
     key = _cfg_key(cfg)
     interp = _interpret(cfg)
+    use_tex = tbl.tex_ct is not None and \
+        bool(cfg.stochastic_texture_filtering)
+    tex_maps = tbl.tex_maps if use_tex else (1, 0, 0)
 
     ray_count = jnp.zeros((), jnp.int32)
     occupancy = []
@@ -785,12 +1311,26 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
             [sample_idx, jnp.uint32(bounce)]).reshape(1, 2)
         fs, is_, hit = _bounce_call(
             scal, fs, is_, tbl.tri_rows, tbl.attr_rows, tbl.mat_rows,
-            tbl.light_rows, key, tbl.tc, tbl.n_chunks, tbl.n_lights,
-            first_emissive, interpret=interp)
+            tbl.light_rows, tbl.env_rows,
+            tbl.tex_ct if use_tex else None,
+            tbl.tex_meta if use_tex else None,
+            key, tbl.tc, tbl.n_chunks, tbl.n_lights, tbl.tr,
+            first_emissive, tex_maps=tex_maps, interpret=interp)
         ray_count = ray_count + jnp.sum(active_in) \
             + jnp.sum(hit[5].astype(jnp.int32))
         if bounce == 0:
             hit0 = hit
+    if tbl.env_rows is not None:
+        # final env-only round (see _bounce_kernel final_env)
+        active_in = is_[IS_ACTIVE]
+        scal = jnp.stack(
+            [sample_idx, jnp.uint32(cfg.max_bounces)]).reshape(1, 2)
+        fs, is_, _hitf = _bounce_call(
+            scal, fs, is_, tbl.tri_rows, tbl.attr_rows, tbl.mat_rows,
+            tbl.light_rows, tbl.env_rows, None, None,
+            key, tbl.tc, tbl.n_chunks, tbl.n_lights, tbl.tr,
+            first_emissive, final_env=True, interpret=interp)
+        ray_count = ray_count + jnp.sum(active_in)
     occupancy.append(jnp.sum(is_[IS_ACTIVE]))
 
     L = fs[FS_L:FS_L + 3].reshape(3, npad).T[:n]

@@ -39,19 +39,26 @@ _seen_tiers: set = set()
 def fused_structural_ok(scene, cfg, neeat_state) -> bool:
     """Structural (pytree-shape only) eligibility for the fused kernel.
 
-    The kernel demands VMEM-resident operand tables baked at prepare();
-    features it does not implement fall back (reference contrast: the
-    megakernel handles everything — PathTracerBridgeDonut.hlsli:270-285
-    samples textures in-kernel; texture support here is the clustered
-    tier's job, VERDICT next-round #2).
+    The kernel demands VMEM-resident operand tables baked at prepare().
+    Textures ride in-kernel via stochastic filtering (RTXTF analog) and
+    env lighting via the baked (64,128) env table — matching the
+    reference's in-megakernel bindless sampling
+    (PathTracerBridgeDonut.hlsli:270-285, Lighting/EnvMap.hlsli); the
+    few remaining unported features (alpha/OMM retrace, NEE-AT, split
+    channels, WRS K>1, nested priorities, normal maps) fall back to the
+    XLA wavefront.
     """
     if getattr(scene, "bounce_tables", None) is None:
         return False
     if scene.tri_opacity is not None:
         return False
-    if scene.textures is not None and \
-            getattr(scene.bounce_tables, "tex_rows", None) is None:
-        return False
+    if scene.textures is not None:
+        if getattr(scene.bounce_tables, "tex_rows", None) is None:
+            return False
+        # the kernel texture path IS stochastic filtering (one jittered
+        # texel, RTXTF Config.h:95); bilinear demands the XLA sampler
+        if not cfg.stochastic_texture_filtering:
+            return False
     # Nested-dielectric priority false-hit rejection is implemented only
     # in the XLA wavefront (ADVICE r2: silently ignoring priorities on
     # the Pallas tiers diverges per-platform).
@@ -74,9 +81,11 @@ def clustered_structural_ok(scene, cfg, neeat_state) -> bool:
         return False
     if scene.tri_opacity is not None:
         return False
-    if scene.textures is not None and \
-            getattr(scene.cluster_tables, "tex_rows", None) is None:
-        return False
+    if scene.textures is not None:
+        if getattr(scene.cluster_tables, "tex_rows", None) is None:
+            return False
+        if not cfg.stochastic_texture_filtering:
+            return False
     if getattr(scene, "has_nested_priorities", False):
         return False
     if neeat_state is not None:

@@ -453,10 +453,14 @@ class LightFieldsW(NamedTuple):
     power: jnp.ndarray
 
 
-def sample_light_fields_w(lf: LightFieldsW, sel_pdf, shade_pos, u1, u2):
+def sample_light_fields_w(lf: LightFieldsW, sel_pdf, shade_pos, u1, u2,
+                          env=None):
     """Per-kind light sample given gathered light fields (wide port of
-    lights_baker.sample_light's math after selection; no env kind — the
-    Pallas path requires envmap-free scenes).
+    lights_baker.sample_light's math after selection). `env`, when the
+    scene has an environment light, is the precomputed in-kernel env
+    importance sample (wi [3,...], Li [3,...], src_pdf) from
+    bounce_pallas._env_sample_w — drawn from the SAME u1/u2, mirroring
+    lights_baker.sample_light's env branch.
 
     Returns dict(wi vec3, dist, Li vec3, pdf, is_delta, valid)."""
     kind = lf.kind
@@ -500,6 +504,13 @@ def sample_light_fields_w(lf: LightFieldsW, sel_pdf, shade_pos, u1, u2):
                              jnp.where(is_spot, li_point * spot_atten,
                                        lf.em)))
     pdf = jnp.where(is_tri, pdf_tri, sel_pdf)
+    if env is not None:
+        env_wi, env_li, env_src_pdf = env
+        is_env = kind == KIND_ENV
+        wi = jnp.where(is_env, env_wi, wi)
+        dist = jnp.where(is_env, _DELTA_DIST, dist)
+        Li = jnp.where(is_env, env_li, Li)
+        pdf = jnp.where(is_env, sel_pdf * env_src_pdf, pdf)
     is_delta = is_point | is_spot | is_dir
     # (~is_tri | valid_tri), written with logical ops: Mosaic can't select
     # between i1 vectors ("unsupported target bitwidth for truncation").
