@@ -8,7 +8,10 @@ the scene becomes a flat array of Morton-ordered triangle *clusters*:
 
   * triangles are sorted by the Morton code of their centroid (done in
     prepare(); all per-triangle arrays share the permutation), then cut
-    into clusters of CT=128 consecutive triangles;
+    into variable-length contiguous clusters of <= CT=128 triangles at
+    the subtree boundaries of the implicit Karras radix tree
+    (radix_cut_offsets) — geometry-respecting treelets whose AABBs are
+    ~2.6x tighter (total surface area) than fixed CT runs;
   * each cluster gets an AABB (culled against per-ray-group conservative
     frustums in accel/cull.py, pure XLA) and one 64 KB operand block that
     the bounce kernel DMAs from HBM on demand (pt/bounce_clustered.py);
@@ -86,7 +89,7 @@ AT_MID = 21              # material id
 AT_LPDF = 22             # baked light-selection pdf of this tri's light
 AT_LAREA = 23            # light area
 AT_ISLIGHT = 24
-AT_LOCALJ = 25           # triangle index within the cluster (iota)
+AT_GIDX = 25             # global (prepared-order) triangle index
 AT_VALID = 26            # 1 for real triangles, 0 for padding
 AT_UV0 = 27              # 27:29 texture uv at v0
 AT_UV1 = 29
@@ -105,6 +108,7 @@ class ClusterTables:
     mat_rows: jnp.ndarray   # [MT_ROWS, 128]
     light_rows: jnp.ndarray  # [LROWS, 128]
     env_rows: Optional[jnp.ndarray] = None   # [EV_ROWS, 128]
+    offsets: Optional[jnp.ndarray] = None  # [C+1] i32 tri range per cluster
     tex_ct: Optional[jnp.ndarray] = None     # [4*128, TR]
     tex_meta: Optional[jnp.ndarray] = None   # [TXM_ROWS, 128]
     n_clusters: int = struct.field(pytree_node=False, default=0)
@@ -153,6 +157,41 @@ def morton_permutation(positions: np.ndarray, indices: np.ndarray
     return np.argsort(morton_codes(cen), kind="stable").astype(np.int64)
 
 
+def radix_cut_offsets(codes: np.ndarray, max_size: int) -> np.ndarray:
+    """Cut the implicit Karras radix tree over SORTED Morton codes into
+    maximal subtrees of <= max_size leaves; returns [K+1] range offsets.
+
+    Fixed-length CT runs straddle geometric boundaries (the tail of one
+    building fused with the next street), producing elongated AABBs; a
+    radix-tree cut respects the spatial hierarchy implied by the codes —
+    on the 340k-tri city it cuts total cluster surface area 2.6x and the
+    cull's mean candidates/group 34.9 -> 17.9 (scripts/
+    exp_treelet_clusters.py). Subtrees of a radix tree are contiguous
+    ranges, so the block machinery is unchanged. The reference leans on
+    the driver's BVH builder for the same locality (DXR BLAS build,
+    Sample.cpp:1088-1242); this is its explicit TPU-side analog."""
+    n = len(codes)
+    cuts = []
+    stack = [(0, n, 29)]
+    while stack:
+        lo, hi, bit = stack.pop()
+        if hi - lo <= max_size:
+            cuts.append(lo)
+            continue
+        if bit < 0:
+            cuts.extend(range(lo, hi, max_size))
+            continue
+        mid = lo + int(np.searchsorted(
+            (codes[lo:hi] >> np.uint32(bit)) & 1, 1, side="left"))
+        if mid == lo or mid == hi:
+            stack.append((lo, hi, bit - 1))
+        else:
+            stack.append((mid, hi, bit - 1))
+            stack.append((lo, mid, bit - 1))
+    cuts.sort()
+    return np.array(cuts + [n], np.int64)
+
+
 def build_cluster_tables(positions, normals, indices, tri_material,
                          materials, lights, uvs=None, envmap=None,
                          textures=None) -> Optional[ClusterTables]:
@@ -174,6 +213,9 @@ def build_cluster_tables(positions, normals, indices, tri_material,
     if getattr(materials, "anisotropy", None) is not None and \
             float(np.max(np.asarray(materials.anisotropy))) > 0.0:
         return None      # anisotropic GGX runs on the XLA path
+    from rtxpt_tpu.lighting.lights_baker import KIND_SPHERE
+    if n_lights and bool(np.any(np.asarray(lights.kind) == KIND_SPHERE)):
+        return None      # sphere cone sampling is XLA-only
     n_clusters = -(-t // CT)
     if (t == 0 or n_clusters > MAX_CLUSTERS or n_mats > MAX_MATERIALS
             or n_lights > MAX_LIGHTS):
@@ -208,14 +250,26 @@ def build_cluster_tables(positions, normals, indices, tri_material,
     lpdf = np.where(has_l, np.asarray(lights.power)[li], 0.0)
     larea = np.where(has_l, np.asarray(lights.extra)[li, 0], 1.0)
 
-    tpad = n_clusters * CT
-    pad = tpad - t
+    # Treelet clustering: variable-length contiguous Morton ranges from
+    # the radix-tree cut (see radix_cut_offsets), laid out in fixed
+    # CT-wide slots. slot_tri maps (cluster, lane) -> global triangle
+    # index; invalid lanes get zeroed coefficients (det==0 -> the bf16
+    # admission test can never select them) and AT_VALID 0.
+    cen = (v0 + v1 + v2) / 3.0
+    offsets = radix_cut_offsets(morton_codes(cen), CT)
+    n_clusters = len(offsets) - 1
+    if n_clusters > MAX_CLUSTERS:
+        return None
+    sizes = np.diff(offsets)
+    slot_tri = offsets[:-1, None] + np.arange(CT)[None, :]    # [K,CT]
+    slot_valid = (np.arange(CT)[None, :] < sizes[:, None])
+    slot_tri = np.where(slot_valid, slot_tri, 0).reshape(-1)
+    vmaskf = slot_valid.reshape(-1).astype(np.float32)
 
     def pp(x):
-        if pad == 0:
-            return x
-        return np.concatenate(
-            [x, np.zeros((pad, *x.shape[1:]), x.dtype)], axis=0)
+        y = x[slot_tri]
+        return y * (vmaskf if y.ndim == 1
+                    else vmaskf[:, None]).astype(x.dtype)
 
     v0p, e1p, e2p, np_, gnp = pp(v0), pp(e1), pp(e2), pp(n), pp(gn)
     n0p = pp(normals[indices[:, 0]])
@@ -290,8 +344,10 @@ def build_cluster_tables(positions, normals, indices, tri_material,
     put1(AT_LPDF, lpdfp)
     put1(AT_LAREA, lareap)
     put1(AT_ISLIGHT, islp)
-    put1(AT_LOCALJ, np.tile(np.arange(CT, dtype=np.float32),
-                            (n_clusters, 1)).reshape(-1))
+    # global (prepared-order) triangle index — clusters are variable-
+    # length ranges so the kernel cannot reconstruct it as cid*CT+j;
+    # f32 is exact to 2^24, far above MAX_CLUSTERS*CT
+    put1(AT_GIDX, slot_tri.astype(np.float32))
     put1(AT_VALID, validp)
     if uvs is not None:
         uvs = np.asarray(uvs, np.float32)
@@ -312,6 +368,7 @@ def build_cluster_tables(positions, normals, indices, tri_material,
         mat_rows=jnp.asarray(pack_materials(materials)),
         light_rows=jnp.asarray(pack_lights(lights)),
         env_rows=(jnp.asarray(env_rows) if env_rows is not None else None),
+        offsets=jnp.asarray(offsets, jnp.int32),
         tex_ct=(tex[0] if tex is not None else None),
         tex_meta=(tex[1] if tex is not None else None),
         n_clusters=n_clusters, n_tris=t, n_lights=n_lights,

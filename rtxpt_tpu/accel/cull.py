@@ -19,10 +19,18 @@ some d in D gives the per-axis entry/exit bounds
   exit_a  = D.lo>0: S.hi/D.lo ; D.hi<0: S.lo/D.hi ; else +inf
 
 (hit iff max_a enter <= min(min_a exit, tmax)). Exact for point intervals,
-conservative (never drops a truly-hit cluster) otherwise. Candidates are
-kept sorted by group-min enter distance and truncated to `kslots`
-(overflow is counted and reported — a nonzero overflow means some rays
-may miss geometry; raise kslots or sort rays for coherence).
+conservative (never drops a truly-hit cluster) otherwise.
+
+Two-phase: (1) the GROUP hull beam (interval hull of the 8 row beams) is
+tested against every cluster — [G,1,C], 8x less work/memory than the
+row-dense form — and the k nearest candidates are selected on the hull
+entry distance (the hull beam is a superset of each row beam, so nothing
+any row needs can be hull-missed, and hull-enter <= row-enter makes it a
+valid monotone DMA-gate bound); (2) per-row entry distances are computed
+only for the k selected slots ([G,R,k]). Candidates are kept sorted by
+hull enter distance and truncated to `kslots` (overflow is counted and
+reported — a nonzero overflow means some rays may miss geometry; raise
+kslots or sort rays for coherence).
 """
 
 from __future__ import annotations
@@ -73,12 +81,20 @@ def cull_candidates(o, d, active, tmax, aabb_lo, aabb_hi, kslots: int,
     """Build per-group candidate lists.
 
     o,d: [3,G,R,128]; active [G,R,128] bool; tmax: scalar or [G,R,128];
-    aabb_lo/hi [C,3]. Returns (cand [G,1,1+2*kslots] i32, overflow []).
+    aabb_lo/hi [C,3]. Returns (cand [G,1,1+(2+R)*kslots] i32, overflow []).
 
-    cand row layout: [count, ids x K (sorted by entry distance),
-    rowmask x K (bit r set when ray-row r needs the cluster),
-    t_enter x K (f32 bits; the kernels prune visits whose entry distance
-    exceeds the group's worst committed hit)].
+    cand row layout: [count,
+      ids x K            (sorted by group-min entry distance),
+      te_group x K       (f32 bits; kernels gate the DMA stream on it),
+      te_row x K*R       (f32 bits, slot-major: slot i's rows at
+                          1+2K+R*i .. +R; +inf where the row's interval
+                          beam misses the cluster — this both replaces
+                          the old rowmask and gives each ray-row its own
+                          nearest-first prune bound)].
+
+    Positive-float bit patterns are order-preserving as int32, so the
+    kernels compare these against committed-t bit patterns directly
+    (Mosaic has no scalar bitcast).
     """
     G, R = o.shape[1], o.shape[2]
     C = aabb_lo.shape[0]
@@ -93,21 +109,25 @@ def cull_candidates(o, d, active, tmax, aabb_lo, aabb_hi, kslots: int,
     row_any = jnp.any(active, axis=-1)              # [G,R]
     tmax_row = jnp.where(row_any, tmax_row, -_INF)  # empty row: never hits
 
+    # Phase 1: GROUP-hull beam vs every cluster ([G,1,C] — R times less
+    # work/memory than the row-dense form; the hull beam is a superset of
+    # each row beam, so hull-enter <= every row-enter and nothing a row
+    # needs can be hull-missed). Slot order and the kernels' monotone DMA
+    # gate both ride the hull-enter value.
+    g_olo = jnp.min(jnp.where(row_any[None], olo, _INF), 2, keepdims=True)
+    g_ohi = jnp.max(jnp.where(row_any[None], ohi, -_INF), 2, keepdims=True)
+    g_dlo = jnp.min(jnp.where(row_any[None], dlo, _INF), 2, keepdims=True)
+    g_dhi = jnp.max(jnp.where(row_any[None], dhi, -_INF), 2, keepdims=True)
+    g_tmax = jnp.max(tmax_row, axis=1, keepdims=True)
+
     blo = aabb_lo.T                                  # [3,C]
     bhi = aabb_hi.T
     enters = []
     for c0 in range(0, C, chunk):
         c1 = min(c0 + chunk, C)
-        enters.append(_slab_chunk(olo, ohi, dlo, dhi,
-                                  blo[:, c0:c1], bhi[:, c0:c1], tmax_row))
-    enter = jnp.concatenate(enters, axis=-1)         # [G,R,C]
-
-    hit_row = enter < _INF
-    rowmask = jnp.sum(
-        jnp.where(hit_row,
-                  (1 << jnp.arange(R, dtype=jnp.int32))[None, :, None], 0),
-        axis=1).astype(jnp.int32)                    # [G,C]
-    enter_g = jnp.min(enter, axis=1)                 # [G,C]
+        enters.append(_slab_chunk(g_olo, g_ohi, g_dlo, g_dhi,
+                                  blo[:, c0:c1], bhi[:, c0:c1], g_tmax))
+    enter_g = jnp.concatenate(enters, axis=-1)[:, 0]  # [G,C]
     hit_g = enter_g < _INF
 
     k = min(kslots, C)
@@ -117,13 +137,37 @@ def cull_candidates(o, d, active, tmax, aabb_lo, aabb_hi, kslots: int,
     count = jnp.sum(sel_hit.astype(jnp.int32), axis=-1)          # [G]
     total = jnp.sum(hit_g.astype(jnp.int32), axis=-1)
     overflow = jnp.sum(jnp.maximum(total - count, 0))
-    rm = jnp.take_along_axis(rowmask, ids, axis=1)
     te = jnp.take_along_axis(enter_g, ids, axis=1)
     te_bits = jax.lax.bitcast_convert_type(te, jnp.int32)
+
+    # Phase 2: exact per-row entry distances, only for the k selected
+    # slots ([G,R,k] with per-group gathered boxes).
+    sblo = jnp.take(aabb_lo, ids, axis=0)            # [G,k,3]
+    sbhi = jnp.take(aabb_hi, ids, axis=0)
+    slo = jnp.transpose(sblo, (2, 0, 1))[:, :, None, :] - ohi[..., None]
+    shi = jnp.transpose(sbhi, (2, 0, 1))[:, :, None, :] - olo[..., None]
+    dl = dlo[..., None]
+    dh = dhi[..., None]
+    pos = slo > 0.0
+    negm = shi < 0.0
+    r_enter = jnp.where(
+        pos, jnp.where(dh > _EPS, slo / jnp.maximum(dh, _EPS), _INF),
+        jnp.where(negm,
+                  jnp.where(dl < -_EPS, shi / jnp.minimum(dl, -_EPS), _INF),
+                  0.0))
+    r_exit = jnp.where(
+        dl > _EPS, shi / jnp.maximum(dl, _EPS),
+        jnp.where(dh < -_EPS, slo / jnp.minimum(dh, -_EPS), _INF))
+    t_en = jnp.max(r_enter, axis=0)                  # [G,R,k]
+    t_ex = jnp.minimum(jnp.min(r_exit, axis=0), tmax_row[..., None])
+    te_row = jnp.where(t_en <= t_ex, t_en, _INF)
+    te_row_bits = jax.lax.bitcast_convert_type(te_row, jnp.int32)
+    te_row_bits = jnp.transpose(te_row_bits, (0, 2, 1)).reshape(G, k * R)
     if k < kslots:
         padk = kslots - k
         ids = jnp.pad(ids, ((0, 0), (0, padk)))
-        rm = jnp.pad(rm, ((0, 0), (0, padk)))
         te_bits = jnp.pad(te_bits, ((0, 0), (0, padk)))
-    cand = jnp.concatenate([count[:, None], ids, rm, te_bits], axis=1)
+        te_row_bits = jnp.pad(te_row_bits, ((0, 0), (0, padk * R)))
+    cand = jnp.concatenate([count[:, None], ids, te_bits, te_row_bits],
+                           axis=1)
     return cand[:, None, :].astype(jnp.int32), overflow

@@ -62,8 +62,11 @@ def main(argv=None):
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--spp", type=int, default=16)
     p.add_argument("--bounces", type=int, default=6)
-    p.add_argument("--nee", choices=["off", "uniform", "power"],
-                   default="power")
+    p.add_argument("--nee", choices=["off", "uniform", "power", "neeat"],
+                   default="power",
+                   help="light sampler; 'neeat' enables the feedback-"
+                        "adaptive tier (needs --realtime for the feedback "
+                        "loop)")
     p.add_argument("--no-mis", action="store_true")
     p.add_argument("--no-rr", action="store_true")
     p.add_argument("--firefly-clamp", type=float, default=0.0)
@@ -79,8 +82,20 @@ def main(argv=None):
     p.add_argument("--realtime", type=int, default=0, metavar="FRAMES",
                    help="real-time mode: run N 1-spp frames through the "
                         "denoiser/TAA pipeline, save the last")
-    p.add_argument("--denoiser", choices=["none", "relax"], default="relax",
-                   help="denoiser for --realtime")
+    p.add_argument("--denoiser", choices=["none", "relax", "reblur"],
+                   default="relax", help="denoiser for --realtime")
+    p.add_argument("--restir", choices=["none", "di", "digi"],
+                   default="none",
+                   help="resampled direct (+one-bounce indirect) lighting "
+                        "in --realtime frames (RtxdiPass analog)")
+    p.add_argument("--regir", action="store_true",
+                   help="with --restir: draw DI candidates from the ReGIR "
+                        "world-space cell grid")
+    p.add_argument("--render-scale", type=float, default=1.0,
+                   help="trace at this fraction of display resolution and "
+                        "temporally upscale (DLSS-SR substitute)")
+    p.add_argument("--split-denoise", action="store_true",
+                   help="denoise diffuse/specular channels separately")
     p.add_argument("--stable-planes", action="store_true",
                    help="real-time path-space decomposition (delta chains)")
     p.add_argument("--taa", action="store_true")
@@ -90,6 +105,12 @@ def main(argv=None):
                         "tiers)")
     p.add_argument("--bloom", action="store_true")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--materials-json", default=None,
+                   help="material sidecar: overrides applied after scene "
+                        "load (MaterialsBaker JSON analog)")
+    p.add_argument("--save-materials", default=None, metavar="PATH",
+                   help="dump the loaded scene's material table to a JSON "
+                        "sidecar and continue")
     p.add_argument("--camera-json", default=None,
                    help="camera sidecar: loaded if it exists, else saved "
                         "after the render (Sample.cpp:919-987 analog)")
@@ -105,6 +126,10 @@ def main(argv=None):
                    help="photo mode: run the spatial denoiser on the final "
                         "accumulated image (OptiX-denoised-screenshot analog)")
     args = p.parse_args(argv)
+    from rtxpt_tpu.utils.localconfig import apply_local_config
+    applied = apply_local_config(args, argv)
+    if applied:
+        print(f"[localconfig] {dict(applied)}", file=sys.stderr)
     if args.spp < 1:
         p.error("--spp must be >= 1")
     if args.width < 1 or args.height < 1:
@@ -128,6 +153,12 @@ def main(argv=None):
     from rtxpt_tpu.utils.image import save_png
 
     host = build_scene(args.scene, args)
+    if args.materials_json:
+        from rtxpt_tpu.scene.materials_io import apply_materials_json
+        apply_materials_json(host, args.materials_json)
+    if args.save_materials:
+        from rtxpt_tpu.scene.materials_io import save_materials_json
+        save_materials_json(args.save_materials, host)
     if args.sky:
         from rtxpt_tpu.lighting.sky import make_sky
         host.envmap_image = make_sky()
@@ -162,7 +193,7 @@ def main(argv=None):
     cfg = PathTracerConfig(
         max_bounces=args.bounces,
         nee={"off": NEEMode.OFF, "uniform": NEEMode.UNIFORM,
-             "power": NEEMode.POWER}[args.nee],
+             "power": NEEMode.POWER, "neeat": NEEMode.NEEAT}[args.nee],
         enable_mis=not args.no_mis,
         enable_russian_roulette=not args.no_rr,
         firefly_clamp=args.firefly_clamp,
@@ -179,11 +210,16 @@ def main(argv=None):
 
         rc = RenderConfig(
             width=args.width, height=args.height,
-            denoiser=(DenoiserMode.RELAX if args.denoiser == "relax"
-                      else DenoiserMode.NONE),
+            denoiser={"relax": DenoiserMode.RELAX,
+                      "reblur": DenoiserMode.REBLUR,
+                      "none": DenoiserMode.NONE}[args.denoiser],
             enable_taa=args.taa, enable_bloom=args.bloom,
-            exposure=args.exposure, tonemap=args.tonemap)
-        state = realtime.init_state(args.height, args.width)
+            exposure=args.exposure, tonemap=args.tonemap,
+            render_scale=args.render_scale,
+            split_denoise=args.split_denoise,
+            restir=args.restir, restir_regir=args.regir)
+        state = realtime.init_state(args.height, args.width,
+                                    scene=scene, pt_cfg=cfg)
         frame_fn = (realtime.render_frame_stable_planes if args.stable_planes
                     else realtime.render_frame)
         for fidx in range(args.realtime):

@@ -112,6 +112,15 @@ class RenderConfig:
     # Denoise diffuse and specular channels separately (reference runs
     # split NRD instances per plane: Sample.cpp:2570-2573).
     split_denoise: bool = False
+    # Resampled direct/indirect lighting in the realtime frame loop
+    # (reference: RtxdiPass::Execute inside PathTrace, Sample.cpp:2526-2539).
+    # "none" | "di" (ReSTIR DI replaces NEE for primary-surface direct
+    # light) | "digi" (DI + ReSTIR GI one-bounce indirect resampling).
+    restir: str = "none"
+    # Use the ReGIR world-space cell grid as the DI candidate source
+    # instead of the global power CDF (reference: RtxdiPass local-light
+    # presampling / ReGIR mode).
+    restir_regir: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

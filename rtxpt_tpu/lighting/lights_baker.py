@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from rtxpt_tpu.scene.scene import (
-    SceneData, LIGHT_POINT, LIGHT_DIRECTIONAL, LIGHT_SPOT,
+    SceneData, LIGHT_POINT, LIGHT_DIRECTIONAL, LIGHT_SPHERE, LIGHT_SPOT,
 )
 from rtxpt_tpu.lighting.envmap import EnvMap, env_sample, env_pdf
 from rtxpt_tpu.utils import math as m
@@ -31,6 +31,11 @@ KIND_POINT = 1
 KIND_DIRECTIONAL = 2
 KIND_SPOT = 3
 KIND_ENV = 4
+KIND_SPHERE = 5   # analytic sphere area light (PolymorphicLight.h kSphere);
+#                   extra[2] = radius, emission = surface radiance. Sampled
+#                   by cone toward the subtended cap; NEE-only (no scene
+#                   geometry backs it), so it reports is_delta for MIS like
+#                   the reference's non-raytraceable analytic lights.
 
 _DELTA_DIST = 1e8   # "infinite" distance for directional/env shadow rays
 
@@ -105,6 +110,11 @@ def bake_lights(scene: SceneData, envmap: EnvMap,
         elif k == LIGHT_DIRECTIONAL:
             kinds.append(KIND_DIRECTIONAL)
             powers.append(np.pi * scene_radius * scene_radius * ilum)
+        elif k == LIGHT_SPHERE:
+            r = float(np.asarray(al.angular_size[i]))
+            kinds.append(KIND_SPHERE)
+            # Lambertian sphere power: L * pi * 4*pi*r^2
+            powers.append(4.0 * np.pi * np.pi * r * r * ilum)
         else:
             kinds.append(KIND_SPOT)
             ci = float(np.asarray(al.cos_inner[i]))
@@ -224,6 +234,24 @@ def sample_light(lights: LightList, envmap: EnvMap, shade_pos, u_sel, u1, u2,
     wi_dir = -p1
     li_dir = em
 
+    # --- sphere (kSphere): uniform cone toward the subtended cap ---
+    r_sph = ex[..., 2]
+    sin2_max = jnp.clip(r_sph * r_sph / d2p, 0.0, 1.0 - 1e-6)
+    cos_max = jnp.sqrt(1.0 - sin2_max)
+    cos_t = 1.0 - u1 * (1.0 - cos_max)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi_s = 2.0 * jnp.pi * u2
+    t_s, b_s = m.orthonormal_basis(wi_p)
+    wi_sph = (t_s * (sin_t * jnp.cos(phi_s))[..., None]
+              + b_s * (sin_t * jnp.sin(phi_s))[..., None]
+              + wi_p * cos_t[..., None])
+    # distance to the near sphere surface along wi
+    disc = jnp.maximum(r_sph * r_sph - d2p * (1.0 - cos_t * cos_t), 0.0)
+    dist_sph = jnp.maximum(dist_p * cos_t - jnp.sqrt(disc), 1e-5)
+    pdf_sph = sel_pdf / jnp.maximum(
+        2.0 * jnp.pi * (1.0 - cos_max), 1e-9)
+    outside = d2p > r_sph * r_sph
+
     # --- environment ---
     wi_env, li_env, pdf_env = env_sample(envmap, u1, u2)
     pdf_env = sel_pdf * pdf_env
@@ -233,21 +261,30 @@ def sample_light(lights: LightList, envmap: EnvMap, shade_pos, u_sel, u1, u2,
     is_spot = kind == KIND_SPOT
     is_dir = kind == KIND_DIRECTIONAL
     is_env = kind == KIND_ENV
+    is_sph = kind == KIND_SPHERE
 
     wi = jnp.where(is_tri[..., None], wi_tri,
          jnp.where((is_point | is_spot)[..., None], wi_p,
-         jnp.where(is_dir[..., None], wi_dir, wi_env)))
+         jnp.where(is_sph[..., None], wi_sph,
+         jnp.where(is_dir[..., None], wi_dir, wi_env))))
     dist = jnp.where(is_tri, dist_tri,
-           jnp.where(is_point | is_spot, dist_p, _DELTA_DIST))
+           jnp.where(is_point | is_spot, dist_p,
+           jnp.where(is_sph, dist_sph, _DELTA_DIST)))
     Li = jnp.where(is_tri[..., None], li_tri,
          jnp.where(is_point[..., None], li_point,
          jnp.where(is_spot[..., None], li_point * spot_atten[..., None],
-         jnp.where(is_dir[..., None], li_dir, li_env))))
+         jnp.where(is_sph[..., None], em,
+         jnp.where(is_dir[..., None], li_dir, li_env)))))
     # Delta lights: divide by discrete select pdf only.
     pdf = jnp.where(is_tri, pdf_tri,
-          jnp.where(is_env, pdf_env, sel_pdf))
-    is_delta = is_point | is_spot | is_dir
-    valid = jnp.where(is_tri, valid_tri, jnp.ones_like(is_tri)) \
+          jnp.where(is_env, pdf_env,
+          jnp.where(is_sph, pdf_sph, sel_pdf)))
+    # Spheres report is_delta: no scene geometry backs them, so the BSDF
+    # strategy can never hit one and NEE must carry full weight (the
+    # reference treats non-raytraceable analytic lights the same way).
+    is_delta = is_point | is_spot | is_dir | is_sph
+    valid = jnp.where(is_tri, valid_tri,
+                      jnp.where(is_sph, outside, jnp.ones_like(is_tri))) \
         & (pdf > 1e-12) & (sel_pdf > 0.0)
     return dict(wi=wi, dist=dist, Li=Li, pdf=pdf, is_delta=is_delta,
                 valid=valid, light_index=li)

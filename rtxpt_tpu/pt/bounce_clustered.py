@@ -105,27 +105,44 @@ def _dma(cand_ref, blocks_hbm, slot, buf, sem, kslots):
 
 
 def _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
-                    kslots, visit):
+                    kslots, visit, flag_ref, alive=None):
     """Double-buffered nearest-first candidate loop; `visit(i, cur)` runs
-    under pl.when(i < count) with the cluster block VALUE in VMEM."""
-    count = cand_ref[0, 0, 0]
+    with the cluster block VALUE in VMEM for every slot whose DMA was
+    started.
 
-    @pl.when(count > 0)
+    `alive(i)` is a scalar-bool prune predicate evaluated ONCE per slot,
+    right before its DMA would start (so a pruned slot costs neither HBM
+    bandwidth nor compute). It must be MONOTONE: once false for slot i it
+    stays false for all later slots (candidates are sorted by entry
+    distance and prune bounds only shrink). `flag_ref` is SMEM (1,2) i32
+    scratch recording the per-parity start decision so the wait/visit at
+    step i agrees with the decision taken at step i-1."""
+    count = cand_ref[0, 0, 0]
+    if alive is None:
+        alive = lambda i: True
+
+    a0 = (count > 0) & alive(0)
+    flag_ref[0, 0] = a0.astype(jnp.int32)
+    flag_ref[0, 1] = 0
+
+    @pl.when(a0)
     def _():
         _dma(cand_ref, blocks_hbm, 0, buf0, sem0, kslots).start()
 
     def step(i, cur, curs, nxt, nxts):
-        @pl.when(i < count)
+        started = flag_ref[0, jax.lax.rem(i, 2)] > 0
+
+        @pl.when(started)
         def _():
             _dma(cand_ref, blocks_hbm, i, cur, curs, kslots).wait()
+            visit(i, cur[:])
 
-        @pl.when(i + 1 < count)
+        nxt_alive = started & (i + 1 < count) & alive(i + 1)
+        flag_ref[0, jax.lax.rem(i + 1, 2)] = nxt_alive.astype(jnp.int32)
+
+        @pl.when(nxt_alive)
         def _():
             _dma(cand_ref, blocks_hbm, i + 1, nxt, nxts, kslots).start()
-
-        @pl.when(i < count)
-        def _():
-            visit(i, cur[:])
 
     def body(i, carry):
         jax.lax.cond(
@@ -212,6 +229,7 @@ def _kernel_a(*refs,
     buf0 = next(it)
     buf1 = next(it)
     best_ref = next(it)
+    flag_ref = next(it)
     sem0 = next(it)
     sem1 = next(it)
     max_travel = cfg_key[5]
@@ -233,31 +251,29 @@ def _kernel_a(*refs,
 
     noprune = cfg_key[8]
 
-    def visit(i, cur):
+    def _row_bound_bits(r):
+        # Worst committed t over the row's live lanes, as an int32 bit
+        # pattern (positive-float bits are order-preserving; Mosaic has
+        # no scalar bitcast). Dead lanes don't gate (0.0 -> bits 0).
+        bt = best_ref[r, _B_T:_B_T + 1, :]
+        bound = jnp.where(act[r:r + 1], bt, 0.0)
+        return jnp.max(jax.lax.bitcast_convert_type(bound, jnp.int32))
+
+    def alive(i):
+        # DMA/visit gate: candidates arrive sorted by group-min entry
+        # distance; once every live ray has committed a nearer hit the
+        # remaining (farther) clusters cannot matter -- and their blocks
+        # are not even fetched.
         if noprune:
-            _visit_body(i, cur)
-            return
-        # Early pruning: candidates arrive sorted by conservative entry
-        # distance; once every ACTIVE ray in the group has committed a
-        # nearer hit, the remaining (farther) clusters cannot matter.
-        bound = jnp.full((1, 128), 0.0, f32)
-        for r in range(_R):
-            bt = best_ref[r, _B_T:_B_T + 1, :]
-            bound = jnp.maximum(
-                bound, jnp.where(act[r:r + 1], bt, 0.0))
-        # positive-float bit patterns are order-preserving, so the SMEM
-        # t_enter (stored as raw f32 bits) compares directly against the
-        # max of the bound's bit pattern — Mosaic has no scalar bitcast.
-        bound_bits = jnp.max(
-            jax.lax.bitcast_convert_type(bound, jnp.int32))
-        t_en_bits = cand_ref[0, 0, 1 + 2 * kslots
+            return cand_ref[0, 0, 0] > 0
+        bb = _row_bound_bits(0)
+        for r in range(1, _R):
+            bb = jnp.maximum(bb, _row_bound_bits(r))
+        t_en_bits = cand_ref[0, 0, 1 + kslots
                              + jnp.minimum(i, kslots - 1)]
+        return t_en_bits <= bb
 
-        @pl.when(t_en_bits <= bound_bits)
-        def _():
-            _visit_body(i, cur)
-
-    def _visit_body(i, cur):
+    def visit(i, cur):
         amat = _attr_mat(cur)                        # [AT_ROWS,128]
         cr = CL.CENTER_ROW
         cx = cur[cr:cr + 1, 0:128]
@@ -265,9 +281,18 @@ def _kernel_a(*refs,
         cz = cur[cr:cr + 1, 256:384]
         c_f = cand_ref[0, 0, 1 + jnp.minimum(i, kslots - 1)].astype(f32)
         cidv = jnp.full((1, 128), 0.0, f32) + c_f
-        rm = cand_ref[0, 0, 1 + kslots + jnp.minimum(i, kslots - 1)]
+        te_base = 1 + 2 * kslots + _R * jnp.minimum(i, kslots - 1)
         for r in range(_R):
-            row_on = ((rm >> r) & 1) == 1
+            # Per-row gate: the row's own conservative entry distance
+            # (from the cull) vs the row's worst committed t; +inf when
+            # the row's beam misses the cluster entirely (replacing the
+            # old rowmask), so geometric misses and individually retired
+            # rows both skip the matmul.
+            te_r = cand_ref[0, 0, te_base + r]
+            if noprune:
+                row_on = te_r < jnp.int32(0x7F800000)
+            else:
+                row_on = te_r <= _row_bound_bits(r)
 
             @pl.when(row_on)
             def _(r=r):
@@ -308,7 +333,7 @@ def _kernel_a(*refs,
             best_ref[r] = jnp.where(improved, new, b)
 
     _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
-                    kslots, visit)
+                    kslots, visit, flag_ref, alive)
 
     # ----- exact f32 refit of the winner hit (per ray-row) -----
     rows_t, rows_u, rows_v, rows_front, rows_prim = [], [], [], [], []
@@ -355,9 +380,8 @@ def _kernel_a(*refs,
         rows_u.append(u)
         rows_v.append(v)
         rows_front.append(jnp.where(hitr, detx, -1.0))
-        lj = b[a0 + CL.AT_LOCALJ:a0 + CL.AT_LOCALJ + 1]
-        rows_prim.append(jnp.where(
-            hitr, b[_B_CID:_B_CID + 1] * float(CT) + lj, -1.0))
+        gidx = b[a0 + CL.AT_GIDX:a0 + CL.AT_GIDX + 1]
+        rows_prim.append(jnp.where(hitr, gidx, -1.0))
 
     t = jnp.concatenate(rows_t, axis=0)              # [R,128]
     bu = jnp.concatenate(rows_u, axis=0)
@@ -435,30 +459,38 @@ def _kernel_a(*refs,
 
 
 def _kernel_b(cand_ref, sh_ref, blocks_hbm, occ_out,
-              buf0, buf1, sem0, sem1, *, kslots):
+              buf0, buf1, flag_ref, sem0, sem1, *, kslots):
     """Any-hit over the shadow rays' candidate lists -> occluded 0/1."""
     sh = sh_ref[:]
     so = sh[SH_O:SH_O + 3]
     sd = sh[SH_D:SH_D + 3]
     dist = sh[SH_DIST] * (1.0 - SHADOW_T_EPS)
-    # lanes with no shadow request start "occluded" so fully-resolved
+    # lanes with no shadow request start "occluded" so resolved rows and
     # groups skip remaining visits (the XLA L-update masks by do anyway)
     occ_out[:] = jnp.where(sh[SH_DO:SH_DO + 1][0] > 0.5, 0.0, 1.0
                            ) * jnp.ones((_R, 128), jnp.float32)
 
-    def visit(i, cur):
-        @pl.when(jnp.min(occ_out[:]) < 0.5)
-        def _():
-            _visit_body(i, cur)
+    def _row_open(r):
+        # 1 while any lane in row r still needs resolving
+        return jnp.max(1.0 - occ_out[r:r + 1, :]) > 0.5
 
-    def _visit_body(i, cur):
+    def alive(i):
+        open_ = _row_open(0)
+        for r in range(1, _R):
+            open_ = open_ | _row_open(r)
+        return open_
+
+    def visit(i, cur):
         cr = CL.CENTER_ROW
         cx = cur[cr:cr + 1, 0:128]
         cy = cur[cr:cr + 1, 128:256]
         cz = cur[cr:cr + 1, 256:384]
-        rm = cand_ref[0, 0, 1 + kslots + jnp.minimum(i, kslots - 1)]
+        te_base = 1 + 2 * kslots + _R * jnp.minimum(i, kslots - 1)
         for r in range(_R):
-            row_on = ((rm >> r) & 1) == 1
+            # Per-row gate: skip rows whose beam misses the cluster
+            # (te=+inf) and rows already fully occluded.
+            te_r = cand_ref[0, 0, te_base + r]
+            row_on = (te_r < jnp.int32(0x7F800000)) & _row_open(r)
 
             @pl.when(row_on)
             def _(r=r):
@@ -486,7 +518,7 @@ def _kernel_b(cand_ref, sh_ref, blocks_hbm, occ_out,
                                    jnp.maximum(cur_occ, occ_r), cur_occ)
 
     _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
-                    kslots, visit)
+                    kslots, visit, flag_ref, alive)
 
 
 # ---------------------------------------------------------------------------
@@ -561,6 +593,7 @@ def _kernel_a_call(scal, cand, fs, is_, mat_rows, light_rows, env_rows,
             pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
             pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
             pltpu.VMEM((_R, _B_ROWS, 128), jnp.float32),
+            pltpu.SMEM((1, 2), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -589,6 +622,7 @@ def _kernel_b_call(cand, sh, blocks, kslots, interpret=False):
         scratch_shapes=[
             pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
             pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
+            pltpu.SMEM((1, 2), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -671,21 +705,35 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
     # Cost: one 2M-key argsort + row-gather permutation per bounce —
     # O(10ms) vs O(100ms) kernel time. Reference: SER
     # (PathTracerSample.hlsl:136-151 / SERUtils.hlsli:22-50).
-    from rtxpt_tpu.ops.wavefront import ray_coherence_key
+    from rtxpt_tpu.ops.wavefront import (
+        pixel_morton_key, ray_coherence_key, sort_rows_by_key, unsort_rows)
     slo = jnp.min(tbl.aabb_lo, axis=0)
     sext = jnp.maximum(jnp.max(tbl.aabb_hi, axis=0) - slo, 1e-6)
 
-    def _sort_wavefront(fs, is_, src):
-        of = fs[FS_O:FS_O + 3].reshape(3, npad)
-        df = fs[FS_D:FS_D + 3].reshape(3, npad)
-        active = is_[IS_ACTIVE].reshape(npad) > 0
-        skey = ray_coherence_key(of, df, slo, sext, active)
-        order = jnp.argsort(skey)
-        fsT = fs.reshape(NF, npad).T
-        isT = is_.reshape(NI, npad).T
-        fs2 = jnp.take(fsT, order, axis=0).T.reshape(NF, nrows, 128)
-        is2 = jnp.take(isT, order, axis=0).T.reshape(NI, nrows, 128)
-        src2 = jnp.take(src.reshape(npad), order).reshape(nrows, 128)
+    def _sort_wavefront(fs, is_, src, bounce):
+        flat_fs = fs.reshape(NF, npad)
+        flat_is = is_.reshape(NI, npad)
+        active = flat_is[IS_ACTIVE] > 0
+        if bounce == 0:
+            # Primaries: image-space Morton tiles (origins are all at the
+            # camera, so the cell/octant key cannot separate them).
+            skey = jnp.where(
+                active,
+                pixel_morton_key(flat_is[IS_PX], flat_is[IS_PY]),
+                jnp.int32(2 ** 30))
+        else:
+            skey = ray_coherence_key(
+                flat_fs[FS_O:FS_O + 3], flat_fs[FS_D:FS_D + 3],
+                slo, sext, active)
+        # lax.sort requires same-shaped operands; mixed dtypes are fine
+        # as separate payload operands
+        out = jax.lax.sort(
+            (skey,) + tuple(flat_fs[i] for i in range(NF))
+            + tuple(flat_is[i] for i in range(NI))
+            + (src.reshape(npad),), num_keys=1)
+        fs2 = jnp.stack(out[1:1 + NF]).reshape(NF, nrows, 128)
+        is2 = jnp.stack(out[1 + NF:1 + NF + NI]).reshape(NI, nrows, 128)
+        src2 = out[1 + NF + NI].reshape(nrows, 128)
         return fs2, is2, src2
 
     src = jnp.arange(npad, dtype=jnp.int32).reshape(nrows, 128)
@@ -696,8 +744,8 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
     occupancy = []
     hit0 = None
     for bounce in range(cfg.max_bounces):
-        if sort_rays and bounce > 0:
-            fs, is_, src = _sort_wavefront(fs, is_, src)
+        if sort_rays:
+            fs, is_, src = _sort_wavefront(fs, is_, src, bounce)
         active_in = is_[IS_ACTIVE]
         occupancy.append(jnp.sum(active_in))
         act = (active_in > 0).reshape(n_groups, _R, 128)
@@ -718,20 +766,24 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         ray_count = ray_count + jnp.sum(active_in)
         if bounce == 0:
             hit0 = hitb
+            src0 = src
         if use_nee:
             do = sh[SH_DO] > 0.5
             if sort_rays:
-                # Shadow rays target per-lane random lights — group
-                # direction bounds span everything unless the shadow
-                # wavefront is sorted on its own (cell, octant) key.
-                sof = sh[SH_O:SH_O + 3].reshape(3, npad)
-                sdf = sh[SH_D:SH_D + 3].reshape(3, npad)
-                skey = ray_coherence_key(sof, sdf, slo, sext,
-                                         do.reshape(npad))
-                sorder = jnp.argsort(skey)
-                shp = jnp.take(sh.reshape(SH_ROWS, npad).T, sorder,
-                               axis=0).T.reshape(SH_ROWS, nrows, 128)
-                sinv = jnp.argsort(sorder)
+                # Shadow rays target per-lane random lights; the primary
+                # wavefront order leaves group direction bounds wide, so
+                # the shadow wavefront gets its own (octant, cell) sort.
+                flat_sh = sh.reshape(SH_ROWS, npad)
+                skey = ray_coherence_key(
+                    flat_sh[SH_O:SH_O + 3], flat_sh[SH_D:SH_D + 3],
+                    slo, sext, do.reshape(npad))
+                ssrc = jnp.arange(npad, dtype=jnp.int32)
+                out = jax.lax.sort(
+                    (skey,) + tuple(flat_sh[i] for i in range(SH_ROWS))
+                    + (ssrc,), num_keys=1)
+                shp = jnp.stack(out[1:1 + SH_ROWS]).reshape(
+                    SH_ROWS, nrows, 128)
+                ssrc = out[1 + SH_ROWS]
             else:
                 shp = sh
             dop = shp[SH_DO] > 0.5
@@ -744,7 +796,8 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
             occ = _kernel_b_call(cand_s, shp, tbl.blocks, kslots,
                                  interpret=interp)
             if sort_rays:
-                occ = jnp.take(occ.reshape(npad), sinv).reshape(nrows, 128)
+                occ = unsort_rows(
+                    ssrc, occ.reshape(1, npad))[0].reshape(nrows, 128)
             L = fs[FS_L:FS_L + 3] + jnp.where(
                 (do & (occ < 0.5))[None], sh[SH_CONTRIB:SH_CONTRIB + 3],
                 0.0)
@@ -769,12 +822,10 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         ray_count = ray_count + jnp.sum(active_in)
     occupancy.append(jnp.sum(is_[IS_ACTIVE]))
 
-    # undo the lane permutation (src is a permutation of 0..npad-1, so
-    # argsort(src) is its inverse)
-    if sort_rays and cfg.max_bounces > 1:
-        inv = jnp.argsort(src.reshape(npad))
-        Lp = fs[FS_L:FS_L + 3].reshape(3, npad)
-        L = jnp.take(Lp.T, inv, axis=0)[:n]
+    # undo the lane permutation (src tracked through every sort)
+    if sort_rays:
+        Lr = unsort_rows(src.reshape(npad), fs[FS_L:FS_L + 3].reshape(3, npad))
+        L = Lr.T[:n]
     else:
         L = fs[FS_L:FS_L + 3].reshape(3, npad).T[:n]
     out = dict(L=L, ray_count=ray_count, occupancy=jnp.stack(occupancy),
@@ -783,6 +834,10 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
     if want_aux:
         from rtxpt_tpu.accel.traverse import Hit
         from rtxpt_tpu.pt.surface import load_surface
+        if sort_rays:
+            # hit0 was produced on the bounce-0-sorted wavefront
+            hit0 = unsort_rows(src0.reshape(npad),
+                               hit0.reshape(6, npad)).reshape(6, nrows, 128)
         t0 = hit0[0].reshape(npad)[:n]
         prim0 = hit0[1].reshape(npad)[:n].astype(jnp.int32)
         uv0 = jnp.stack([hit0[2].reshape(npad)[:n],

@@ -43,6 +43,9 @@ class RealtimeState(NamedTuple):
     neeat: Optional[object] = None            # lighting.neeat.NEEATState
     denoiser_p2: Optional[dn.DenoiserState] = None  # stable-plane 2
     denoiser_spec: Optional[dn.DenoiserState] = None  # split spec channel
+    restir_di: Optional[object] = None        # pt.restir.ReSTIRState
+    restir_gi: Optional[object] = None        # pt.restir_gi.GIState
+    regir: Optional[object] = None            # lighting.regir.ReGIRGrid
 
 
 def init_state(height: int, width: int,
@@ -91,6 +94,61 @@ def _upscale_bilinear(img, height: int, width: int):
     return _bilinear_sample(img, yg, xg)
 
 
+def _halton(i, base):
+    f, r = 1.0, 0.0
+    while i > 0:
+        f /= base
+        r += f * (i % base)
+        i //= base
+    return r
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("pt_cfg", "width", "height", "mode"))
+def _restir_frame_impl(scene, envmap, cam, prev_cam, pt_cfg, width, height,
+                       frame_index, jitter, di_state, gi_state, regir_grid,
+                       mode):
+    """One resampled-lighting frame: primary G-buffer -> ReSTIR DI
+    (replacing NEE for the primary surface) -> optional ReSTIR GI
+    one-bounce indirect -> guide buffers for the denoiser. The TPU
+    analog of RtxdiPass::Execute inside PathTrace (reference:
+    Sample.cpp:2526-2539, RTXDI/RtxdiPass.cpp:354,519,544)."""
+    from rtxpt_tpu.pt.restir import gbuffer_from_primary, restir_di
+    from rtxpt_tpu.pt.restir_gi import restir_gi
+
+    gb, emissive = gbuffer_from_primary(scene, cam, width, height,
+                                        jitter=(jitter[0], jitter[1]))
+    depth_img = gb.depth.reshape(height, width)
+    wpos_img = gb.pos.reshape(height, width, 3)
+    motion = motion_vectors(prev_cam, wpos_img, depth_img, width, height)
+    motion_flat = motion.reshape(-1, 2)
+
+    direct, di_state = restir_di(
+        gb, scene.lights, envmap, scene.bvh, width, height, frame_index,
+        di_state, motion_flat=motion_flat, regir_grid=regir_grid)
+    L = direct + emissive
+    if mode == "digi":
+        indirect, gi_state = restir_gi(
+            scene, gb, pt_cfg, width, height, frame_index, gi_state,
+            motion_flat=motion_flat)
+        L = L + indirect
+    else:
+        gi_state = None
+
+    albedo = gb.diffuse + gb.specular_f0
+    out = dict(
+        L=L.reshape(height, width, 3),
+        albedo=albedo.reshape(height, width, 3),
+        normal=gb.normal.reshape(height, width, 3),
+        depth=depth_img,
+        wpos=wpos_img,
+        emission=emissive.reshape(height, width, 3),
+    )
+    return out, motion, di_state, gi_state
+
+
 def render_frame(scene: SceneData, cam: Camera, pt_cfg: PathTracerConfig,
                  rc: RenderConfig, state: RealtimeState):
     """One real-time frame. Returns (display_image, hdr, new_state).
@@ -100,16 +158,38 @@ def render_frame(scene: SceneData, cam: Camera, pt_cfg: PathTracerConfig,
     (temporal upscaling — the DLSS-SR substitute)."""
     rw = max(int(rc.width * rc.render_scale), 8)
     rh = max(int(rc.height * rc.render_scale), 8)
-    split = rc.split_denoise and rc.denoiser != DenoiserMode.NONE
+    use_restir = rc.restir != "none"
+    split = (rc.split_denoise and rc.denoiser != DenoiserMode.NONE
+             and not use_restir)
     if split and not pt_cfg.split_channels:
         pt_cfg = dataclasses.replace(pt_cfg, split_channels=True)
     render_cam = cam
     if (rw, rh) != (rc.width, rc.height):
         render_cam = cam.replace(width=jnp.float32(rw),
                                  height=jnp.float32(rh))
-    out = render_sample_jit(scene, render_cam, pt_cfg, rw, rh,
-                            jnp.uint32(state.frame_index), True,
-                            state.neeat)
+    new_regir = state.regir
+    if use_restir:
+        envmap = scene.envmap
+        if envmap is None:
+            from rtxpt_tpu.lighting.envmap import bake_envmap
+            envmap = bake_envmap(None)
+        if rc.restir_regir and new_regir is None and scene.lights is not None:
+            import numpy as _np
+            from rtxpt_tpu.lighting.regir import build_grid
+            pos = _np.asarray(scene.geometry.positions)
+            new_regir = build_grid(scene.lights, pos.min(0), pos.max(0))
+        jit2 = _halton(state.frame_index % 64 + 1, 2) - 0.5
+        jit3 = _halton(state.frame_index % 64 + 1, 3) - 0.5
+        out, motion, di_state, gi_state = _restir_frame_impl(
+            scene, envmap, render_cam, state.prev_camera, pt_cfg, rw, rh,
+            jnp.uint32(state.frame_index),
+            jnp.asarray([0.5 + jit2, 0.5 + jit3], jnp.float32),
+            state.restir_di, state.restir_gi, new_regir, rc.restir)
+    else:
+        di_state, gi_state = state.restir_di, state.restir_gi
+        out = render_sample_jit(scene, render_cam, pt_cfg, rw, rh,
+                                jnp.uint32(state.frame_index), True,
+                                state.neeat)
     radiance = out["L"]
     albedo = out["albedo"]
     normal = out["normal"]
@@ -117,8 +197,9 @@ def render_frame(scene: SceneData, cam: Camera, pt_cfg: PathTracerConfig,
     wpos = out["wpos"]
     emission = out["emission"]
 
-    motion = motion_vectors(state.prev_camera, wpos, depth,
-                            rc.width, rc.height)
+    if not use_restir:
+        motion = motion_vectors(state.prev_camera, wpos, depth,
+                                rc.width, rc.height)
 
     new_neeat = state.neeat
     if state.neeat is not None and "neeat_hist" in out:
@@ -173,7 +254,9 @@ def render_frame(scene: SceneData, cam: Camera, pt_cfg: PathTracerConfig,
                               denoiser_spec=dstate_spec,
                               taa_history=taa_hist, prev_camera=render_cam,
                               frame_index=state.frame_index + 1,
-                              neeat=new_neeat)
+                              neeat=new_neeat,
+                              restir_di=di_state, restir_gi=gi_state,
+                              regir=new_regir)
     return img, hdr, new_state
 
 

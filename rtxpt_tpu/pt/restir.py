@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from rtxpt_tpu.accel.traverse import intersect_any
 from rtxpt_tpu.lighting.envmap import EnvMap, env_eval
 from rtxpt_tpu.lighting.lights_baker import (
-    KIND_DIRECTIONAL, KIND_ENV, KIND_POINT, KIND_SPOT, KIND_TRIANGLE,
+    KIND_DIRECTIONAL, KIND_ENV, KIND_POINT, KIND_SPHERE, KIND_SPOT,
+    KIND_TRIANGLE,
     LightList, _DELTA_DIST,
 )
 from rtxpt_tpu.pt import bsdf as B
@@ -127,6 +128,21 @@ def eval_light_sample(lights: LightList, envmap: EnvMap, li, uv, shade_pos):
 
     wi_dir = -p1
 
+    # sphere (kSphere): uv re-derives the cone sample deterministically
+    r_sph = ex[..., 2]
+    sin2_max = jnp.clip(r_sph * r_sph / d2p, 0.0, 1.0 - 1e-6)
+    cos_max = jnp.sqrt(1.0 - sin2_max)
+    cos_t = 1.0 - uv[..., 0] * (1.0 - cos_max)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi_s = 2.0 * jnp.pi * uv[..., 1]
+    t_s, b_s = m.orthonormal_basis(wi_p)
+    wi_sph = (t_s * (sin_t * jnp.cos(phi_s))[..., None]
+              + b_s * (sin_t * jnp.sin(phi_s))[..., None]
+              + wi_p * cos_t[..., None])
+    disc = jnp.maximum(r_sph * r_sph - d2p * (1.0 - cos_t * cos_t), 0.0)
+    dist_sph = jnp.maximum(dist_p * cos_t - jnp.sqrt(disc), 1e-5)
+    pdf_sph = sel_pdf / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-9)
+
     # env: uv parameterizes the equirect map UNIFORMLY here (candidate uv
     # is a uniform square sample, not a CDF draw), so the solid-angle
     # jacobian is 1/(2*pi^2*sin(theta)).
@@ -141,17 +157,24 @@ def eval_light_sample(lights: LightList, envmap: EnvMap, li, uv, shade_pos):
     is_spot = kind == KIND_SPOT
     is_dir = kind == KIND_DIRECTIONAL
     is_env = kind == KIND_ENV
+    is_sph = kind == KIND_SPHERE
 
     wi = jnp.where(is_tri[..., None], wi_tri,
          jnp.where((is_point | is_spot)[..., None], wi_p,
-         jnp.where(is_dir[..., None], wi_dir, wi_env)))
+         jnp.where(is_sph[..., None], wi_sph,
+         jnp.where(is_dir[..., None], wi_dir, wi_env))))
     dist = jnp.where(is_tri, dist_tri,
-           jnp.where(is_point | is_spot, dist_p, _DELTA_DIST))
+           jnp.where(is_point | is_spot, dist_p,
+           jnp.where(is_sph, dist_sph, _DELTA_DIST)))
     Li = jnp.where(is_tri[..., None], li_tri,
          jnp.where(is_point[..., None], li_point,
          jnp.where(is_spot[..., None], li_point * spot_atten[..., None],
-         jnp.where(is_dir[..., None], em, li_env))))
-    pdf = jnp.where(is_tri, pdf_tri, jnp.where(is_env, pdf_env, sel_pdf))
+         jnp.where(is_sph[..., None],
+                   jnp.where((d2p > r_sph * r_sph)[..., None], em, 0.0),
+         jnp.where(is_dir[..., None], em, li_env)))))
+    pdf = jnp.where(is_tri, pdf_tri,
+          jnp.where(is_env, pdf_env,
+          jnp.where(is_sph, pdf_sph, sel_pdf)))
     return wi, dist, Li, jnp.maximum(pdf, 1e-12)
 
 
@@ -180,26 +203,57 @@ def _reservoir_update(res: Reservoir, cand_li, cand_uv, w, u_accept,
 
 
 def initial_candidates(gb: GBuffer, lights: LightList, envmap: EnvMap,
-                       seed, sample_idx, n_candidates: int = 8):
+                       seed, sample_idx, n_candidates: int = 8,
+                       regir_grid=None):
     """RIS over light candidates from the power CDF (initial resampling,
-    RtxdiPass 'GenerateInitialSamples' analog)."""
+    RtxdiPass 'GenerateInitialSamples' analog). With `regir_grid`, the
+    discrete candidate source is the shading point's ReGIR cell reservoirs
+    instead of the global CDF (RtxdiPass local-light presampling mode) —
+    the RIS source pdf swaps the global power pmf for the cell's effective
+    selection density, keeping the estimator unbiased."""
     n = gb.pos.shape[0]
     res = empty_reservoir(n)
+    if regir_grid is not None:
+        from rtxpt_tpu.lighting.regir import cell_of
+        cell = cell_of(regir_grid, gb.pos)
+        pmf_rows = jnp.take(regir_grid.slot_pmf, cell, axis=0)   # [N,K]
+        cdf_rows = jnp.cumsum(pmf_rows, -1)
+        slots_rows = jnp.take(regir_grid.slots, cell, axis=0)
+        w_rows = jnp.take(regir_grid.slot_w, cell, axis=0)
+        kk = regir_grid.slots.shape[1]
     for k in range(n_candidates):
         u_sel = rng.uniform_sample(seed, jnp.uint32(4 * k + 0))
         u1 = rng.uniform_sample(seed, jnp.uint32(4 * k + 1))
         u2 = rng.uniform_sample(seed, jnp.uint32(4 * k + 2))
         u_acc = rng.uniform_sample(seed, jnp.uint32(4 * k + 3))
-        li = jnp.clip(jnp.searchsorted(lights.cdf,
-                                       jnp.clip(u_sel, 0.0, 1.0 - 1e-7)),
-                      0, lights.count - 1).astype(jnp.int32)
-        src_pdf_sel = jnp.take(lights.power, li)
+        if regir_grid is not None:
+            slot = jnp.clip(jnp.sum(
+                (cdf_rows < jnp.clip(u_sel, 0.0, 1.0 - 1e-7)[..., None])
+                .astype(jnp.int32), -1), 0, kk - 1)
+            li = jnp.take_along_axis(slots_rows, slot[..., None],
+                                     axis=-1)[..., 0]
+            w_slot = jnp.take_along_axis(w_rows, slot[..., None],
+                                         axis=-1)[..., 0]
+            pmf_slot = jnp.take_along_axis(pmf_rows, slot[..., None],
+                                           axis=-1)[..., 0]
+            sel_global = jnp.maximum(
+                jnp.take(lights.power, jnp.maximum(li, 0)), 1e-12)
+            sel_ratio = jnp.where(w_slot > 1e-12,
+                                  kk * pmf_slot
+                                  / jnp.maximum(w_slot, 1e-12)
+                                  / sel_global, 0.0)
+        else:
+            li = jnp.clip(jnp.searchsorted(
+                lights.cdf, jnp.clip(u_sel, 0.0, 1.0 - 1e-7)),
+                0, lights.count - 1).astype(jnp.int32)
+            sel_ratio = 1.0
         uv = jnp.stack([u1, u2], -1)
         # RIS weight = p_hat / p_source, with area/solid-angle jacobians
         # folded consistently via eval_light_sample's pdf.
         p_hat, _, _, src_pdf = _target_pdf(gb, lights, envmap, li, uv)
-        w = jnp.where(src_pdf > 1e-11, p_hat / src_pdf, 0.0)
-        res = _reservoir_update(res, li, uv, w, u_acc)
+        src_pdf = src_pdf * sel_ratio
+        w = jnp.where((src_pdf > 1e-11) & (li >= 0), p_hat / src_pdf, 0.0)
+        res = _reservoir_update(res, jnp.maximum(li, 0), uv, w, u_acc)
     return _finalize(res, gb, lights, envmap)
 
 
@@ -412,19 +466,24 @@ class ReSTIRState(NamedTuple):
 
 def restir_di(gb: GBuffer, lights, envmap, bvh, width: int, height: int,
               frame_index, state: Optional[ReSTIRState] = None,
-              n_candidates: int = 8, spatial_passes: int = 1):
+              n_candidates: int = 8, spatial_passes: int = 1,
+              motion_flat=None, regir_grid=None):
     """Full DI pipeline for one frame over a flat G-buffer. Returns
-    (direct_radiance [N,3], new_state)."""
+    (direct_radiance [N,3], new_state). `motion_flat` [N,2] enables
+    motion-aware temporal reprojection; `regir_grid` swaps the candidate
+    source to ReGIR cell reservoirs."""
     n = gb.pos.shape[0]
     px = jnp.arange(n, dtype=jnp.uint32)
     seed = rng.hash_combine(px, rng.hash_combine(
         jnp.uint32(frame_index), jnp.uint32(0x9E3779B9)))
 
     res = initial_candidates(gb, lights, envmap, seed,
-                             frame_index, n_candidates)
+                             frame_index, n_candidates,
+                             regir_grid=regir_grid)
     res = visibility_filter(res, gb, lights, envmap, bvh)
     if state is not None and state.reservoir is not None:
-        motion = jnp.zeros((n, 2), jnp.float32)  # camera-static round 1
+        motion = (jnp.zeros((n, 2), jnp.float32) if motion_flat is None
+                  else motion_flat)
         res = temporal_reuse(res, state.reservoir, gb, state.gbuffer,
                              lights, envmap, motion, width, height, seed)
     for _ in range(spatial_passes):

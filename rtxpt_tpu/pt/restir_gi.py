@@ -231,7 +231,7 @@ def restir_gi(scene, gb: GBuffer, cfg, width: int, height: int,
     px = jnp.arange(n, dtype=jnp.int32) % width
     py = jnp.arange(n, dtype=jnp.int32) // width
     seed = rng.hash_combine(jnp.arange(n, dtype=jnp.uint32),
-                            jnp.uint32(frame_index * 2654435761 % (1 << 31)))
+                            jnp.uint32(frame_index) * jnp.uint32(2654435761))
     res = initial_samples(scene, gb, cfg, px, py, frame_index)
     if state is not None and state.reservoir is not None:
         res = temporal_reuse(res, state.reservoir, gb, state.gbuffer, seed,

@@ -386,7 +386,9 @@ def load_gltf(path: str) -> HostScene:
 
     scene = HostScene(instances=instances, materials=materials,
                       analytic_lights=analytic,
-                      textures=textures if textures else None)
+                      textures=textures if textures else None,
+                      material_names=[m.get("name")
+                                      for m in gltf.get("materials", [])])
     scene.camera = camera_hint
 
     # --- retained rig: animations + skins (animate_gltf drives it) ---

@@ -166,6 +166,21 @@ def single_triangle(light_kind: str = "point") -> HostScene:
             cos_inner=jnp.ones((1,), jnp.float32) * -2.0,
             cos_outer=jnp.ones((1,), jnp.float32) * -2.0,
         )
+    elif light_kind == "sphere":
+        # radius 0.05 @ radiance L with L*pi*r^2 == the point light's
+        # intensity 10, so far-field images match the point variant
+        r = 0.05
+        L = 10.0 / (np.pi * r * r)
+        from rtxpt_tpu.scene.scene import LIGHT_SPHERE
+        lights = AnalyticLights(
+            kind=jnp.asarray([LIGHT_SPHERE], jnp.int32),
+            position=jnp.asarray([[0.0, 0.0, 2.0]], jnp.float32),
+            direction=jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32),
+            intensity=jnp.asarray([[L, L, L]], jnp.float32),
+            angular_size=jnp.full((1,), r, jnp.float32),
+            cos_inner=jnp.ones((1,), jnp.float32) * -2.0,
+            cos_outer=jnp.ones((1,), jnp.float32) * -2.0,
+        )
     else:
         lights = AnalyticLights(
             kind=jnp.asarray([LIGHT_DIRECTIONAL], jnp.int32),
@@ -397,3 +412,134 @@ def default_camera(scene: HostScene, width: int, height: int):
                              up=[0, 1, 0], fov_y_deg=45.0)
     return look_at(c["position"], c["target"], c["up"], c["fov_y_deg"],
                    width, height)
+
+
+def wood_texture(n: int = 64, base=(0.45, 0.30, 0.17),
+                 dark=(0.30, 0.18, 0.09), rings: int = 10) -> np.ndarray:
+    """[n,n,4] deterministic wood-ish ring texture (pow2 n)."""
+    yy, xx = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n),
+                         indexing="ij")
+    r = np.sqrt((xx - 0.3) ** 2 + 4.0 * (yy - 0.5) ** 2)
+    w = 0.5 + 0.5 * np.sin(2 * np.pi * rings * r
+                           + 2.0 * np.sin(6.0 * xx))
+    img = np.empty((n, n, 4), np.float32)
+    img[..., :3] = (np.asarray(base, np.float32)[None, None]
+                    * (1 - w[..., None])
+                    + np.asarray(dark, np.float32)[None, None]
+                    * w[..., None])
+    img[..., 3] = 1.0
+    return img
+
+
+def kitchen_scene(panel_grid: int = 16, subdiv: int = 3,
+                  with_env: bool = True) -> HostScene:
+    """'Kitchen-class' interior benchmark scene (the reference test
+    matrix's kitchen.json analog, /root/reference/Support/tests/
+    tests.json:2-52): a closed room with a window opening, textured
+    floor/counters, mixed materials (diffuse / metal / glass /
+    ceramic), and a panel_grid^2 grid of emissive ceiling panels —
+    2*panel_grid^2 emissive triangles (>=512 at the default 16), the
+    many-light workload NEE-AT exists for. Deterministic; ~3-4k tris at
+    the default subdiv.
+
+    Materials: 0 wall, 1 floor(checker tex), 2 counter(wood tex),
+    3 metal, 4 glass, 5 panel(emissive), 6 ceramic, 7 dark accent.
+    """
+    WALL, FLOOR, WOOD, METAL, GLASS, PANEL, CERAMIC, DARK = range(8)
+    W, H, D = 6.0, 3.0, 6.0
+    s = subdiv
+    g = _quad_grid
+    parts = [
+        # floor (+y normal), subdivided for light-cache locality
+        g([0, 0, D], [W, 0, D], [W, 0, 0], [0, 0, 0], 4 * s, 4 * s, FLOOR),
+        # ceiling (-y)
+        g([0, H, 0], [W, H, 0], [W, H, D], [0, H, D], 2 * s, 2 * s, WALL),
+        # back wall (+z normal, at z=0)
+        g([0, 0, 0], [W, 0, 0], [W, H, 0], [0, H, 0], 2 * s, s, WALL),
+        # front wall (-z, at z=D)
+        g([W, 0, D], [0, 0, D], [0, H, D], [W, H, D], 2 * s, s, WALL),
+        # right wall (-x, at x=W)
+        g([W, 0, 0], [W, 0, D], [W, H, D], [W, H, 0], 2 * s, s, WALL),
+    ]
+    # left wall (x=0) with a window opening [z 2..4, y 1..2.2]:
+    # four quads around the hole (env light enters through it)
+    z0, z1, y0, y1 = 2.0, 4.0, 1.0, 2.2
+    parts += [
+        g([0, 0, D], [0, 0, 0], [0, y0, 0], [0, y0, D], 2 * s, 1, WALL),
+        g([0, y1, D], [0, y1, 0], [0, H, 0], [0, H, D], 2 * s, 1, WALL),
+        g([0, y0, z0], [0, y0, 0], [0, y1, 0], [0, y1, z0], s, 1, WALL),
+        g([0, y0, D], [0, y0, z1], [0, y1, z1], [0, y1, D], s, 1, WALL),
+    ]
+    # emissive ceiling panel grid (each panel slightly below the ceiling,
+    # emitting down): 2*panel_grid^2 triangle lights
+    m = panel_grid
+    px0, pz0, pw = 0.8, 0.8, (W - 1.6)
+    cell = pw / m
+    for i in range(m):
+        for j in range(m):
+            x = px0 + i * cell
+            z = pz0 + j * cell
+            e = 0.22 * cell
+            parts.append(_quad([x + e, H - 0.02, z + e],
+                               [x + cell - e, H - 0.02, z + e],
+                               [x + cell - e, H - 0.02, z + cell - e],
+                               [x + e, H - 0.02, z + cell - e], PANEL))
+    # counters along the back + right walls, wood tops, dark bases
+    parts += [
+        _box([0.2, 0.0, 0.2], [W - 0.2, 0.85, 0.85], DARK),
+        g([0.2, 0.86, 0.85], [W - 0.2, 0.86, 0.85],
+          [W - 0.2, 0.86, 0.2], [0.2, 0.86, 0.2], 4, 2, WOOD),
+        _box([W - 0.85, 0.0, 0.85], [W - 0.2, 0.85, D - 1.2], DARK),
+        g([W - 0.85, 0.86, D - 1.2], [W - 0.2, 0.86, D - 1.2],
+          [W - 0.2, 0.86, 0.85], [W - 0.85, 0.86, 0.85], 2, 4, WOOD),
+    ]
+    # fridge (metal), table (wood top, metal legs), glass splash panel,
+    # ceramic pots
+    parts += [
+        _box([0.25, 0.0, D - 1.5], [1.15, 2.0, D - 0.6], METAL),
+        g([2.2, 1.05, 4.2], [3.8, 1.05, 4.2],
+          [3.8, 1.05, 2.8], [2.2, 1.05, 2.8], 3, 3, WOOD),
+        _box([2.25, 0.0, 2.85], [2.4, 1.03, 3.0], METAL),
+        _box([3.6, 0.0, 2.85], [3.75, 1.03, 3.0], METAL),
+        _box([2.25, 0.0, 4.0], [2.4, 1.03, 4.15], METAL),
+        _box([3.6, 0.0, 4.0], [3.75, 1.03, 4.15], METAL),
+        _box([1.7, 0.86, 0.25], [2.9, 1.75, 0.33], GLASS),
+        _box([4.6, 0.86, 0.4], [4.95, 1.25, 0.75], CERAMIC),
+        _box([5.1, 0.86, 0.45], [5.35, 1.1, 0.7], CERAMIC),
+    ]
+    pos, nrm, uv, idx, mat = _merge(parts)
+
+    mats = _materials([
+        dict(base_color=[0.78, 0.77, 0.74], roughness=1.0),
+        dict(base_color=[1.0, 1.0, 1.0], roughness=0.8),
+        dict(base_color=[1.0, 1.0, 1.0], roughness=0.55),
+        dict(base_color=[0.9, 0.9, 0.92], metallic=1.0, roughness=0.25),
+        dict(base_color=[1.0, 1.0, 1.0], transmission=1.0, roughness=0.0,
+             ior=1.5, thin=1.0),
+        dict(base_color=[0.0, 0.0, 0.0], emissive=[22.0, 20.0, 17.0]),
+        dict(base_color=[0.92, 0.90, 0.86], roughness=0.12),
+        dict(base_color=[0.13, 0.12, 0.12], roughness=0.6),
+    ])
+    scene = HostScene(
+        instances=[MeshInstance(positions=pos, normals=nrm, uvs=uv,
+                                indices=idx, material=mat, name="kitchen")],
+        materials=mats,
+        material_names=["wall", "floor", "counter", "metal", "glass",
+                        "panel", "ceramic", "accent"],
+    )
+    scene.textures = [checker_texture(64, (0.92, 0.92, 0.9),
+                                      (0.2, 0.22, 0.26), cells=12),
+                      wood_texture(64)]
+    bt = np.full((8,), -1, np.int32)
+    bt[FLOOR] = 0
+    bt[WOOD] = 1
+    scene.materials = scene.materials.replace(base_color_tex=jnp.asarray(bt))
+    if with_env:
+        from rtxpt_tpu.lighting.sky import make_sky
+        scene.envmap_image = make_sky(
+            128, 64, sun_dir=(-0.6, 0.5, 0.4), sun_intensity=60.0,
+            bake_sun=True)
+        scene.envmap_scale = 1.0
+    scene.camera = dict(position=[4.9, 1.7, 5.3], target=[2.2, 1.1, 1.8],
+                        up=[0.0, 1.0, 0.0], fov_y_deg=55.0)
+    return scene

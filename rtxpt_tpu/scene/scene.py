@@ -31,6 +31,8 @@ from flax import struct
 LIGHT_POINT = 0
 LIGHT_DIRECTIONAL = 1
 LIGHT_SPOT = 2
+LIGHT_SPHERE = 3   # intensity = surface radiance; angular_size = radius
+#                    (PolymorphicLight.h:28-38 kSphere analog)
 
 
 @struct.dataclass
@@ -219,6 +221,8 @@ class HostScene:
     envmap_rotation: float = 0.0                # azimuth radians
     textures: Optional[list] = None             # list of np [h,w,4] images
     camera: Optional[dict] = None               # loader-provided camera hint
+    material_names: Optional[list] = None       # sidecar match keys
+    # (scene/materials_io.py, MaterialsBaker.h:209-218 analog)
 
     def flatten(self) -> SceneData:
         """Flatten instances to world space (SubInstance bake analog)."""

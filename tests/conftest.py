@@ -30,7 +30,8 @@ _SLOW_MODULES = {
     "test_wrs_nee.py", "test_neeat.py", "test_gltf.py",
     "test_omm_alpha.py", "test_restir_gi.py", "test_neeat_topk.py",
     "test_refit.py", "test_denoise_modes.py", "test_nested_priority.py",
-    "test_gltf_anim.py",
+    "test_gltf_anim.py", "test_restir_integration.py",
+    "test_kitchen_parity.py", "test_sphere_light.py",
 }
 
 

@@ -81,10 +81,12 @@ def test_cluster_block_coefficients(city):
     blocks = np.asarray(tbl.blocks)
     pos = np.asarray(sd.geometry.positions)
     idx = np.asarray(sd.geometry.indices)
+    offsets = np.asarray(tbl.offsets)
     rng = np.random.default_rng(1)
     for _ in range(20):
         tri = int(rng.integers(0, tbl.n_tris))
-        c, j = tri // CT, tri % CT
+        c = int(np.searchsorted(offsets, tri, side="right")) - 1
+        j = tri - int(offsets[c])
         o = rng.uniform(0, 20, 3).astype(np.float32)
         d = rng.standard_normal(3).astype(np.float32)
         d /= np.linalg.norm(d)

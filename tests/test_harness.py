@@ -124,3 +124,20 @@ def test_metrics_collection(cornell_scene):
     assert avg["frames"] == 2
     assert avg["ms"] > 0
     assert "mrays_s" in avg
+
+
+def test_local_config_overrides(tmp_path, monkeypatch):
+    """LocalConfig.h analog: JSON overrides apply only to flags the user
+    did not pass explicitly (command line wins)."""
+    import argparse
+    from rtxpt_tpu.utils.localconfig import apply_local_config
+
+    cfgfile = tmp_path / "local.json"
+    cfgfile.write_text('{"width": 960, "spp": 4, "denoiser": "reblur"}')
+    monkeypatch.setenv("RTXPT_TPU_LOCAL_CONFIG", str(cfgfile))
+    args = argparse.Namespace(width=512, spp=16, denoiser="relax")
+    applied = apply_local_config(args, argv=["--spp", "8"])
+    assert args.width == 960          # overridden (not on command line)
+    assert args.spp == 16             # explicit flag wins, untouched
+    assert args.denoiser == "reblur"
+    assert dict(applied) == {"width": 960, "denoiser": "reblur"}

@@ -35,6 +35,9 @@ def _build_scene(name: str):
             transmission=m.transmission.at[4].set(1.0),
             roughness=m.roughness.at[4].set(0.0),
             metallic=m.metallic.at[4].set(0.0))
+    elif name == "kitchen":
+        from rtxpt_tpu.scene.procedural import kitchen_scene
+        host = kitchen_scene()
     else:
         raise ValueError(name)
     out = (host, prepare(host))
