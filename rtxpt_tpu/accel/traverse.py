@@ -30,6 +30,9 @@ class Hit:
     prim: jnp.ndarray     # [N] i32 original triangle id, -1 = miss
     bary: jnp.ndarray     # [N,2] f32 barycentrics (u toward v1, v toward v2)
     front: jnp.ndarray    # [N] bool geometric front face (ccw)
+    # Instance id for two-level (TLAS) scenes (accel/tlas.py); None on the
+    # single-level flattened path. prim is then the OBJECT-pool tri id.
+    inst: jnp.ndarray = None
 
     @property
     def miss(self):
@@ -161,6 +164,25 @@ def intersect_closest(bvh: ThreadedBVH, o, d, tmin, tmax) -> Hit:
                           jnp.take(bvh.prim_tri, jnp.maximum(s["prim"], 0)),
                           -1)
     return Hit(t=s["t"], prim=prim_orig, bary=s["uv"], front=s["front"])
+
+
+def scene_closest(scene, o, d, tmin, tmax) -> Hit:
+    """Closest-hit against a SceneData: two-level (TLAS) traversal when
+    the scene is instanced, flattened BVH otherwise. The single seam all
+    passes (integrator, ReSTIR, hybrid, debug) should route through so
+    instanced scenes work everywhere (Bridge::traceScatterRay analog)."""
+    if getattr(scene, "tlas", None) is not None:
+        from rtxpt_tpu.accel.tlas import intersect_closest_tlas
+        return intersect_closest_tlas(scene.tlas, o, d, tmin, tmax)
+    return intersect_closest(scene.bvh, o, d, tmin, tmax)
+
+
+def scene_any(scene, o, d, tmin, tmax) -> jnp.ndarray:
+    """Visibility against a SceneData (see scene_closest)."""
+    if getattr(scene, "tlas", None) is not None:
+        from rtxpt_tpu.accel.tlas import intersect_any_tlas
+        return intersect_any_tlas(scene.tlas, o, d, tmin, tmax)
+    return intersect_any(scene.bvh, o, d, tmin, tmax)
 
 
 def intersect_any(bvh: ThreadedBVH, o, d, tmin, tmax) -> jnp.ndarray:

@@ -22,7 +22,60 @@ def scene_radius(positions: np.ndarray) -> float:
     return float(np.linalg.norm(hi - lo) * 0.5 + 1e-6)
 
 
-def prepare(host: HostScene, env_res="auto") -> SceneData:
+def _prepare_two_level(host: HostScene, built: dict, env_res) -> SceneData:
+    """Two-level (instanced) scene preparation: OBJECT-space prototype
+    pool + TLAS instead of a world-space flatten (accel/tlas.py;
+    reference: per-mesh BLAS + per-frame TLAS, Sample.cpp:1088-1242).
+    Geometry memory is O(prototypes); rigid animation refits in
+    O(instances) via accel.tlas.refit_tlas."""
+    import jax.numpy as jnp
+
+    from rtxpt_tpu.scene.scene import (AnalyticLights, Geometry, Materials,
+                                       build_packs)
+
+    geometry = Geometry(
+        positions=jnp.asarray(built["positions"]),
+        normals=jnp.asarray(built["normals"]),
+        uvs=jnp.asarray(built["uvs"]),
+        indices=jnp.asarray(built["indices"]),
+        tri_material=jnp.asarray(built["tri_material"]),
+        tri_subinstance=jnp.asarray(built["tri_subinstance"]),
+    )
+    mats = (host.materials if host.materials is not None
+            else Materials.create(1))
+    al = (host.analytic_lights if host.analytic_lights is not None
+          else AnalyticLights.empty())
+    sd = SceneData(geometry=geometry, materials=mats, analytic_lights=al)
+
+    if env_res == "auto":
+        env_res = None           # no fixed-res kernel tier on this path
+    envmap = bake_envmap(host.envmap_image, host.envmap_scale,
+                         host.envmap_rotation, res=env_res)
+    tri_pack, mat_pack = build_packs(geometry, mats)
+    tl = built["tlas"]
+
+    # lights bake sees WORLD positions (emissive tris are restricted to
+    # single-instance prototypes by the builder, so this view is exact)
+    root = np.asarray(tl.nodes[0])
+    radius = float(np.linalg.norm(root[3:6] - root[0:3]) * 0.5 + 1e-6)
+    sd_lights = sd.replace(
+        geometry=geometry.replace(
+            positions=jnp.asarray(built["light_positions"])),
+        envmap=envmap)
+    lights = bake_lights(sd_lights, envmap, radius)
+
+    textures = None
+    if host.textures:
+        from rtxpt_tpu.scene.textures import bake_textures
+        textures = bake_textures(host.textures)
+    has_prio = bool(np.any(np.asarray(mats.nested_priority) != 0))
+    return sd.replace(tlas=tl, envmap=envmap, tri_pack=tri_pack,
+                      mat_pack=mat_pack, lights=lights, textures=textures,
+                      has_nested_priorities=has_prio)
+
+
+def prepare(host: HostScene, env_res="auto",
+            instancing: str = "auto") -> SceneData:
     """Flatten + OMM opacity bake + build BVH + bake envmap & lights.
 
     env_res: equirect bake resolution for the environment. "auto" (the
@@ -31,8 +84,24 @@ def prepare(host: HostScene, env_res="auto") -> SceneData:
     XLA wavefront share one EnvMap and stay in exact sampling parity
     (reference analog: EnvMapBaker's fixed-res cubemap + reduced-res
     importance map, Lighting/Distant/EnvMapBaker.h:40-60). Pass None for
-    native-resolution XLA-only rendering, or an explicit (h, w)."""
+    native-resolution XLA-only rendering, or an explicit (h, w).
+
+    instancing: "auto" builds the two-level BVH (accel/tlas.py) when
+    instances share prototypes (and v1 restrictions allow); "off" always
+    flattens; "force" builds it whenever the builder supports the scene."""
     import jax.numpy as jnp
+
+    if instancing != "off":
+        from rtxpt_tpu.accel.tlas import build_two_level
+        built = build_two_level(
+            host, min_sharing=1.0 if instancing == "force" else 1.5)
+        if built is not None:
+            return _prepare_two_level(host, built, env_res)
+        if instancing == "force":
+            raise ValueError(
+                "instancing='force' but the scene hits a two-level v1 "
+                "restriction (alpha-tested textures, or emissive "
+                "materials on multi-instance prototypes)")
 
     sd = host.flatten()
 

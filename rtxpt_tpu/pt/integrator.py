@@ -147,10 +147,11 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         any_fn = lambda o_, d_, tn_, tx_: intersect_any_alpha(
             scene, o_, d_, tn_, tx_)
     else:
-        closest_fn = lambda o_, d_, tn_, tx_: intersect_closest(
-            scene.bvh, o_, d_, tn_, tx_)
-        any_fn = lambda o_, d_, tn_, tx_: intersect_any(
-            scene.bvh, o_, d_, tn_, tx_)
+        from rtxpt_tpu.accel.traverse import scene_any, scene_closest
+        closest_fn = lambda o_, d_, tn_, tx_: scene_closest(
+            scene, o_, d_, tn_, tx_)
+        any_fn = lambda o_, d_, tn_, tx_: scene_any(
+            scene, o_, d_, tn_, tx_)
 
     use_nee = cfg.nee != NEEMode.OFF and scene.lights is not None
     nee_uniform = cfg.nee == NEEMode.UNIFORM
@@ -166,7 +167,8 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
     # intersect dispatch as bounce k+1's scatter rays (one 2N-wide query
     # instead of two N-wide — traversal dominates the frame; the occlusion
     # decision is identical since closest-hit-within-dist == any-hit).
-    fuse_shadows = scene.bvh.brute is not None and use_nee
+    fuse_shadows = (scene.bvh is not None and scene.bvh.brute is not None
+                    and use_nee)
     pend_contrib = jnp.zeros((n, 3), f32)
     pend_o = jnp.zeros((n, 3), f32)
     pend_d = jnp.ones((n, 3), f32)

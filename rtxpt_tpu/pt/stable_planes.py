@@ -32,7 +32,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from rtxpt_tpu.accel.traverse import Hit, intersect_closest
+from rtxpt_tpu.accel.traverse import Hit, scene_closest
 from rtxpt_tpu.pt import bsdf as B
 from rtxpt_tpu.pt.surface import load_surface, ray_offset
 from rtxpt_tpu.scene.scene import SceneData
@@ -130,7 +130,7 @@ def _walk(scene: SceneData, o, d, thp0, valid0, bid0, nv0, max_depth,
     f2 = _Fork(zeros3, zeros3, zeros3, zb, zi, zi)
 
     for depth in range(max_depth + 1):
-        hit = intersect_closest(scene.bvh, cur_o, cur_d,
+        hit = scene_closest(scene, cur_o, cur_d,
                                 jnp.zeros((n,), f32),
                                 jnp.full((n,), 1e30, f32))
         surf = load_surface(scene, hit, cur_o, cur_d, jnp.zeros((n,), f32))

@@ -58,6 +58,20 @@ def load_surface(scene: SceneData, hit: Hit, ray_o, ray_d,
         t2 = jnp.take(geo.uvs, tri[..., 2], axis=0)
         mid = jnp.take(geo.tri_material, prim)
 
+    if scene.tlas is not None and hit.inst is not None:
+        # Two-level scenes: the pack row is OBJECT space — bring it to
+        # world via the hit instance's transform (one [N,21] gather +
+        # ~60 flops; the per-step traversal stayed gather-minimal).
+        T = jnp.take(scene.tlas.inst_pack,
+                     jnp.maximum(hit.inst, 0), axis=0)
+        R = T[:, 0:9].reshape(-1, 3, 3)      # object->world
+        tr = T[:, 9:12]
+        NM = T[:, 12:21].reshape(-1, 3, 3)   # normal matrix
+        w = lambda p: jnp.einsum("nij,nj->ni", R, p) + tr
+        v0, v1, v2 = w(v0), w(v1), w(v2)
+        nw = lambda x: jnp.einsum("nij,nj->ni", NM, x)
+        n0, n1, n2 = nw(n0), nw(n1), nw(n2)
+
     u = hit.bary[..., 0:1]
     v = hit.bary[..., 1:2]
     w = 1.0 - u - v

@@ -145,11 +145,17 @@ def refresh_refit(host: HostScene, animations: List[InstanceAnimation],
             normal=lights.normal.at[li].set(n / nlen, mode="drop"),
             extra=lights.extra.at[li, 0].set(area, mode="drop"))
 
-    # The fused Pallas bounce/cluster tables bake absolute geometry — a
-    # stale table would render the unmoved scene. Invalidate (the XLA
-    # wavefront path serves animated frames; device-side table refit is
-    # a future optimization).
+    # The fused bounce tables bake absolute geometry — a stale table
+    # would render the unmoved scene. Small scenes invalidate to the XLA
+    # wavefront; the clustered tier REFRESHES its blocks on device
+    # (accel/cluster.refresh_cluster_tables) so animated large scenes
+    # stay on the hot path (VERDICT r2 #9).
+    cluster_tables = prev.cluster_tables
+    if cluster_tables is not None:
+        from rtxpt_tpu.accel.cluster import refresh_cluster_tables
+        cluster_tables = refresh_cluster_tables(
+            cluster_tables, pos, nrm, prev.geometry.indices, lights=lights)
     sd = prev.replace(geometry=geometry, bvh=bvh, tri_pack=tri_pack,
                       lights=lights, bounce_tables=None,
-                      cluster_tables=None)
+                      cluster_tables=cluster_tables)
     return sd, tables

@@ -274,7 +274,7 @@ def load_gltf(path: str) -> HostScene:
         world = parent @ _node_matrix(node)
         if "mesh" in node:
             mesh = gltf["meshes"][node["mesh"]]
-            for prim in mesh.get("primitives", []):
+            for prim_i, prim in enumerate(mesh.get("primitives", [])):
                 if prim.get("mode", 4) != 4:     # triangles only
                     continue
                 attrs = prim["attributes"]
@@ -311,7 +311,12 @@ def load_gltf(path: str) -> HostScene:
                     positions=pos, normals=nrm, uvs=uv, indices=idx,
                     material=np.full((len(idx),), mat_id, np.int32),
                     transform=world.astype(np.float32),
-                    name=node.get("name", f"node{node_idx}")))
+                    name=node.get("name", f"node{node_idx}"),
+                    # nodes referencing the same glTF mesh share one
+                    # prototype in the two-level BVH (accel/tlas.py);
+                    # skinned nodes deform per-instance, never shared
+                    mesh_key=(None if "skin" in node
+                              else f"mesh{node['mesh']}.{prim_i}")))
                 if "skin" in node and "JOINTS_0" in attrs:
                     sk = gltf["skins"][node["skin"]]
                     jn = np.asarray(sk["joints"], np.int32)

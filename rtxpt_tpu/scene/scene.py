@@ -154,6 +154,10 @@ class SceneData:
     # the false-hit rejection retrace (PathTracerNestedDielectrics analog).
     has_nested_priorities: bool = struct.field(pytree_node=False,
                                                default=False)
+    # Two-level acceleration structure (accel/tlas.TLAS) for instanced
+    # scenes; geometry/tri_pack are then the OBJECT-space prototype pool
+    # and hits carry (inst, pool prim). None on the flattened path.
+    tlas: Optional["object"] = None
 
 
 def build_packs(geometry: Geometry, materials: Materials):
@@ -206,6 +210,10 @@ class MeshInstance:
     transform: np.ndarray = dataclasses.field(
         default_factory=lambda: np.eye(4, dtype=np.float32))
     name: str = ""
+    # Instances sharing a mesh_key (or literally the same positions array)
+    # are treated as one prototype by the two-level BVH (accel/tlas.py) —
+    # the BLAS-reuse contract of the reference (Sample.cpp:1088-1242).
+    mesh_key: Optional[str] = None
 
 
 @dataclasses.dataclass
@@ -223,6 +231,9 @@ class HostScene:
     camera: Optional[dict] = None               # loader-provided camera hint
     material_names: Optional[list] = None       # sidecar match keys
     # (scene/materials_io.py, MaterialsBaker.h:209-218 analog)
+    # Build the two-level BVH even below the sharing-ratio heuristic
+    # (e.g. few instances but animated rigid transforms).
+    force_instancing: bool = False
 
     def flatten(self) -> SceneData:
         """Flatten instances to world space (SubInstance bake analog)."""

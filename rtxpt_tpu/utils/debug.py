@@ -38,7 +38,7 @@ def probe_pixel(scene, cam, cfg, px: int, py: int, sample_idx: int = 0,
                 max_bounces: int = None) -> List[dict]:
     """Re-trace one pixel and record per-bounce state (the pixel-pick
     DebugFeedbackStruct analog). Returns a list of per-vertex dicts."""
-    from rtxpt_tpu.accel.traverse import intersect_closest
+    from rtxpt_tpu.accel.traverse import scene_closest
     from rtxpt_tpu.pt import bsdf as B
     from rtxpt_tpu.pt.integrator import EFFECT_LENS, EFFECT_SCATTER, _lds
     from rtxpt_tpu.pt.surface import load_surface, ray_offset
@@ -57,7 +57,7 @@ def probe_pixel(scene, cam, cfg, px: int, py: int, sample_idx: int = 0,
     records = []
     thp = jnp.ones((1, 3))
     for bounce in range(mb + 1):
-        hit = intersect_closest(scene.bvh, o, d, jnp.zeros((1,)),
+        hit = scene_closest(scene, o, d, jnp.zeros((1,)),
                                 jnp.full((1,), 1e30))
         rec = {
             "bounce": bounce,

@@ -12,6 +12,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+import jax
+
+# goldens are platform-pinned to CPU; the env's sitecustomize pins the
+# axon TPU backend, so force it here (env vars alone don't stick)
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 
