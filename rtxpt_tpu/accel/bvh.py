@@ -41,6 +41,10 @@ class ThreadedBVH:
     tri_e1: jnp.ndarray      # [T,3] f32 (v1 - v0)
     tri_e2: jnp.ndarray      # [T,3] f32 (v2 - v0)
     prim_tri: jnp.ndarray    # [T] i32 packed index -> original triangle id
+    # Optional OMM micromaps in PACKED order (scene/omm.py, level-2 2-bit
+    # micro states): the traversal leaf test rejects micro-TRANSPARENT
+    # hits in-loop — the anyhit-free OMM fast path.
+    tri_micro: jnp.ndarray = None  # [T] i32 or None
 
     @property
     def num_nodes(self) -> int:

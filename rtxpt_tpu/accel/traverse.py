@@ -110,6 +110,15 @@ def _traverse(bvh: ThreadedBVH, o, d, tmin, tmax, any_hit: bool,
         tri_hit = (ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                    & (th > tmin) & (th < s["t"])
                    & is_leaf & aabb_hit)
+        if bvh.tri_micro is not None:
+            # OMM in-traversal alpha: reject micro-TRANSPARENT hits here
+            # instead of a full re-trace (scene/omm.py bake; reference
+            # resolves the same states driver-side via OMM-built BLASes)
+            from rtxpt_tpu.scene.omm import MICRO_TRANSPARENT, micro_index
+            mm = jnp.take(bvh.tri_micro, jnp.maximum(pr, 0))
+            mi = jnp.clip(micro_index(u, v), 0, 15)  # NaN-lane safety
+            st = (mm >> (2 * mi)) & 3
+            tri_hit = tri_hit & (st != MICRO_TRANSPARENT)
 
         t_new = jnp.where(tri_hit, th, s["t"])
         prim_new = jnp.where(tri_hit, pr, s["prim"])

@@ -108,10 +108,12 @@ def prepare(host: HostScene, env_res="auto",
     # OMM analog: classify alpha-tested triangles; drop fully-transparent
     # ones before the BVH build (scene/omm.py).
     tri_opacity = None
+    tri_micromap = None
     if host.textures:
-        from rtxpt_tpu.scene.omm import TRANSPARENT, bake_opacity
-        classes = bake_opacity(host, sd.materials, host.textures)
-        if classes is not None:
+        from rtxpt_tpu.scene.omm import TRANSPARENT, bake_opacity_micromaps
+        baked = bake_opacity_micromaps(host, sd.materials, host.textures)
+        if baked is not None:
+            classes, micromaps = baked
             keep = classes != TRANSPARENT
             if not keep.all():
                 g = sd.geometry
@@ -122,8 +124,10 @@ def prepare(host: HostScene, env_res="auto",
                     tri_subinstance=jnp.asarray(
                         np.asarray(g.tri_subinstance)[keep])))
                 classes = classes[keep]
+                micromaps = micromaps[keep]
             if (classes != 0).any():
                 tri_opacity = jnp.asarray(classes)
+                tri_micromap = micromaps.astype(np.int32)
 
     pos = np.asarray(sd.geometry.positions)
     idx = np.asarray(sd.geometry.indices)
@@ -145,8 +149,13 @@ def prepare(host: HostScene, env_res="auto",
                 np.asarray(g.tri_subinstance)[perm])))
         if tri_opacity is not None:
             tri_opacity = jnp.asarray(np.asarray(tri_opacity)[perm])
+            tri_micromap = tri_micromap[np.asarray(perm)]
 
     bvh = build_bvh(pos, idx)                       # LBVH (accel/lbvh.py)
+    if tri_micromap is not None:
+        # packed-order micromaps for the in-traversal OMM fast path
+        bvh = bvh.replace(tri_micro=jnp.asarray(
+            tri_micromap[np.asarray(bvh.prim_tri)]))
     if env_res == "auto":
         from rtxpt_tpu.pt.bounce_pallas import ENV_H, ENV_W
         env_res = (ENV_H, ENV_W) if host.envmap_image is not None else None
@@ -156,6 +165,8 @@ def prepare(host: HostScene, env_res="auto",
     from rtxpt_tpu.scene.scene import build_packs
     tri_pack, mat_pack = build_packs(sd.geometry, sd.materials)
     sd = sd.replace(bvh=bvh, envmap=envmap, tri_opacity=tri_opacity,
+                    tri_micromap=(jnp.asarray(tri_micromap)
+                                  if tri_micromap is not None else None),
                     tri_pack=tri_pack, mat_pack=mat_pack)
     lights = bake_lights(sd, envmap, scene_radius(pos))  # LightsBaker analog
     textures = None

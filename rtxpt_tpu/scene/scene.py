@@ -140,6 +140,9 @@ class SceneData:
     envmap: Optional["object"] = None     # lighting.envmap.EnvMap
     textures: Optional["object"] = None   # scene.textures.TextureAtlas
     tri_opacity: Optional[jnp.ndarray] = None  # [T] u8 OMM classes (omm.py)
+    # Level-2 opacity micromaps: 16 x 2-bit micro states per triangle
+    # (original tri order; the BVH carries a packed-order copy in-loop)
+    tri_micromap: Optional[jnp.ndarray] = None  # [T] i32
     # Fused gather tables (TPU gathers are expensive; one row fetch per hit
     # replaces ~13 separate takes in load_surface — see build_packs):
     tri_pack: Optional[jnp.ndarray] = None   # [T,25] v0v1v2|n0n1n2|uv012|mat

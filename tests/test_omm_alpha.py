@@ -83,3 +83,86 @@ def test_alpha_cutout_lets_light_through():
     # cut-out curtain scene differs substantially (back wall visible/lit
     # through holes), and is brighter behind the curtain region
     assert np.abs(a - b).mean() > 0.01
+
+
+def test_micro_index_partition():
+    """micro_index is a bijection-by-area: every barycentric point maps
+    to a valid index and each of the 16 level-2 micro-tris receives the
+    expected ~1/16 area share."""
+    from rtxpt_tpu.scene.omm import micro_index
+
+    rng = np.random.default_rng(1)
+    u = rng.uniform(0, 1, 200_000)
+    v = rng.uniform(0, 1, 200_000)
+    keep = u + v <= 1.0
+    u, v = u[keep], v[keep]
+    idx = micro_index(u, v)
+    assert idx.min() >= 0 and idx.max() <= 15
+    counts = np.bincount(idx, minlength=16) / len(idx)
+    assert np.allclose(counts, 1.0 / 16.0, atol=0.004), counts
+    # jnp decode agrees with numpy decode
+    ji = np.asarray(micro_index(jnp.asarray(u[:4096], jnp.float32),
+                                jnp.asarray(v[:4096], jnp.float32)))
+    assert (ji == idx[:4096]).all()
+
+
+def test_micromap_bake_states():
+    """Aligned half-transparent texture: micro-tris fully inside either
+    half bake decisive states; only boundary-straddling ones are UNKNOWN."""
+    from rtxpt_tpu.scene.omm import (MICRO_OPAQUE, MICRO_TRANSPARENT,
+                                     bake_opacity_micromaps, MIXED)
+
+    host = _alpha_scene(True)
+    # left half of uv space transparent, right half opaque
+    tex = np.ones((8, 8, 4), np.float32)
+    tex[..., :3] = 0.2
+    tex[:, :4, 3] = 0.0
+    host.textures = [tex]
+    sd = host.flatten()
+    classes, mm = bake_opacity_micromaps(host, sd.materials, host.textures)
+    curtain = classes == MIXED
+    assert curtain.any()
+    states = []
+    for w in mm[curtain]:
+        states.extend((int(w) >> (2 * k)) & 3 for k in range(16))
+    states = np.asarray(states)
+    # the 5x5-subdivided curtain quad has whole triangles inside each
+    # half, so both decisive states must appear in volume
+    assert (states == MICRO_OPAQUE).sum() > len(states) * 0.2
+    assert (states == MICRO_TRANSPARENT).sum() > len(states) * 0.2
+
+
+def test_in_traversal_micromap_matches_texture_test():
+    """With micromaps stripped, the texture-test retrace path must agree
+    with the in-traversal micromap rejection on a decisively-baked scene
+    (exact: each level-2 micro-tri lies inside one texel half)."""
+    from rtxpt_tpu.accel.traverse import scene_closest
+
+    host = _alpha_scene(True)
+    tex = np.ones((8, 8, 4), np.float32)
+    tex[..., :3] = 0.2
+    tex[:, :4, 3] = 0.0
+    host.textures = [tex]
+    sd = prepare(host)
+    assert sd.tri_micromap is not None
+    assert sd.bvh.tri_micro is not None or sd.bvh.brute is not None
+
+    from rtxpt_tpu.scene.omm import intersect_closest_alpha
+    n = 400
+    rng = np.random.default_rng(4)
+    o = np.column_stack([rng.uniform(0.05, 0.95, n),
+                         rng.uniform(0.05, 0.95, n),
+                         np.full(n, 0.95)]).astype(np.float32)
+    d = np.tile(np.asarray([[0.0, 0.0, -1.0]], np.float32), (n, 1))
+    h1 = intersect_closest_alpha(sd, jnp.asarray(o), jnp.asarray(d),
+                                 jnp.zeros((n,), jnp.float32),
+                                 jnp.full((n,), 10.0, jnp.float32))
+    sd_plain = sd.replace(bvh=sd.bvh.replace(tri_micro=None),
+                          tri_micromap=None)
+    h2 = intersect_closest_alpha(sd_plain, jnp.asarray(o), jnp.asarray(d),
+                                 jnp.zeros((n,), jnp.float32),
+                                 jnp.full((n,), 10.0, jnp.float32))
+    # texel-boundary-straddling rays may bake UNKNOWN (tested identically
+    # on both paths), so results must agree everywhere
+    same = np.asarray(h1.prim) == np.asarray(h2.prim)
+    assert same.mean() > 0.98, same.mean()
