@@ -79,6 +79,10 @@ def main(argv=None):
     p.add_argument("--aux", action="store_true",
                    help="dump albedo/normal/depth guide buffers")
     p.add_argument("--seed", type=int, default=0, help="first sample index")
+    p.add_argument("--hybrid", action="store_true",
+                   help="hybrid G-buffer renderer (IntroSample analog): "
+                        "deferred lighting + GTAO + local-probe IBL + "
+                        "ray-traced reflections")
     p.add_argument("--realtime", type=int, default=0, metavar="FRAMES",
                    help="real-time mode: run N 1-spp frames through the "
                         "denoiser/TAA pipeline, save the last")
@@ -204,6 +208,20 @@ def main(argv=None):
           file=sys.stderr)
 
     t0 = time.time()
+    if args.hybrid:
+        from rtxpt_tpu.pt.hybrid import render_hybrid
+        from rtxpt_tpu.render.postprocess import tonemap
+        hdr = np.asarray(render_hybrid(scene, cam, args.width, args.height))
+        dt = time.time() - t0
+        print(f"[hybrid] {args.width}x{args.height} in {dt:.2f}s "
+              f"(incl. probe bake + compile)", file=sys.stderr)
+        img = np.asarray(tonemap(jnp.asarray(hdr), args.exposure,
+                                 args.tonemap))
+        save_png(args.out, img)
+        print(f"[out] {args.out}", file=sys.stderr)
+        if args.hdr:
+            np.save(args.hdr, hdr)
+        return 0
     if args.realtime:
         from rtxpt_tpu.config import DenoiserMode, RenderConfig
         from rtxpt_tpu.pt import realtime

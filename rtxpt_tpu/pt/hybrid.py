@@ -74,8 +74,18 @@ def _env_irradiance(envmap, normal, n_samples: int = 8):
 
 
 def render_hybrid(scene, cam, width: int, height: int, frame_index: int = 0,
-                  ao_strength: float = 1.0, ssr: bool = True):
-    """One hybrid frame. Returns linear HDR [H,W,3]."""
+                  ao_strength: float = 1.0, ssr: bool = True, probe=None,
+                  use_probe: bool = True):
+    """One hybrid frame. Returns linear HDR [H,W,3].
+
+    `probe`: a lighting.probe.LocalProbe (ray-traced local radiance
+    probe). None + use_probe bakes one at the scene center — callers
+    running frame loops should bake once and re-pass it every few frames
+    (the reference amortizes its local cubemap over 3 frames,
+    IntroSample.cpp:110)."""
+    if probe is None and use_probe:
+        from rtxpt_tpu.lighting.probe import bake_probe
+        probe = bake_probe(scene, frame_index=frame_index)
     gb, emissive = gbuffer_from_primary(scene, cam, width, height)
     n = gb.pos.shape[0]
     f32 = jnp.float32
@@ -99,19 +109,29 @@ def render_hybrid(scene, cam, width: int, height: int, frame_index: int = 0,
                        f * ls["Li"] / jnp.maximum(ls["pdf"], 1e-9)[:, None],
                        0.0)
 
-    # ambient: AO-modulated split-sum IBL
+    # ambient: AO-modulated split-sum IBL from the LOCAL probe (the
+    # reference's GGX-prefiltered cubemap + SH irradiance,
+    # CubemapProcessing.hlsl) — falls back to the distant env map
     ao = ssao(gb.depth, gb.normal, gb.pos, width, height)
     ao = 1.0 - ao_strength * (1.0 - ao)
     ambient = jnp.zeros((n, 3), f32)
-    if scene.envmap is not None:
+    ndv = jnp.clip(m.dot(gb.view, gb.normal, False), 0.0, 1.0)
+    refl = m.reflect(gb.view, gb.normal)
+    if probe is not None:
+        from rtxpt_tpu.lighting.probe import (env_brdf_approx,
+                                              probe_irradiance,
+                                              probe_specular)
+        irr = probe_irradiance(probe, gb.normal)
+        ambient = gb.diffuse * irr * ao[:, None]
+        spec = probe_specular(probe, refl, gb.roughness)
+        ambient = ambient + spec * env_brdf_approx(
+            gb.specular_f0, gb.roughness, ndv) * ao[:, None]
+    elif scene.envmap is not None:
         irr = _env_irradiance(scene.envmap, gb.normal)
         ambient = gb.diffuse * irr * ao[:, None]
         # specular IBL at the reflected direction (split-sum-lite)
-        refl = m.reflect(gb.view, gb.normal)
         spec_env = env_eval(scene.envmap, refl)
-        f0 = gb.specular_f0
-        ndv = jnp.clip(m.dot(gb.view, gb.normal, False), 0.0, 1.0)
-        fres = B.fresnel_schlick(f0, ndv)
+        fres = B.fresnel_schlick(gb.specular_f0, ndv)
         gloss = jnp.clip(1.0 - gb.roughness, 0.0, 1.0)[:, None]
         ambient = ambient + spec_env * fres * gloss * ao[:, None]
 
