@@ -325,9 +325,10 @@ def build_cluster_tables(positions, normals, indices, tri_material,
     if getattr(materials, "anisotropy", None) is not None and \
             float(np.max(np.asarray(materials.anisotropy))) > 0.0:
         return None      # anisotropic GGX runs on the XLA path
-    from rtxpt_tpu.lighting.lights_baker import KIND_SPHERE
-    if n_lights and bool(np.any(np.asarray(lights.kind) == KIND_SPHERE)):
-        return None      # sphere cone sampling is XLA-only
+    from rtxpt_tpu.lighting.lights_baker import KIND_ENVQUAD, KIND_SPHERE
+    if n_lights and bool(np.any(np.isin(
+            np.asarray(lights.kind), [KIND_SPHERE, KIND_ENVQUAD]))):
+        return None      # sphere/env-quad sampling is XLA-only
     n_clusters = -(-t // CT)
     if (t == 0 or n_clusters > MAX_CLUSTERS or n_mats > MAX_MATERIALS
             or n_lights > MAX_LIGHTS):

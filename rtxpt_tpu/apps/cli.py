@@ -54,6 +54,10 @@ def main(argv=None):
     p.add_argument("--preset", choices=["fast", "balanced", "quality",
                                         "reference"], default=None,
                    help="performance preset (overridden by explicit flags)")
+    p.add_argument("--env-quads", type=int, default=0, metavar="Q",
+                   help="bake the environment as Q region lights "
+                        "(kEnvironmentQuad analog; pairs well with "
+                        "--nee neeat)")
     p.add_argument("--sky", action="store_true",
                    help="add a procedural sky environment")
     p.add_argument("--envmap", default=None,

@@ -22,7 +22,7 @@ from flax import struct
 from rtxpt_tpu.scene.scene import (
     SceneData, LIGHT_POINT, LIGHT_DIRECTIONAL, LIGHT_SPHERE, LIGHT_SPOT,
 )
-from rtxpt_tpu.lighting.envmap import EnvMap, env_sample, env_pdf
+from rtxpt_tpu.lighting.envmap import EnvMap, env_eval, env_sample, env_pdf
 from rtxpt_tpu.utils import math as m
 
 # Polymorphic light kinds (PolymorphicLight.h:28-38 analog)
@@ -36,6 +36,13 @@ KIND_SPHERE = 5   # analytic sphere area light (PolymorphicLight.h kSphere);
 #                   by cone toward the subtended cap; NEE-only (no scene
 #                   geometry backs it), so it reports is_delta for MIS like
 #                   the reference's non-raytraceable analytic lights.
+KIND_ENVQUAD = 6  # environment-map region light (PolymorphicLight.h
+#                   kEnvironmentQuad / LightsBaker env quad tree analog):
+#                   extra = [u0, v0, u1, v1] equirect rect, sampled uniform
+#                   in uv. Power-proportional selection over quads gives
+#                   region-level importance; per-tile adaptive samplers
+#                   (NEE-AT) can then favor bright env REGIONS instead of
+#                   treating the whole sky as one light.
 
 _DELTA_DIST = 1e8   # "infinite" distance for directional/env shadow rays
 
@@ -56,15 +63,60 @@ class LightList:
     tri_light: jnp.ndarray  # [T] i32 triangle id -> light index (-1 none)
     env_light: jnp.ndarray  # [] i32 index of env light (-1 none)
     num: jnp.ndarray        # [] i32
+    # env quad mode: [GH,GW] light index per equirect uv cell (None when
+    # the environment is a single kEnvironment light)
+    env_quad_grid: jnp.ndarray = None
 
     @property
     def count(self) -> int:
         return self.kind.shape[0]
 
 
+def _env_quad_decompose(img: np.ndarray, n_quads: int):
+    """Greedy power-median subdivision of the equirect domain into
+    n_quads rects (the LightsBaker env quad-tree analog: subdivide-base +
+    boost passes, LightsBaker.hlsl env QT chain). Returns
+    (rects [Q,4] u0v0u1v1, mass [Q] power fraction, mean [Q,3])."""
+    h, w = img.shape[:2]
+    lum = img @ np.asarray([0.2126, 0.7152, 0.0722])
+    sin_t = np.sin((np.arange(h) + 0.5) / h * np.pi)[:, None]
+    mass = lum * sin_t                                 # ∝ power per texel
+    rects = [(0, 0, h, w)]                             # texel-space rects
+    while len(rects) < n_quads:
+        # split the most powerful rect along its longer axis at the
+        # power median
+        pw = [mass[y0:y1, x0:x1].sum() for (y0, x0, y1, x1) in rects]
+        k = int(np.argmax(pw))
+        y0, x0, y1, x1 = rects.pop(k)
+        if (y1 - y0) * (x1 - x0) <= 1:
+            rects.append((y0, x0, y1, x1))
+            break
+        if (x1 - x0) * 2 >= (y1 - y0):                 # equirect: u is 2x
+            col = mass[y0:y1, x0:x1].sum(0).cumsum()
+            s = int(np.searchsorted(col, col[-1] * 0.5)) + 1
+            s = min(max(s, 1), x1 - x0 - 1)
+            rects += [(y0, x0, y1, x0 + s), (y0, x0 + s, y1, x1)]
+        else:
+            row = mass[y0:y1, x0:x1].sum(1).cumsum()
+            s = int(np.searchsorted(row, row[-1] * 0.5)) + 1
+            s = min(max(s, 1), y1 - y0 - 1)
+            rects += [(y0, x0, y0 + s, x1), (y0 + s, x0, y1, x1)]
+    total = max(mass.sum(), 1e-12)
+    out_r = np.asarray([(x0 / w, y0 / h, x1 / w, y1 / h)
+                        for (y0, x0, y1, x1) in rects], np.float32)
+    out_m = np.asarray([mass[y0:y1, x0:x1].sum() / total
+                        for (y0, x0, y1, x1) in rects], np.float32)
+    out_e = np.asarray([img[y0:y1, x0:x1].reshape(-1, 3).mean(0)
+                        for (y0, x0, y1, x1) in rects], np.float32)
+    return out_r, out_m, out_e
+
+
 def bake_lights(scene: SceneData, envmap: EnvMap,
-                scene_radius: float) -> LightList:
-    """Collect emissive triangles + analytic lights + env into a LightList."""
+                scene_radius: float, env_quads: int = 0) -> LightList:
+    """Collect emissive triangles + analytic lights + env into a LightList.
+
+    env_quads > 0 replaces the single kEnvironment light with that many
+    kEnvironmentQuad region lights (PolymorphicLight.h:28-38)."""
     geo = scene.geometry
     pos = np.asarray(geo.positions)
     idx = np.asarray(geo.indices)
@@ -129,18 +181,38 @@ def bake_lights(scene: SceneData, envmap: EnvMap,
                        float(np.asarray(al.angular_size[i])), 0.0])
         normals.append(np.asarray(al.direction[i]))
 
-    # --- environment (EnvironmentQuad/kEnvironment analog) ---
+    # --- environment (kEnvironment / kEnvironmentQuad analog) ---
     env_light = -1
+    env_quad_grid = None
     mean_lum = float(np.asarray(envmap.mean_radiance)
                      @ np.asarray([0.2126, 0.7152, 0.0722]))
-    if mean_lum > 0.0:
+    env_power = np.pi * scene_radius * scene_radius * mean_lum * np.pi
+    if mean_lum > 0.0 and env_quads > 0:
+        img = np.asarray(envmap.image)
+        rects, massf, means = _env_quad_decompose(img, env_quads)
+        gh, gw = 64, 128
+        env_quad_grid = np.full((gh, gw), -1, np.int32)
+        for q in range(len(rects)):
+            u0, v0, u1, v1 = rects[q]
+            kinds.append(KIND_ENVQUAD)
+            p0s.append(np.zeros(3)); p1s.append(np.zeros(3))
+            p2s.append(np.zeros(3))
+            ems.append(means[q])
+            extras.append([u0, v0, u1, v1])
+            normals.append(np.asarray([0.0, 1.0, 0.0]))
+            powers.append(env_power * float(massf[q]))
+            x0 = int(round(u0 * gw)); x1 = max(int(round(u1 * gw)), x0 + 1)
+            y0 = int(round(v0 * gh)); y1 = max(int(round(v1 * gh)), y0 + 1)
+            env_quad_grid[y0:y1, x0:x1] = len(kinds) - 1
+        assert (env_quad_grid >= 0).all()
+    elif mean_lum > 0.0:
         env_light = len(kinds)
         kinds.append(KIND_ENV)
         p0s.append(np.zeros(3)); p1s.append(np.zeros(3)); p2s.append(np.zeros(3))
         ems.append(np.asarray(envmap.mean_radiance))
         extras.append([0.0] * 4)
         normals.append(np.asarray([0.0, 1.0, 0.0]))
-        powers.append(np.pi * scene_radius * scene_radius * mean_lum * np.pi)
+        powers.append(env_power)
 
     n = len(kinds)
     if n == 0:
@@ -171,6 +243,8 @@ def bake_lights(scene: SceneData, envmap: EnvMap,
         tri_light=jnp.asarray(tri_light),
         env_light=jnp.int32(env_light),
         num=jnp.int32(n),
+        env_quad_grid=(jnp.asarray(env_quad_grid)
+                       if env_quad_grid is not None else None),
     )
 
 
@@ -256,17 +330,30 @@ def sample_light(lights: LightList, envmap: EnvMap, shade_pos, u_sel, u1, u2,
     wi_env, li_env, pdf_env = env_sample(envmap, u1, u2)
     pdf_env = sel_pdf * pdf_env
 
+    # --- environment quad (kEnvironmentQuad): uniform uv in the rect ---
+    from rtxpt_tpu.lighting.envmap import _uv_to_dir
+    uq = ex[..., 0] + u1 * (ex[..., 2] - ex[..., 0])
+    vq = ex[..., 1] + u2 * (ex[..., 3] - ex[..., 1])
+    wi_envq = _uv_to_dir(envmap, uq, vq)
+    li_envq = env_eval(envmap, wi_envq)
+    area_q = jnp.maximum((ex[..., 2] - ex[..., 0])
+                         * (ex[..., 3] - ex[..., 1]), 1e-9)
+    sin_q = jnp.maximum(jnp.sin(vq * jnp.pi), 1e-4)
+    pdf_envq = sel_pdf / (area_q * 2.0 * jnp.pi * jnp.pi * sin_q)
+
     is_tri = kind == KIND_TRIANGLE
     is_point = kind == KIND_POINT
     is_spot = kind == KIND_SPOT
     is_dir = kind == KIND_DIRECTIONAL
     is_env = kind == KIND_ENV
     is_sph = kind == KIND_SPHERE
+    is_envq = kind == KIND_ENVQUAD
 
     wi = jnp.where(is_tri[..., None], wi_tri,
          jnp.where((is_point | is_spot)[..., None], wi_p,
          jnp.where(is_sph[..., None], wi_sph,
-         jnp.where(is_dir[..., None], wi_dir, wi_env))))
+         jnp.where(is_envq[..., None], wi_envq,
+         jnp.where(is_dir[..., None], wi_dir, wi_env)))))
     dist = jnp.where(is_tri, dist_tri,
            jnp.where(is_point | is_spot, dist_p,
            jnp.where(is_sph, dist_sph, _DELTA_DIST)))
@@ -274,11 +361,13 @@ def sample_light(lights: LightList, envmap: EnvMap, shade_pos, u_sel, u1, u2,
          jnp.where(is_point[..., None], li_point,
          jnp.where(is_spot[..., None], li_point * spot_atten[..., None],
          jnp.where(is_sph[..., None], em,
-         jnp.where(is_dir[..., None], li_dir, li_env)))))
+         jnp.where(is_envq[..., None], li_envq,
+         jnp.where(is_dir[..., None], li_dir, li_env))))))
     # Delta lights: divide by discrete select pdf only.
     pdf = jnp.where(is_tri, pdf_tri,
           jnp.where(is_env, pdf_env,
-          jnp.where(is_sph, pdf_sph, sel_pdf)))
+          jnp.where(is_envq, pdf_envq,
+          jnp.where(is_sph, pdf_sph, sel_pdf))))
     # Spheres report is_delta: no scene geometry backs them, so the BSDF
     # strategy can never hit one and NEE must carry full weight (the
     # reference treats non-raytraceable analytic lights the same way).
@@ -316,3 +405,36 @@ def env_select_pdf(lights: LightList, uniform: bool = False):
     return jnp.where(has_env,
                      jnp.take(lights.power, jnp.maximum(lights.env_light, 0)),
                      0.0)
+
+
+def env_quad_of_dir(lights: LightList, envmap: EnvMap, d):
+    """(light index, uv rect area, sin theta) of the env quad containing
+    direction d [N,3] — for MIS at env misses in quad mode."""
+    from rtxpt_tpu.lighting.envmap import _dir_to_uv
+    u, v = _dir_to_uv(envmap, d)
+    gh, gw = lights.env_quad_grid.shape
+    yi = jnp.clip((v * gh).astype(jnp.int32), 0, gh - 1)
+    xi = jnp.clip((u * gw).astype(jnp.int32), 0, gw - 1)
+    li = lights.env_quad_grid[yi, xi]
+    ex = jnp.take(lights.extra, jnp.maximum(li, 0), axis=0)
+    area = jnp.maximum((ex[..., 2] - ex[..., 0])
+                       * (ex[..., 3] - ex[..., 1]), 1e-9)
+    sin_t = jnp.maximum(jnp.sin(v * jnp.pi), 1e-4)
+    return li, area, sin_t
+
+
+def env_dir_pdf(lights: LightList, envmap: EnvMap, d,
+                uniform: bool = False):
+    """Solid-angle pdf that the power/uniform NEE strategy samples
+    direction d from the environment — the MIS counterpart used at env
+    misses (PathTracer.hlsli:407-503 HandleMiss). Single-env mode:
+    select pdf x texel-CDF pdf; quad mode: containing quad's select pdf
+    x the uniform-rect jacobian."""
+    if lights.env_quad_grid is None:
+        return env_select_pdf(lights, uniform) * env_pdf(envmap, d)
+    li, area, sin_t = env_quad_of_dir(lights, envmap, d)
+    if uniform:
+        sel = 1.0 / lights.num.astype(jnp.float32) + 0.0 * area
+    else:
+        sel = jnp.take(lights.power, jnp.maximum(li, 0))
+    return sel / (area * 2.0 * jnp.pi * jnp.pi * sin_t)

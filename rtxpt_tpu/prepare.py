@@ -62,7 +62,8 @@ def _prepare_two_level(host: HostScene, built: dict, env_res) -> SceneData:
         geometry=geometry.replace(
             positions=jnp.asarray(built["light_positions"])),
         envmap=envmap)
-    lights = bake_lights(sd_lights, envmap, radius)
+    lights = bake_lights(sd_lights, envmap, radius,
+                         env_quads=host.env_quad_lights)
 
     textures = None
     if host.textures:
@@ -168,7 +169,8 @@ def prepare(host: HostScene, env_res="auto",
                     tri_micromap=(jnp.asarray(tri_micromap)
                                   if tri_micromap is not None else None),
                     tri_pack=tri_pack, mat_pack=mat_pack)
-    lights = bake_lights(sd, envmap, scene_radius(pos))  # LightsBaker analog
+    lights = bake_lights(sd, envmap, scene_radius(pos),
+                         env_quads=host.env_quad_lights)  # LightsBaker analog
     textures = None
     if host.textures:
         from rtxpt_tpu.scene.textures import bake_textures

@@ -342,10 +342,11 @@ def build_bounce_tables(positions, normals, indices, tri_material,
     if getattr(materials, "anisotropy", None) is not None and \
             float(np.max(np.asarray(materials.anisotropy))) > 0.0:
         return None      # anisotropic GGX runs on the XLA path
-    from rtxpt_tpu.lighting.lights_baker import KIND_SPHERE
+    from rtxpt_tpu.lighting.lights_baker import KIND_ENVQUAD, KIND_SPHERE
     if int(np.asarray(lights.num)) and \
-            bool(np.any(np.asarray(lights.kind) == KIND_SPHERE)):
-        return None      # sphere cone sampling is XLA-only
+            bool(np.any(np.isin(np.asarray(lights.kind),
+                                [KIND_SPHERE, KIND_ENVQUAD]))):
+        return None      # sphere/env-quad sampling is XLA-only
     positions = np.asarray(positions, np.float32)
     normals = np.asarray(normals, np.float32)
     indices = np.asarray(indices, np.int32)

@@ -267,17 +267,30 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
                     # rescale below).
                     from rtxpt_tpu.lighting.envmap import _dir_to_uv
                     tile0 = na.tile_of(neeat_state, px, py)
-                    env_li = jnp.maximum(scene.lights.env_light, 0)
-                    sel_mix = na.select_pdf(neeat_state, scene.lights,
-                                            tile0, env_li)
-                    _, v_env = _dir_to_uv(scene.envmap, d)
-                    sin_t = jnp.maximum(jnp.sin(v_env * jnp.pi), 1e-4)
-                    p_env = jnp.where(
-                        scene.lights.env_light >= 0,
-                        sel_mix / (2.0 * jnp.pi * jnp.pi * sin_t), 0.0)
+                    if scene.lights.env_quad_grid is not None:
+                        # quad mode: MIS against the containing quad's
+                        # mixture selection x uniform-rect jacobian
+                        from rtxpt_tpu.lighting.lights_baker import \
+                            env_quad_of_dir
+                        li_e, area_e, sin_t = env_quad_of_dir(
+                            scene.lights, scene.envmap, d)
+                        sel_mix = na.select_pdf(neeat_state, scene.lights,
+                                                tile0, li_e)
+                        p_env = sel_mix / (area_e * 2.0 * jnp.pi
+                                           * jnp.pi * sin_t)
+                    else:
+                        env_li = jnp.maximum(scene.lights.env_light, 0)
+                        sel_mix = na.select_pdf(neeat_state, scene.lights,
+                                                tile0, env_li)
+                        _, v_env = _dir_to_uv(scene.envmap, d)
+                        sin_t = jnp.maximum(jnp.sin(v_env * jnp.pi), 1e-4)
+                        p_env = jnp.where(
+                            scene.lights.env_light >= 0,
+                            sel_mix / (2.0 * jnp.pi * jnp.pi * sin_t), 0.0)
                 else:
-                    p_env = env_select_pdf(scene.lights, nee_uniform) \
-                        * env_pdf(scene.envmap, d)
+                    from rtxpt_tpu.lighting.lights_baker import env_dir_pdf
+                    p_env = env_dir_pdf(scene.lights, scene.envmap, d,
+                                        nee_uniform)
                 w_env = jnp.where(prev_delta, 1.0,
                                   m.power_heuristic(prev_pdf, p_env))
             else:

@@ -29,8 +29,8 @@ import jax.numpy as jnp
 from rtxpt_tpu.accel.traverse import intersect_any
 from rtxpt_tpu.lighting.envmap import EnvMap, env_eval
 from rtxpt_tpu.lighting.lights_baker import (
-    KIND_DIRECTIONAL, KIND_ENV, KIND_POINT, KIND_SPHERE, KIND_SPOT,
-    KIND_TRIANGLE,
+    KIND_DIRECTIONAL, KIND_ENV, KIND_ENVQUAD, KIND_POINT, KIND_SPHERE,
+    KIND_SPOT, KIND_TRIANGLE,
     LightList, _DELTA_DIST,
 )
 from rtxpt_tpu.pt import bsdf as B
@@ -152,17 +152,29 @@ def eval_light_sample(lights: LightList, envmap: EnvMap, li, uv, shade_pos):
     sin_t = jnp.maximum(jnp.sin(uv[..., 1] * jnp.pi), 1e-4)
     pdf_env = sel_pdf / (2.0 * jnp.pi * jnp.pi * sin_t)
 
+    # env quad (kEnvironmentQuad): uv is local to the extra-rect
+    uq = ex[..., 0] + uv[..., 0] * (ex[..., 2] - ex[..., 0])
+    vq = ex[..., 1] + uv[..., 1] * (ex[..., 3] - ex[..., 1])
+    wi_envq = _uv_to_dir(envmap, uq, vq)
+    li_envq = env_eval(envmap, wi_envq)
+    area_q = jnp.maximum((ex[..., 2] - ex[..., 0])
+                         * (ex[..., 3] - ex[..., 1]), 1e-9)
+    sin_q = jnp.maximum(jnp.sin(vq * jnp.pi), 1e-4)
+    pdf_envq = sel_pdf / (area_q * 2.0 * jnp.pi * jnp.pi * sin_q)
+
     is_tri = kind == KIND_TRIANGLE
     is_point = kind == KIND_POINT
     is_spot = kind == KIND_SPOT
     is_dir = kind == KIND_DIRECTIONAL
     is_env = kind == KIND_ENV
     is_sph = kind == KIND_SPHERE
+    is_envq = kind == KIND_ENVQUAD
 
     wi = jnp.where(is_tri[..., None], wi_tri,
          jnp.where((is_point | is_spot)[..., None], wi_p,
          jnp.where(is_sph[..., None], wi_sph,
-         jnp.where(is_dir[..., None], wi_dir, wi_env))))
+         jnp.where(is_envq[..., None], wi_envq,
+         jnp.where(is_dir[..., None], wi_dir, wi_env)))))
     dist = jnp.where(is_tri, dist_tri,
            jnp.where(is_point | is_spot, dist_p,
            jnp.where(is_sph, dist_sph, _DELTA_DIST)))
@@ -171,10 +183,12 @@ def eval_light_sample(lights: LightList, envmap: EnvMap, li, uv, shade_pos):
          jnp.where(is_spot[..., None], li_point * spot_atten[..., None],
          jnp.where(is_sph[..., None],
                    jnp.where((d2p > r_sph * r_sph)[..., None], em, 0.0),
-         jnp.where(is_dir[..., None], em, li_env)))))
+         jnp.where(is_envq[..., None], li_envq,
+         jnp.where(is_dir[..., None], em, li_env))))))
     pdf = jnp.where(is_tri, pdf_tri,
           jnp.where(is_env, pdf_env,
-          jnp.where(is_sph, pdf_sph, sel_pdf)))
+          jnp.where(is_envq, pdf_envq,
+          jnp.where(is_sph, pdf_sph, sel_pdf))))
     return wi, dist, Li, jnp.maximum(pdf, 1e-12)
 
 

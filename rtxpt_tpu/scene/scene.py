@@ -237,6 +237,9 @@ class HostScene:
     # Build the two-level BVH even below the sharing-ratio heuristic
     # (e.g. few instances but animated rigid transforms).
     force_instancing: bool = False
+    # >0: bake the environment as this many kEnvironmentQuad region
+    # lights instead of one kEnvironment light (lighting/lights_baker).
+    env_quad_lights: int = 0
 
     def flatten(self) -> SceneData:
         """Flatten instances to world space (SubInstance bake analog)."""
