@@ -104,6 +104,9 @@ def main(argv=None):
                         "temporally upscale (DLSS-SR substitute)")
     p.add_argument("--split-denoise", action="store_true",
                    help="denoise diffuse/specular channels separately")
+    p.add_argument("--pipelined", action="store_true",
+                   help="double-buffered frame driver: overlap host IO "
+                        "with device compute (one frame latency)")
     p.add_argument("--stable-planes", action="store_true",
                    help="real-time path-space decomposition (delta chains)")
     p.add_argument("--taa", action="store_true")
@@ -240,12 +243,20 @@ def main(argv=None):
             render_scale=args.render_scale,
             split_denoise=args.split_denoise,
             restir=args.restir, restir_regir=args.regir)
-        state = realtime.init_state(args.height, args.width,
-                                    scene=scene, pt_cfg=cfg)
-        frame_fn = (realtime.render_frame_stable_planes if args.stable_planes
-                    else realtime.render_frame)
-        for fidx in range(args.realtime):
-            img, hdr, state = frame_fn(scene, cam, cfg, rc, state)
+        if args.pipelined:
+            from rtxpt_tpu.pt.frame_graph import PipelinedRenderer
+            pr = PipelinedRenderer(scene, cfg, rc,
+                                   stable_planes=args.stable_planes)
+            for fidx in range(args.realtime):
+                pr.step(cam)
+            img, hdr = pr.flush()
+        else:
+            state = realtime.init_state(args.height, args.width,
+                                        scene=scene, pt_cfg=cfg)
+            frame_fn = (realtime.render_frame_stable_planes
+                        if args.stable_planes else realtime.render_frame)
+            for fidx in range(args.realtime):
+                img, hdr, state = frame_fn(scene, cam, cfg, rc, state)
         dt = time.time() - t0
         print(f"[realtime] {args.realtime} frames in {dt:.2f}s "
               f"({dt/args.realtime*1e3:.1f} ms/frame avg incl. compile)",
