@@ -55,7 +55,8 @@ def init_state(height: int, width: int,
     if (scene is not None and pt_cfg is not None
             and pt_cfg.nee.name == "NEEAT" and scene.lights is not None):
         from rtxpt_tpu.lighting import neeat as na
-        neeat = na.init_state(width, height, int(scene.lights.count))
+        neeat = na.init_state(width, height, int(scene.lights.count),
+                              lights_power=scene.lights.power)
     return RealtimeState(denoiser=dn.init_state(height, width),
                          denoiser_p1=dn.init_state(height, width),
                          denoiser_p2=dn.init_state(height, width),

@@ -543,3 +543,57 @@ def kitchen_scene(panel_grid: int = 16, subdiv: int = 3,
     scene.camera = dict(position=[4.9, 1.7, 5.3], target=[2.2, 1.1, 1.8],
                         up=[0.0, 1.0, 0.0], fov_y_deg=55.0)
     return scene
+
+
+def rooms_scene(n_rooms: int = 12, subdiv: int = 2) -> HostScene:
+    """Occlusion-heavy many-light benchmark: a row of n_rooms closed
+    cells, each lit ONLY by its own emissive ceiling panel (full-height
+    divider walls). The workload NEE-AT's per-tile adaptation exists
+    for: the power pmf spreads samples over all panels while each
+    surface sees exactly one — a visibility-dominated scene class the
+    uniform-panel kitchen cannot represent (reference motivation:
+    Lighting/LightsBaker.h NEE-AT)."""
+    WALL, FLOOR, PANEL0 = 0, 1, 2
+    Wr, H, D = 2.0, 2.4, 3.0
+    g = _quad_grid
+    s = subdiv
+    parts = []
+    for r in range(n_rooms):
+        x0, x1 = r * Wr, (r + 1) * Wr
+        parts += [
+            # floor (+y) / ceiling (-y)
+            g([x0, 0, D], [x1, 0, D], [x1, 0, 0], [x0, 0, 0], s, s, FLOOR),
+            g([x0, H, 0], [x1, H, 0], [x1, H, D], [x0, H, D], s, s, WALL),
+            # back wall only: the front stays open (dollhouse cut)
+            # so one outside camera sees every room interior
+            g([x0, 0, 0], [x1, 0, 0], [x1, H, 0], [x0, H, 0], s, s, WALL),
+            # per-room emissive panel (distinct material -> its own light)
+            g([x0 + 0.5, H - 0.05, 1.0], [x1 - 0.5, H - 0.05, 1.0],
+              [x1 - 0.5, H - 0.05, 2.0], [x0 + 0.5, H - 0.05, 2.0],
+              1, 1, PANEL0 + r),
+        ]
+    # divider walls incl. the two ends (full height: rooms are isolated)
+    for r in range(n_rooms + 1):
+        x = r * Wr
+        parts.append(g([x, 0, 0], [x, 0, D], [x, H, D], [x, H, 0],
+                       s, s, WALL))
+    pos, nrm, uv, idx, mat = _merge(parts)
+    mdefs = [dict(base_color=[0.75, 0.74, 0.72], roughness=1.0),
+             dict(base_color=[0.6, 0.62, 0.66], roughness=0.9)]
+    rng = np.random.default_rng(5)
+    for r in range(n_rooms):
+        tint = 0.6 + 0.4 * rng.random(3)
+        mdefs.append(dict(base_color=[0, 0, 0],
+                          emissive=(18.0 * tint).tolist()))
+    scene = HostScene(
+        instances=[MeshInstance(positions=pos, normals=nrm, uvs=uv,
+                                indices=idx, material=mat, name="rooms")],
+        materials=_materials(mdefs),
+    )
+    # frontal view through the open cut: every room interior visible,
+    # each image tile dominated by exactly one room's panel
+    cx = n_rooms * Wr * 0.5
+    scene.camera = dict(position=[cx, H * 0.55, D + n_rooms * Wr * 0.42],
+                        target=[cx, H * 0.45, 0.0],
+                        up=[0, 1, 0], fov_y_deg=46.0)
+    return scene
