@@ -441,7 +441,8 @@ def _kernel_a(*refs,
         env_ref=env_ref,
         tex_refs=((tex_ct_ref, tex_meta_ref, tr) if has_tex else None),
         tex_maps=tex_maps,
-        cone=fs[bp.FS_CONE], spread=fs[bp.FS_SPREAD])
+        cone=fs[bp.FS_CONE], spread=fs[bp.FS_SPREAD],
+        budget=is_[bp.IS_BUDGET])
 
     fs_out[:] = jnp.concatenate(
         [s["o_new"], s["wi_world"], s["thp"], s["L"], s["prev_pdf"][None],
@@ -449,7 +450,8 @@ def _kernel_a(*refs,
         axis=0)
     is_out[:] = jnp.stack(
         [s["active"].astype(jnp.int32), s["prev_delta"].astype(jnp.int32),
-         s["med0"], s["med1"], is_[IS_PX], is_[IS_PY]], axis=0)
+         s["med0"], s["med1"], is_[IS_PX], is_[IS_PY],
+         is_[bp.IS_BUDGET]], axis=0)
     sh_out[:] = jnp.concatenate(
         [s["shadow_o"], s["shadow_d"], s["sdist"][None], s["contrib"],
          s["do_nee"].astype(f32)[None]], axis=0)
@@ -683,6 +685,7 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         jnp.full((2, nrows, 128), -1, jnp.int32),
         rows1(px).astype(jnp.int32)[None],
         rows1(py).astype(jnp.int32)[None],
+        jnp.full((1, nrows, 128), bp._NO_BUDGET, jnp.int32),
     ], axis=0)
 
     sample_idx = jnp.asarray(sample_idx).astype(jnp.uint32)

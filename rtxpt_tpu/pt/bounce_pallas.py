@@ -89,7 +89,10 @@ IS_MED0 = 2
 IS_MED1 = 3
 IS_PX = 4
 IS_PY = 5
-NI = 6
+IS_BUDGET = 6           # per-lane remaining-bounce budget (stable planes)
+NI = 7
+
+_NO_BUDGET = 0x3FFFFFFF  # sentinel: effectively unlimited bounces
 
 # attr table rows (one column per triangle)
 AT_N0 = 0               # 0:3 shading normal v0
@@ -777,7 +780,7 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
                       px, py, sample_idx, bounce, mat_ref, light_ref,
                       cfg_key, n_lights, first_emissive,
                       env_ref=None, tex_refs=None, tex_maps=(1, 0, 0),
-                      cone=None, spread=None):
+                      cone=None, spread=None, budget=None):
     """Shared post-intersection bounce body: surface fetch, volume
     absorption, emissive-hit MIS, NEE light sample + BSDF eval (shadow ray
     RETURNED, not resolved), BSDF scatter sample, medium stack, RR.
@@ -816,6 +819,14 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
             w_env = jnp.ones_like(t)
         L = L + jnp.where(miss_mask & em_gate, thp * env_L * w_env, 0.0)
     active = active & hit                     # miss terminates
+    # ----- per-lane bounce budget (stable-planes FILL: the BUILD chain
+    # already consumed path vertices; integrator.py:308-309 order —
+    # env-on-miss above is still paid at the expiry bounce, surface
+    # shading below is not) -----
+    if budget is not None:
+        not_expired = bounce < budget
+        active = active & not_expired
+        hit_mask = hit_mask & not_expired
 
     # ----- surface (load_surface analog; zero HBM gathers) -----
     pos = o + t * d
@@ -1039,9 +1050,24 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
         contrib=contrib, cone=cone, spread=spread)
 
 
+def _attrs_from_prim(attr_ref, prim_g, tc, n_chunks):
+    """Winner-attribute rows for a KNOWN prim id (V-buffer injection):
+    one one-hot MXU pass per chunk, same cost as the intersect loop's
+    attr pick. prim_g f32 [1,128] (-1 = miss) -> [AT_ROWS,128]."""
+    acc = jnp.zeros((attr_ref.shape[0], 128), jnp.float32)
+    for c in range(n_chunks):
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tc, 128), 0)
+        rel = prim_g - float(c * tc)
+        sel = ((iota.astype(jnp.float32) == rel)
+               & (rel >= 0.0) & (rel < float(tc))).astype(jnp.float32)
+        acc = acc + _mm(attr_ref[:, c * tc:(c + 1) * tc], sel)
+    return acc
+
+
 def _bounce_kernel(*refs,
                    cfg_key, tc, n_chunks, n_lights, tr, first_emissive,
-                   has_env, has_tex, tex_maps, final_env=False):
+                   has_env, has_tex, tex_maps, final_env=False,
+                   inject=False):
     (nee_mode, enable_mis, firefly, rr_enable, min_rr, max_travel,
      low_discrepancy, energy_comp, noprune) = cfg_key
     f32 = jnp.float32
@@ -1049,6 +1075,7 @@ def _bounce_kernel(*refs,
     scal_ref = next(it)
     fs_ref = next(it)
     is_ref = next(it)
+    inj_ref = next(it) if inject else None
     tri_ref = next(it)
     attr_ref = next(it)
     mat_ref = next(it)
@@ -1068,21 +1095,36 @@ def _bounce_kernel(*refs,
     d = fs[FS_D:FS_D + 3]
 
     # ----- closest hit (per 128-ray group) -----
-    tmin = jnp.zeros((1, 128), f32)
-    ts, prims, us, vs, dets = [], [], [], [], []
-    attrs_g = []
-    for g in range(_R):
-        cols = _ray_cols(o, d, g)
-        tmax_g = jnp.full((1, 128), max_travel, f32)
-        t_g, p_g, u_g, v_g, det_g, attr_g = _intersect_group(
-            tri_ref, attr_ref, cols, tmin, tmax_g, tc, n_chunks)
-        ts.append(t_g); prims.append(p_g); us.append(u_g); vs.append(v_g)
-        dets.append(det_g); attrs_g.append(attr_g)
-    t = _stack_groups(ts)
-    prim_f = _stack_groups(prims)
-    bu = _stack_groups(us)
-    bv = _stack_groups(vs)
-    det_pick = _stack_groups(dets)
+    if inject:
+        # V-buffer restart (FirstHitFromVBuffer, PathTracerSample.hlsl:
+        # 34-94): bounce 0's traversal was prepaid by the BUILD pass —
+        # take (t, prim, u, v, front) from the injected rows and fetch
+        # winner attributes by one-hot matmul.
+        inj = inj_ref[:]
+        prim_f = inj[1]
+        miss_i = prim_f < 0.0
+        t = jnp.where(miss_i, _BIG, inj[0])
+        bu = inj[2]
+        bv = inj[3]
+        det_pick = jnp.where(inj[4] > 0.5, 1.0, -1.0)
+        attrs_g = [_attrs_from_prim(attr_ref, prim_f[g:g + 1], tc,
+                                    n_chunks) for g in range(_R)]
+    else:
+        tmin = jnp.zeros((1, 128), f32)
+        ts, prims, us, vs, dets = [], [], [], [], []
+        attrs_g = []
+        for g in range(_R):
+            cols = _ray_cols(o, d, g)
+            tmax_g = jnp.full((1, 128), max_travel, f32)
+            t_g, p_g, u_g, v_g, det_g, attr_g = _intersect_group(
+                tri_ref, attr_ref, cols, tmin, tmax_g, tc, n_chunks)
+            ts.append(t_g); prims.append(p_g); us.append(u_g)
+            vs.append(v_g); dets.append(det_g); attrs_g.append(attr_g)
+        t = _stack_groups(ts)
+        prim_f = _stack_groups(prims)
+        bu = _stack_groups(us)
+        bv = _stack_groups(vs)
+        det_pick = _stack_groups(dets)
 
     def attr(i, k=1):
         if k == 1:
@@ -1135,7 +1177,8 @@ def _bounce_kernel(*refs,
         env_ref=env_ref,
         tex_refs=((tex_ct_ref, tex_meta_ref, tr) if has_tex else None),
         tex_maps=tex_maps,
-        cone=fs[FS_CONE], spread=fs[FS_SPREAD])
+        cone=fs[FS_CONE], spread=fs[FS_SPREAD],
+        budget=is_[IS_BUDGET])
 
     # ----- NEE shadow occlusion (in-kernel second matmul pass) -----
     L = s["L"]
@@ -1154,7 +1197,8 @@ def _bounce_kernel(*refs,
         axis=0)
     is_out[:] = jnp.stack(
         [s["active"].astype(jnp.int32), s["prev_delta"].astype(jnp.int32),
-         s["med0"], s["med1"], is_[IS_PX], is_[IS_PY]], axis=0)
+         s["med0"], s["med1"], is_[IS_PX], is_[IS_PY],
+         is_[IS_BUDGET]], axis=0)
     hit_out[:] = jnp.stack(
         [jnp.where(hit, t, 0.0), prim_f, bu, bv,
          front.astype(f32), do_nee.astype(f32)], axis=0)
@@ -1187,16 +1231,18 @@ def _interpret(cfg=None) -> bool:
 def _bounce_call(scal, fs, is_, tri_rows, attr_rows, mat_rows, light_rows,
                  env_rows, tex_ct, tex_meta,
                  cfg_key, tc, n_chunks, n_lights, tr, first_emissive,
-                 tex_maps=(1, 0, 0), final_env=False, interpret=False):
+                 tex_maps=(1, 0, 0), final_env=False, interpret=False,
+                 inj=None):
     nrows = fs.shape[1]
     grid = nrows // _R
     has_env = env_rows is not None
     has_tex = tex_ct is not None
+    inject = inj is not None
     kern = functools.partial(
         _bounce_kernel, cfg_key=cfg_key, tc=tc, n_chunks=n_chunks,
         n_lights=n_lights, tr=tr, first_emissive=first_emissive,
         has_env=has_env, has_tex=has_tex, tex_maps=tex_maps,
-        final_env=final_env)
+        final_env=final_env, inject=inject)
     const = lambda b: (0, 0)
     in_specs = [
         pl.BlockSpec((1, 2), const, memory_space=pltpu.SMEM),
@@ -1204,12 +1250,18 @@ def _bounce_call(scal, fs, is_, tri_rows, attr_rows, mat_rows, light_rows,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((NI, _R, 128), lambda b: (0, b, 0),
                      memory_space=pltpu.VMEM),
+    ]
+    if inject:
+        in_specs.append(pl.BlockSpec((5, _R, 128), lambda b: (0, b, 0),
+                                     memory_space=pltpu.VMEM))
+    in_specs += [
         pl.BlockSpec(tri_rows.shape, const, memory_space=pltpu.VMEM),
         pl.BlockSpec(attr_rows.shape, const, memory_space=pltpu.VMEM),
         pl.BlockSpec(mat_rows.shape, const, memory_space=pltpu.VMEM),
         pl.BlockSpec(light_rows.shape, const, memory_space=pltpu.VMEM),
     ]
-    inputs = [scal, fs, is_, tri_rows, attr_rows, mat_rows, light_rows]
+    inputs = [scal, fs, is_] + ([inj] if inject else []) \
+        + [tri_rows, attr_rows, mat_rows, light_rows]
     if has_env:
         in_specs.append(pl.BlockSpec(env_rows.shape, const,
                                      memory_space=pltpu.VMEM))
@@ -1260,8 +1312,15 @@ def eligible(scene, cfg, neeat_state) -> bool:
 
 
 def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
-                       want_aux: bool = False, first_emissive: bool = True):
-    """Fused-kernel wavefront: same contract as integrator.trace_paths."""
+                       want_aux: bool = False, first_emissive: bool = True,
+                       first_hit=None, bounce_budget=None):
+    """Fused-kernel wavefront: same contract as integrator.trace_paths.
+
+    `first_hit` (accel Hit): V-buffer restart — bounce 0 skips the
+    in-kernel intersect loop and shades the injected hit (stable-planes
+    FILL; FirstHitFromVBuffer, PathTracerSample.hlsl:34-94).
+    `bounce_budget` [N] i32: per-lane remaining bounces (see
+    integrator.trace_paths)."""
     tbl: BounceTables = scene.bounce_tables
     n = o.shape[0]
     f32 = jnp.float32
@@ -1291,13 +1350,30 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         rows1(cone_spread)[None],                # cone spread
     ], axis=0)
     ones_mask = pad1(jnp.ones((n,), jnp.int32)).reshape(1, nrows, 128)
+    if bounce_budget is None:
+        budget_rows = jnp.full((1, nrows, 128), _NO_BUDGET, jnp.int32)
+    else:
+        budget_rows = rows1(jnp.asarray(bounce_budget,
+                                        jnp.int32))[None]
     is_ = jnp.concatenate([
         ones_mask,                                # active (pad lanes off)
         jnp.ones((1, nrows, 128), jnp.int32),     # prev_delta (camera)
         jnp.full((2, nrows, 128), -1, jnp.int32),  # med0, med1
         rows1(px).astype(jnp.int32)[None],
         rows1(py).astype(jnp.int32)[None],
+        budget_rows,
     ], axis=0)
+
+    inj0 = None
+    if first_hit is not None:
+        # pack (t, prim, u, v, front) as [5, nrows, 128]; pad lanes miss
+        inj0 = jnp.stack([
+            rows1(first_hit.t.astype(f32)),
+            rows1(first_hit.prim.astype(f32), fill=-1.0),
+            rows1(first_hit.bary[:, 0].astype(f32)),
+            rows1(first_hit.bary[:, 1].astype(f32)),
+            rows1(first_hit.front.astype(f32)),
+        ], axis=0)
 
     sample_idx = jnp.asarray(sample_idx).astype(jnp.uint32)
     key = _cfg_key(cfg)
@@ -1320,7 +1396,8 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
             tbl.tex_ct if use_tex else None,
             tbl.tex_meta if use_tex else None,
             key, tbl.tc, tbl.n_chunks, tbl.n_lights, tbl.tr,
-            first_emissive, tex_maps=tex_maps, interpret=interp)
+            first_emissive, tex_maps=tex_maps, interpret=interp,
+            inj=inj0 if bounce == 0 else None)
         ray_count = ray_count + jnp.sum(active_in) \
             + jnp.sum(hit[5].astype(jnp.int32))
         if bounce == 0:

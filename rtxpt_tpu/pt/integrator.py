@@ -84,16 +84,18 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
     # never read at trace time, so the jit cache key owns the decision).
     # "auto" here means an eager / third-party caller skipped resolution;
     # resolving inline is then safe because nothing caches the trace.
-    # V-buffer restarts take the XLA path (hit injection into the fused
-    # kernels is future work).
+    # V-buffer restarts ride the fused kernel via hit injection; the
+    # clustered tier still takes the XLA path for them.
     from rtxpt_tpu.pt import dispatch
     if cfg.kernel_tier == "auto":
         cfg = dispatch.resolve(scene, cfg, neeat_state)
-    if first_hit is None and cfg.kernel_tier == "fused":
+    if cfg.kernel_tier == "fused":
         from rtxpt_tpu.pt import bounce_pallas as bp
         return bp.trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py,
                                      sample_idx, want_aux=want_aux,
-                                     first_emissive=first_emissive)
+                                     first_emissive=first_emissive,
+                                     first_hit=first_hit,
+                                     bounce_budget=bounce_budget)
     if first_hit is None and cfg.kernel_tier == "clustered":
         from rtxpt_tpu.pt import bounce_clustered as bc
         return bc.trace_paths_clustered(scene, cfg, o, d, cone_spread,

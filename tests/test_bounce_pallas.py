@@ -95,3 +95,35 @@ def test_bounce_kernel_rr_active(force_interpret):
     out = trace_paths_pallas(scene, cfg, o, d, spread, px, py, sidx)
     np.testing.assert_allclose(np.asarray(out["L"]), np.asarray(ref["L"]),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_bounce_kernel_vbuffer_injection(force_interpret):
+    """Stable-planes FILL analog: fused kernel with an injected first hit
+    + per-lane bounce budget matches the XLA wavefront given the same
+    V-buffer restart (VERDICT r2 gap: FILL used to force the XLA path)."""
+    from rtxpt_tpu.accel.traverse import scene_closest
+    from rtxpt_tpu.pt.bounce_pallas import trace_paths_pallas
+    from rtxpt_tpu.pt.integrator import trace_paths
+
+    scene = prepare(cornell_box())
+    cfg, o, d, spread, px, py, sidx = _rays(scene)
+    cfg = PathTracerConfig(max_bounces=3, nee=NEEMode.POWER,
+                           enable_russian_roulette=False)
+
+    n = o.shape[0]
+    fh = scene_closest(scene, o, d, jnp.zeros((n,), jnp.float32),
+                       jnp.full((n,), cfg.max_ray_travel, jnp.float32))
+    budget = jnp.where(jnp.arange(n) % 3 == 0, 1, 2).astype(jnp.int32)
+
+    ref = trace_paths(scene.replace(bounce_tables=None), cfg, o, d, spread,
+                      px, py, sidx, first_hit=fh, bounce_budget=budget)
+    out = trace_paths_pallas(scene, cfg, o, d, spread, px, py, sidx,
+                             first_hit=fh, bounce_budget=budget)
+    L_ref = np.asarray(ref["L"])
+    L_out = np.asarray(out["L"])
+    assert np.isfinite(L_out).all()
+    np.testing.assert_allclose(L_out, L_ref, rtol=2e-3, atol=2e-3)
+    # the budget actually bit: a 1-bounce lane differs from unlimited
+    full = trace_paths_pallas(scene, cfg, o, d, spread, px, py, sidx,
+                              first_hit=fh)
+    assert np.abs(np.asarray(full["L"]) - L_out).max() > 1e-4

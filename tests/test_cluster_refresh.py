@@ -103,9 +103,15 @@ def test_animation_keeps_clustered_tier(small_city):
                                  sd.geometry.positions + 0.5,
                                  sd.geometry.normals, sd.geometry.indices)
     sd2 = sd.replace(cluster_tables=tbl)
+    prev = os.environ.get("RTXPT_TPU_PALLAS_INTERPRET")
     os.environ["RTXPT_TPU_PALLAS_INTERPRET"] = "1"
     try:
         cfg = resolve(sd2, PathTracerConfig(max_bounces=2))
     finally:
-        del os.environ["RTXPT_TPU_PALLAS_INTERPRET"]
+        # restore, don't delete: other modules set this at import and an
+        # unconditional del leaks order-dependence into later files
+        if prev is None:
+            del os.environ["RTXPT_TPU_PALLAS_INTERPRET"]
+        else:
+            os.environ["RTXPT_TPU_PALLAS_INTERPRET"] = prev
     assert cfg.kernel_tier == "clustered", cfg.kernel_tier
