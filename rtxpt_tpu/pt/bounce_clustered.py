@@ -52,6 +52,14 @@ from rtxpt_tpu.pt.bounce_pallas import (
     IS_MED1, IS_PREVDELTA, IS_PX, IS_PY, NF, NI, _cfg_key, _interpret,
     _round_up, surface_and_shade)
 
+# Clustered-tier block height (ray rows per kernel block). Wider blocks
+# amortize each candidate cluster's VMEM DMA over more rays (the kernel
+# is DMA-bound: profile_cluster_stages shows ~15.5 KB of cluster bytes
+# per ray at R=8) at the cost of a wider cull hull (slightly more
+# candidates per group). Read ONCE at import — never at trace time — so
+# the jit cache key (operand shapes) always owns the decision.
+_R = int(os.environ.get("RTXPT_TPU_CLUSTER_R", str(_R)))
+
 # Split-bf16-pass conservative margins (relative to |det|); the exact
 # refit re-tests the winner so these only need to prevent FALSE NEGATIVES
 # at shared edges. Margin-admitted candidates tie on t with the true hit
