@@ -85,6 +85,325 @@ SH_CONTRIB = 7    # 7:10
 SH_DO = 10
 SH_ROWS = 11
 
+# ---- flat all-rows tier (round 4) -----------------------------------------
+# The per-row kernel uses only K=32 of the MXU's 128 contraction rows and
+# pays per-row branch/selection overhead 8x per visit. The flat tier
+# instead processes the WHOLE group as one [*, FL=R*128] lane vector:
+# XLA prebuilds the global-coordinate ray operand rows once per bounce
+# (reshaping [R,128] tiles to flat lanes is free in XLA, impossible in
+# Mosaic), and the kernel applies the cluster-center correction + split-
+# bf16 per visit elementwise, preserving the cluster-local numerics
+# exactly. One [32,4CT]x[32,FL] MXU pass per visit replaces 8 row
+# matmuls, and the winner-attribute gather contracts over the full
+# K=CT=128. Intersection (A1) and shading (A2) split into two kernels:
+# A1's flat results cross through HBM and XLA reshapes them back to
+# [R,128] tiles for the VPU-efficient shading body.
+_FL = _R * 128
+
+# A1 ray-operand input rows (XLA-prebuilt, global coordinates)
+OD_D = 0          # 0:3 direction
+OD_OXD = 3        # 3:6 o x d
+OD_O = 6          # 6:9 origin
+OD_ACT = 9        # active mask (gates the prune bound)
+OD_ROWS = 10
+
+# A1 -> A2 hit/attribute rows (flat [HA_ROWS, G, FL])
+HA_T = 0          # closest t (_BIG = miss)
+HA_U = 1
+HA_V = 2
+HA_FRONT = 3      # winner det (refit-exact); >0 = front face
+HA_PRIM = 4       # global triangle index (-1 = miss)
+HA_ATTR = 5       # + bp.AT_ROWS logical attribute rows (bp.AT_* order)
+HA_ROWS = HA_ATTR + bp.AT_ROWS
+
+# A1 best-winner scratch rows [_BF_ROWS, FL]
+_BF_T = 0
+_BF_ATTR = 1                      # 1 .. 1+CL.AT_ROWS
+_BF_CEN = 1 + CL.AT_ROWS          # 3 rows: cluster center
+_BF_ROWS = _round_up(1 + CL.AT_ROWS + 3, 8)
+
+
+def _lane_tile(x, reps):
+    """Broadcast a replicated [1,128] row to [1, reps*128] lanes."""
+    return jnp.concatenate([x] * reps, axis=1)
+
+
+def _flat_cols(od, cx, cy, cz):
+    """[32, FL] split-bf16 cluster-local ray operand for the whole group.
+    Identical math to _row_cols, vectorized over all R*128 lanes: the
+    global operand rows are shifted into cluster-local coordinates
+    (o' = o - c, (o x d)' = o x d - c x d) and THEN split, so rounding
+    error scales with the cluster extent exactly as in the per-row
+    kernel. cx/cy/cz are [1, FL] replicated center components."""
+    f32 = jnp.float32
+    d0 = od[OD_D:OD_D + 1]
+    d1 = od[OD_D + 1:OD_D + 2]
+    d2 = od[OD_D + 2:OD_D + 3]
+    cxd0 = cy * d2 - cz * d1
+    cxd1 = cz * d0 - cx * d2
+    cxd2 = cx * d1 - cy * d0
+    zero = jnp.zeros((1, _FL), f32)
+    corr = jnp.concatenate(
+        [zero, zero, zero, cxd0, cxd1, cxd2, cx, cy, cz, zero],
+        axis=0)                                              # [10,FL]
+    op = jnp.concatenate(
+        [od[0:9], jnp.ones((1, _FL), f32)], axis=0) - corr
+    hi = op.astype(jnp.bfloat16).astype(f32)
+    lo = op - hi
+    return jnp.concatenate(
+        [hi, lo, hi, jnp.zeros((2, _FL), f32)], axis=0)
+
+
+def _flat_center(cur):
+    """Cluster-center components as replicated [1, FL] rows."""
+    cr = CL.CENTER_ROW
+    reps = _FL // 128
+    cx = _lane_tile(cur[cr:cr + 1, 0:128], reps)
+    cy = _lane_tile(cur[cr:cr + 1, CT:CT + 128], reps)
+    cz = _lane_tile(cur[cr:cr + 1, 2 * CT:2 * CT + 128], reps)
+    return cx, cy, cz
+
+
+def _kernel_a1(cand_ref, od_ref, blocks_hbm, ha_out,
+               buf0, buf1, best_ref, flag_ref, sem0, sem1,
+               *, kslots, max_travel, noprune):
+    """Flat closest-hit kernel: candidate loop + split-bf16 selection over
+    all R*128 lanes at once, exact f32 refit of the winner, logical
+    attribute rows out. No shading (kernel A2)."""
+    f32 = jnp.float32
+    od = od_ref[0]                                   # [OD_ROWS, FL]
+    act = od[OD_ACT:OD_ACT + 1] > 0.5                # [1,FL]
+
+    best_ref[:] = jnp.concatenate(
+        [jnp.full((1, _FL), _BIG, f32),
+         jnp.zeros((_BF_ROWS - 1, _FL), f32)], axis=0)
+
+    def _bound_bits():
+        bt = best_ref[_BF_T:_BF_T + 1, :]
+        bound = jnp.where(act, bt, 0.0)
+        return jnp.max(jax.lax.bitcast_convert_type(bound, jnp.int32))
+
+    def alive(i):
+        if noprune:
+            return cand_ref[0, 0, 0] > 0
+        t_en_bits = cand_ref[0, 0, 1 + kslots
+                             + jnp.minimum(i, kslots - 1)]
+        return t_en_bits <= _bound_bits()
+
+    def visit(i, cur):
+        amat = _attr_mat(cur)                        # [AT_ROWS, CT]
+        cx, cy, cz = _flat_center(cur)
+        cols = _flat_cols(od, cx, cy, cz)            # [32, FL]
+        det, un, vn, tn = _quantities(cur, cols)     # [CT, FL] each
+        s = jnp.where(det >= 0.0, 1.0, -1.0)
+        absd = det * s
+        su = un * s
+        sv = vn * s
+        st = tn * s
+        mm = MARGIN * absd
+        valid = ((absd > 1e-30) & (su >= -mm) & (sv >= -mm)
+                 & (su + sv <= absd + mm + mm)
+                 & (st > 0.0) & (st < max_travel * absd))
+        strict = (su >= 0.0) & (sv >= 0.0) & (su + sv <= absd)
+        tt = st / jnp.maximum(absd, 1e-30)
+        tt = tt * jnp.where(strict, 1.0, 1.0 + _TIE_BUMP)
+        t_m = jnp.where(valid, tt, _BIG)
+        t_c = jnp.min(t_m, axis=0, keepdims=True)    # [1,FL]
+        b = best_ref[:]
+        improved = t_c < b[_BF_T:_BF_T + 1]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (CT, _FL), 0)
+        jrow = jnp.min(jnp.where(t_m <= t_c, iota, CT), axis=0,
+                       keepdims=True)
+        sel = (iota == jrow).astype(f32)             # [CT, FL]
+        attr_c = jax.lax.dot_general(
+            amat, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST)     # [AT_ROWS, FL]
+        new = jnp.concatenate(
+            [t_c, attr_c, cx, cy, cz,
+             jnp.zeros((_BF_ROWS - 4 - CL.AT_ROWS, _FL), f32)], axis=0)
+        best_ref[:] = jnp.where(improved, new, b)
+
+    _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
+                    kslots, visit, flag_ref, alive)
+
+    # ----- exact f32 refit of the winner (all lanes at once) -----
+    b = best_ref[:]
+    had = b[_BF_T:_BF_T + 1] < _BIG
+    a0 = _BF_ATTR
+
+    def row3(i):
+        return jnp.stack([b[i:i + 1], b[i + 1:i + 2], b[i + 2:i + 3]],
+                         axis=0)                     # [3,1,FL]
+
+    v0 = row3(a0 + CL.AT_V0)
+    e1 = row3(a0 + CL.AT_E1)
+    e2 = row3(a0 + CL.AT_E2)
+    cen = row3(_BF_CEN)
+    ocl = jnp.stack([od[OD_O:OD_O + 1], od[OD_O + 1:OD_O + 2],
+                     od[OD_O + 2:OD_O + 3]], axis=0) - cen
+    dr = jnp.stack([od[OD_D:OD_D + 1], od[OD_D + 1:OD_D + 2],
+                    od[OD_D + 2:OD_D + 3]], axis=0)
+    pvec = W.cross3(dr, e2)
+    detx = W.dot3(e1, pvec)
+    ok = jnp.abs(detx) > 1e-30
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, detx, 1.0), 0.0)
+    tvec = ocl - v0
+    u = W.dot3(tvec, pvec) * inv
+    qvec = W.cross3(tvec, e1)
+    v = W.dot3(dr, qvec) * inv
+    tx = W.dot3(e2, qvec) * inv
+    exact_ok = (ok & (u >= -REFIT_EPS) & (v >= -REFIT_EPS)
+                & (u + v <= 1.0 + REFIT_EPS)
+                & (tx > 0.0) & (tx < max_travel))
+    isvalid = b[a0 + CL.AT_VALID:a0 + CL.AT_VALID + 1] > 0.5
+    hitr = had & exact_ok & isvalid
+    u = jnp.clip(u, 0.0, 1.0)
+    v = jnp.clip(v, 0.0, 1.0)
+    scale = 1.0 / jnp.maximum(u + v, 1.0)
+    u = u * scale
+    v = v * scale
+    gidx = b[a0 + CL.AT_GIDX:a0 + CL.AT_GIDX + 1]
+    attr_rows = [jnp.zeros((1, _FL), f32)] * bp.AT_ROWS
+    for bp_i, cl_i in _ATTR_ROW_MAP.items():
+        attr_rows[bp_i] = b[a0 + cl_i:a0 + cl_i + 1]
+    ha_out[0] = jnp.concatenate(
+        [jnp.where(hitr, tx, _BIG), u, v,
+         jnp.where(hitr, detx, -1.0),
+         jnp.where(hitr, gidx, -1.0)] + attr_rows, axis=0)
+
+
+def _kernel_b1(cand_ref, sh_ref, blocks_hbm, occ_out,
+               buf0, buf1, flag_ref, sem0, sem1, *, kslots):
+    """Flat any-hit over the shadow rays' candidate lists."""
+    sh = sh_ref[0]                                   # [SH_ROWS, FL]
+    dist = sh[SH_DIST:SH_DIST + 1] * (1.0 - SHADOW_T_EPS)
+    occ_out[0] = jnp.where(sh[SH_DO:SH_DO + 1] > 0.5, 0.0, 1.0)
+    oxd = W.cross3(sh[SH_O:SH_O + 3], sh[SH_D:SH_D + 3])
+    od = jnp.concatenate([
+        sh[SH_D:SH_D + 3], oxd, sh[SH_O:SH_O + 3],
+        jnp.zeros((1, _FL), jnp.float32)], axis=0)   # [OD_ROWS, FL]
+
+    def alive(i):
+        return jnp.max(1.0 - occ_out[0]) > 0.5
+
+    def visit(i, cur):
+        cx, cy, cz = _flat_center(cur)
+        cols = _flat_cols(od, cx, cy, cz)
+        det, un, vn, tn = _quantities(cur, cols)
+        s = jnp.where(det >= 0.0, 1.0, -1.0)
+        absd = det * s
+        su = un * s
+        sv = vn * s
+        st = tn * s
+        valid = ((absd > 1e-30) & (su >= 0.0) & (sv >= 0.0)
+                 & (su + sv <= absd)
+                 & (st > 0.0) & (st < dist * absd))
+        occ_v = jnp.max(valid.astype(jnp.float32), axis=0, keepdims=True)
+        occ_out[0] = jnp.maximum(occ_out[0], occ_v)
+
+    _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
+                    kslots, visit, flag_ref, alive)
+
+
+def _kernel_a2(*refs, cfg_key, n_lights, tr, first_emissive,
+               has_env, has_tex, tex_maps, final_env=False):
+    """Shading kernel over A1's reshaped hit/attribute tiles: the
+    surface_and_shade body on [R,128] VPU tiles (exactly the per-row
+    kernel's post-loop half, with the intersection results provided)."""
+    f32 = jnp.float32
+    it = iter(refs)
+    scal_ref = next(it)
+    ha_ref = next(it)
+    fs_ref = next(it)
+    is_ref = next(it)
+    mat_ref = next(it)
+    light_ref = next(it)
+    env_ref = next(it) if has_env else None
+    tex_ct_ref = next(it) if has_tex else None
+    tex_meta_ref = next(it) if has_tex else None
+    fs_out = next(it)
+    is_out = next(it)
+    sh_out = next(it)
+    hit_out = next(it)
+    max_travel = cfg_key[5]
+    sample_idx = scal_ref[0, 0]
+    bounce = scal_ref[0, 1].astype(jnp.int32)
+
+    fs = fs_ref[:]
+    is_ = is_ref[:]
+    ha = ha_ref[:]
+    o = fs[FS_O:FS_O + 3]
+    d = fs[FS_D:FS_D + 3]
+    t = ha[HA_T]
+    bu = ha[HA_U]
+    bv = ha[HA_V]
+    prim_f = ha[HA_PRIM]
+    hit = t < _BIG
+    front = ha[HA_FRONT] > 0.0
+
+    def attr(i, k=1):
+        if k == 1:
+            return ha[HA_ATTR + i]
+        return ha[HA_ATTR + i:HA_ATTR + i + k]
+
+    if final_env:
+        nee_mode_ = cfg_key[0]
+        enable_mis_ = cfg_key[1]
+        use_nee_ = nee_mode_ in (1, 2) and n_lights > 0
+        active_in = is_[IS_ACTIVE] > 0
+        prev_delta_in = is_[IS_PREVDELTA] > 0
+        miss_mask = active_in & ~hit
+        L = fs[bp.FS_L:bp.FS_L + 3]
+        env_L, p_env = bp._env_eval_pdf(
+            env_ref, d, nee_mode_ == 1, n_lights,
+            with_pdf=use_nee_ and bool(enable_mis_))
+        if use_nee_ and enable_mis_:
+            w_env = jnp.where(prev_delta_in, 1.0,
+                              W.power_heuristic(fs[FS_PREVPDF], p_env))
+        else:
+            w_env = jnp.ones_like(t)
+        L = L + jnp.where(miss_mask,
+                          fs[FS_THP:FS_THP + 3] * env_L * w_env, 0.0)
+        fs_out[:] = jnp.concatenate([fs[:FS_L], L, fs[FS_L + 3:]], axis=0)
+        is_out[:] = jnp.concatenate(
+            [jnp.zeros((1, _R, 128), jnp.int32), is_[1:]], axis=0)
+        sh_out[:] = jnp.zeros((SH_ROWS, _R, 128), f32)
+        hit_out[:] = jnp.stack(
+            [jnp.where(hit, t, 0.0), prim_f, bu, bv,
+             front.astype(f32), jnp.zeros_like(t)], axis=0)
+        return
+
+    s = surface_and_shade(
+        o=o, d=d, t=t, hit=hit, front=front, bu=bu, bv=bv, attr=attr,
+        thp=fs[FS_THP:FS_THP + 3], L=fs[bp.FS_L:bp.FS_L + 3],
+        prev_pdf=fs[FS_PREVPDF], active=is_[IS_ACTIVE] > 0,
+        prev_delta=is_[IS_PREVDELTA] > 0,
+        med0=is_[IS_MED0], med1=is_[IS_MED1],
+        px=is_[IS_PX], py=is_[IS_PY], sample_idx=sample_idx, bounce=bounce,
+        mat_ref=mat_ref, light_ref=light_ref, cfg_key=cfg_key,
+        n_lights=n_lights, first_emissive=first_emissive,
+        env_ref=env_ref,
+        tex_refs=((tex_ct_ref, tex_meta_ref, tr) if has_tex else None),
+        tex_maps=tex_maps,
+        cone=fs[bp.FS_CONE], spread=fs[bp.FS_SPREAD],
+        budget=is_[bp.IS_BUDGET])
+
+    fs_out[:] = jnp.concatenate(
+        [s["o_new"], s["wi_world"], s["thp"], s["L"], s["prev_pdf"][None],
+         s["cone"][None], s["spread"][None]],
+        axis=0)
+    is_out[:] = jnp.stack(
+        [s["active"].astype(jnp.int32), s["prev_delta"].astype(jnp.int32),
+         s["med0"], s["med1"], is_[IS_PX], is_[IS_PY],
+         is_[bp.IS_BUDGET]], axis=0)
+    sh_out[:] = jnp.concatenate(
+        [s["shadow_o"], s["shadow_d"], s["sdist"][None], s["contrib"],
+         s["do_nee"].astype(f32)[None]], axis=0)
+    hit_out[:] = jnp.stack(
+        [jnp.where(hit, t, 0.0), prim_f, bu, bv,
+         front.astype(f32), s["do_nee"].astype(f32)], axis=0)
+
 # best-hit scratch row map ([R, _B_ROWS, 128]: one tile per ray-row)
 _B_T = 0
 _B_CID = 1
@@ -101,6 +420,14 @@ for _j in range(2):
     _ATTR_MAP[bp.AT_UV0 + _j] = CL.AT_UV0 + _j
     _ATTR_MAP[bp.AT_UV1 + _j] = CL.AT_UV1 + _j
     _ATTR_MAP[bp.AT_UV2 + _j] = CL.AT_UV2 + _j
+
+# Row-level map (every bp attr ROW -> cluster attr row): _ATTR_MAP holds
+# only the BASE row of 3-wide attributes (attr(i, k) reads k consecutive
+# rows on both sides), so expand the vector entries here.
+_ATTR_ROW_MAP = dict(_ATTR_MAP)
+for _base in (bp.AT_N0, bp.AT_N1, bp.AT_N2, bp.AT_GN):
+    for _j in range(1, 3):
+        _ATTR_ROW_MAP[_base + _j] = _ATTR_MAP[_base] + _j
 
 
 def default_kslots() -> int:
@@ -532,6 +859,138 @@ def _kernel_b(cand_ref, sh_ref, blocks_hbm, occ_out,
 
 
 # ---------------------------------------------------------------------------
+# pallas_call wrappers (flat tier)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kslots", "max_travel", "noprune",
+                              "interpret"))
+def _kernel_a1_call(cand, od, blocks, kslots, max_travel, noprune=False,
+                    interpret=False):
+    """od: [G, OD_ROWS, FL] flat ray operand -> ha [G, HA_ROWS, FL]."""
+    grid = od.shape[0]
+    kern = functools.partial(_kernel_a1, kslots=kslots,
+                             max_travel=max_travel, noprune=noprune)
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 1, cand.shape[2]), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, OD_ROWS, _FL), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, HA_ROWS, _FL), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid, HA_ROWS, _FL), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
+            pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
+            pltpu.VMEM((_BF_ROWS, _FL), jnp.float32),
+            pltpu.SMEM((1, 2), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(cand, od, blocks)
+
+
+@functools.partial(jax.jit, static_argnames=("kslots", "interpret"))
+def _kernel_b1_call(cand, sh, blocks, kslots, interpret=False):
+    """sh: [G, SH_ROWS, FL] flat shadow rows -> occ [G, 1, FL]."""
+    grid = sh.shape[0]
+    kern = functools.partial(_kernel_b1, kslots=kslots)
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 1, cand.shape[2]), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, SH_ROWS, _FL), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, _FL), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid, 1, _FL), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
+            pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
+            pltpu.SMEM((1, 2), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(cand, sh, blocks)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg_key", "n_lights", "tr", "first_emissive",
+                     "tex_maps", "final_env", "interpret"))
+def _kernel_a2_call(scal, ha, fs, is_, mat_rows, light_rows, env_rows,
+                    tex_ct, tex_meta,
+                    cfg_key, n_lights, tr, first_emissive,
+                    tex_maps=(1, 0, 0), final_env=False, interpret=False):
+    """ha: [HA_ROWS, nrows, 128] (A1 output reshaped to tiles)."""
+    nrows = fs.shape[1]
+    grid = nrows // _R
+    has_env = env_rows is not None
+    has_tex = tex_ct is not None
+    kern = functools.partial(
+        _kernel_a2, cfg_key=cfg_key, n_lights=n_lights, tr=tr,
+        first_emissive=first_emissive, has_env=has_env, has_tex=has_tex,
+        tex_maps=tex_maps, final_env=final_env)
+    const2 = lambda b: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, 2), const2, memory_space=pltpu.SMEM),
+        pl.BlockSpec((HA_ROWS, _R, 128), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NF, _R, 128), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NI, _R, 128), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(mat_rows.shape, const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(light_rows.shape, const2, memory_space=pltpu.VMEM),
+    ]
+    inputs = [scal, ha, fs, is_, mat_rows, light_rows]
+    if has_env:
+        in_specs.append(pl.BlockSpec(env_rows.shape, const2,
+                                     memory_space=pltpu.VMEM))
+        inputs.append(env_rows)
+    if has_tex:
+        in_specs.append(pl.BlockSpec(tex_ct.shape, const2,
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(tex_meta.shape, const2,
+                                     memory_space=pltpu.VMEM))
+        inputs.extend([tex_ct, tex_meta])
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((NF, _R, 128), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NI, _R, 128), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SH_ROWS, _R, 128), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, _R, 128), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NF, nrows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((NI, nrows, 128), jnp.int32),
+            jax.ShapeDtypeStruct((SH_ROWS, nrows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((6, nrows, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+
+# ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
@@ -643,6 +1102,21 @@ def _kernel_b_call(cand, sh, blocks, kslots, interpret=False):
 # ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
+
+# Flat all-rows tier default (read ONCE at import; RTXPT_TPU_CLUSTER_FLAT=0
+# falls back to the round-3 per-row kernels for A/B comparison).
+_FLAT = os.environ.get("RTXPT_TPU_CLUSTER_FLAT", "1") != "0"
+
+
+def _to_flat_groups(rows2d, n_groups):
+    """[K, npad] -> [G, K, FL] (per-group flat blocks for kernel A1/B1)."""
+    k = rows2d.shape[0]
+    return rows2d.reshape(k, n_groups, _FL).swapaxes(0, 1)
+
+
+def _from_flat_groups(flat, k, nrows):
+    """[G, K, FL] -> [K, nrows, 128]."""
+    return flat.swapaxes(0, 1).reshape(k, nrows, 128)
 
 
 def eligible(scene, cfg, neeat_state) -> bool:
@@ -766,14 +1240,33 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
             tbl.aabb_lo, tbl.aabb_hi, kslots)
         overflow = overflow + ovf
         scal = jnp.stack([sample_idx, jnp.uint32(bounce)]).reshape(1, 2)
-        fs, is_, sh, hitb = _kernel_a_call(
-            scal, cand, fs, is_, tbl.mat_rows, tbl.light_rows,
-            tbl.env_rows,
-            tbl.tex_ct if use_tex else None,
-            tbl.tex_meta if use_tex else None,
-            tbl.blocks,
-            key, kslots, tbl.n_lights, tbl.tr, first_emissive,
-            tex_maps=tex_maps, interpret=interp)
+        if _FLAT:
+            of = fs[FS_O:FS_O + 3].reshape(3, npad)
+            df = fs[FS_D:FS_D + 3].reshape(3, npad)
+            od = jnp.concatenate([
+                df, W.cross3(of, df), of,
+                (active_in > 0).reshape(1, npad).astype(f32)], axis=0)
+            ha = _kernel_a1_call(
+                cand, _to_flat_groups(od, n_groups), tbl.blocks,
+                kslots, float(cfg.max_ray_travel),
+                noprune=bool(cfg.cluster_noprune), interpret=interp)
+            ha_t = _from_flat_groups(ha, HA_ROWS, nrows)
+            fs, is_, sh, hitb = _kernel_a2_call(
+                scal, ha_t, fs, is_, tbl.mat_rows, tbl.light_rows,
+                tbl.env_rows,
+                tbl.tex_ct if use_tex else None,
+                tbl.tex_meta if use_tex else None,
+                key, tbl.n_lights, tbl.tr, first_emissive,
+                tex_maps=tex_maps, interpret=interp)
+        else:
+            fs, is_, sh, hitb = _kernel_a_call(
+                scal, cand, fs, is_, tbl.mat_rows, tbl.light_rows,
+                tbl.env_rows,
+                tbl.tex_ct if use_tex else None,
+                tbl.tex_meta if use_tex else None,
+                tbl.blocks,
+                key, kslots, tbl.n_lights, tbl.tr, first_emissive,
+                tex_maps=tex_maps, interpret=interp)
         ray_count = ray_count + jnp.sum(active_in)
         if bounce == 0:
             hit0 = hitb
@@ -804,8 +1297,15 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                 shp[SH_DIST].reshape(n_groups, _R, 128),
                 tbl.aabb_lo, tbl.aabb_hi, kslots)
             overflow = overflow + ovf2
-            occ = _kernel_b_call(cand_s, shp, tbl.blocks, kslots,
-                                 interpret=interp)
+            if _FLAT:
+                occ = _kernel_b1_call(
+                    cand_s, _to_flat_groups(shp.reshape(SH_ROWS, npad),
+                                            n_groups),
+                    tbl.blocks, kslots, interpret=interp)
+                occ = occ.reshape(nrows, 128)
+            else:
+                occ = _kernel_b_call(cand_s, shp, tbl.blocks, kslots,
+                                     interpret=interp)
             if sort_rays:
                 occ = unsort_rows(
                     ssrc, occ.reshape(1, npad))[0].reshape(nrows, 128)
@@ -825,11 +1325,28 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         overflow = overflow + ovf
         scal = jnp.stack(
             [sample_idx, jnp.uint32(cfg.max_bounces)]).reshape(1, 2)
-        fs, is_, _sh, _hitf = _kernel_a_call(
-            scal, cand, fs, is_, tbl.mat_rows, tbl.light_rows,
-            tbl.env_rows, None, None, tbl.blocks,
-            key, kslots, tbl.n_lights, tbl.tr, first_emissive,
-            final_env=True, interpret=interp)
+        if _FLAT:
+            of = fs[FS_O:FS_O + 3].reshape(3, npad)
+            df = fs[FS_D:FS_D + 3].reshape(3, npad)
+            od = jnp.concatenate([
+                df, W.cross3(of, df), of,
+                (active_in > 0).reshape(1, npad).astype(f32)], axis=0)
+            ha = _kernel_a1_call(
+                cand, _to_flat_groups(od, n_groups), tbl.blocks,
+                kslots, float(cfg.max_ray_travel),
+                noprune=bool(cfg.cluster_noprune), interpret=interp)
+            ha_t = _from_flat_groups(ha, HA_ROWS, nrows)
+            fs, is_, _sh, _hitf = _kernel_a2_call(
+                scal, ha_t, fs, is_, tbl.mat_rows, tbl.light_rows,
+                tbl.env_rows, None, None,
+                key, tbl.n_lights, tbl.tr, first_emissive,
+                final_env=True, interpret=interp)
+        else:
+            fs, is_, _sh, _hitf = _kernel_a_call(
+                scal, cand, fs, is_, tbl.mat_rows, tbl.light_rows,
+                tbl.env_rows, None, None, tbl.blocks,
+                key, kslots, tbl.n_lights, tbl.tr, first_emissive,
+                final_env=True, interpret=interp)
         ray_count = ray_count + jnp.sum(active_in)
     occupancy.append(jnp.sum(is_[IS_ACTIVE]))
 
