@@ -95,7 +95,8 @@ AT_UV0 = 27              # 27:29 texture uv at v0
 AT_UV1 = 29
 AT_UV2 = 31
 AT_LODB = 33             # -0.5*log2(tri_area2): ray-cone LOD bias
-AT_ROWS = 34
+AT_LID = 34              # light id of this tri's light (-1 = not a light)
+AT_ROWS = 35
 
 
 @struct.dataclass
@@ -330,8 +331,9 @@ def build_cluster_tables(positions, normals, indices, tri_material,
             np.asarray(lights.kind), [KIND_SPHERE, KIND_ENVQUAD]))):
         return None      # sphere/env-quad sampling is XLA-only
     n_clusters = -(-t // CT)
-    if (t == 0 or n_clusters > MAX_CLUSTERS or n_mats > MAX_MATERIALS
-            or n_lights > MAX_LIGHTS):
+    # n_lights > MAX_LIGHTS is allowed: such scenes ride the external-NEE
+    # mode (pt/nee_external.py) and never select from the VMEM table.
+    if t == 0 or n_clusters > MAX_CLUSTERS or n_mats > MAX_MATERIALS:
         return None
     env_rows = None
     if int(np.asarray(lights.env_light)) >= 0:
@@ -457,6 +459,7 @@ def build_cluster_tables(positions, normals, indices, tri_material,
     put1(AT_LPDF, lpdfp)
     put1(AT_LAREA, lareap)
     put1(AT_ISLIGHT, islp)
+    put1(AT_LID, pp(tri_light.astype(np.float32)))
     # global (prepared-order) triangle index — clusters are variable-
     # length ranges so the kernel cannot reconstruct it as cid*CT+j;
     # f32 is exact to 2^24, far above MAX_CLUSTERS*CT

@@ -83,6 +83,10 @@ class PathTracerConfig:
     # never consulted at trace time (round-2 order-dependent cache bug).
     kernel_tier: str = "auto"        # "auto" | "fused" | "clustered" | "xla"
     pallas_interpret: Optional[bool] = None   # None = resolve from backend
+    # Resolved by pt/dispatch.py: route NEE through the external XLA
+    # selection block (pt/nee_external.py) on the Pallas tiers — NEE-AT,
+    # >128 lights, or WRS K>1. Static jit arg like kernel_tier.
+    nee_external: bool = False
     # Kulla-Conty multiple-scattering energy compensation inside the
     # fused kernels (was env RTXPT_TPU_KERNEL_MS).
     kernel_energy_comp: bool = True

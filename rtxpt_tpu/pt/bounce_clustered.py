@@ -326,6 +326,8 @@ def _kernel_a2(*refs, cfg_key, n_lights, tr, first_emissive,
     is_out = next(it)
     sh_out = next(it)
     hit_out = next(it)
+    ext_nee = cfg_key[0] in (3, 4, 5) and n_lights > 0 and not final_env
+    surf_out = next(it) if ext_nee else None
     max_travel = cfg_key[5]
     sample_idx = scal_ref[0, 0]
     bounce = scal_ref[0, 1].astype(jnp.int32)
@@ -415,7 +417,8 @@ _B_ROWS = _round_up(2 + CL.AT_ROWS + 3, 8)
 _ATTR_MAP = {bp.AT_N0: CL.AT_N0, bp.AT_N1: CL.AT_N1, bp.AT_N2: CL.AT_N2,
              bp.AT_GN: CL.AT_GN, bp.AT_MID: CL.AT_MID,
              bp.AT_LPDF: CL.AT_LPDF, bp.AT_LAREA: CL.AT_LAREA,
-             bp.AT_ISLIGHT: CL.AT_ISLIGHT, bp.AT_LODB: CL.AT_LODB}
+             bp.AT_ISLIGHT: CL.AT_ISLIGHT, bp.AT_LODB: CL.AT_LODB,
+             bp.AT_LID: CL.AT_LID}
 for _j in range(2):
     _ATTR_MAP[bp.AT_UV0 + _j] = CL.AT_UV0 + _j
     _ATTR_MAP[bp.AT_UV1 + _j] = CL.AT_UV1 + _j
@@ -966,28 +969,40 @@ def _kernel_a2_call(scal, ha, fs, is_, mat_rows, light_rows, env_rows,
         in_specs.append(pl.BlockSpec(tex_meta.shape, const2,
                                      memory_space=pltpu.VMEM))
         inputs.extend([tex_ct, tex_meta])
-    return pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((NF, _R, 128), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NI, _R, 128), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((SH_ROWS, _R, 128), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((6, _R, 128), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((NF, nrows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((NI, nrows, 128), jnp.int32),
+        jax.ShapeDtypeStruct((SH_ROWS, nrows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((6, nrows, 128), jnp.float32),
+    ]
+    ext_nee = cfg_key[0] in (3, 4, 5) and n_lights > 0 and not final_env
+    if ext_nee:
+        out_specs.append(pl.BlockSpec((bp.SF_ROWS, _R, 128),
+                                      lambda b: (0, b, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((bp.SF_ROWS, nrows, 128), jnp.float32))
+    out = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((NF, _R, 128), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NI, _R, 128), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((SH_ROWS, _R, 128), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, _R, 128), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((NF, nrows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((NI, nrows, 128), jnp.int32),
-            jax.ShapeDtypeStruct((SH_ROWS, nrows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((6, nrows, 128), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(*inputs)
+    if ext_nee:
+        return out
+    return out + (None,)
 
 
 # ---------------------------------------------------------------------------
@@ -1128,8 +1143,11 @@ def eligible(scene, cfg, neeat_state) -> bool:
 
 def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                           want_aux: bool = False,
-                          first_emissive: bool = True):
-    """Large-scene fused wavefront; same contract as trace_paths."""
+                          first_emissive: bool = True,
+                          neeat_state=None):
+    """Large-scene fused wavefront; same contract as trace_paths.
+    `neeat_state` routes NEE through the external XLA block
+    (pt/nee_external.py) — NEE-AT / >128 lights / WRS K>1."""
     tbl: CL.ClusterTables = scene.cluster_tables
     n = o.shape[0]
     f32 = jnp.float32
@@ -1174,6 +1192,14 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
     key = _cfg_key(cfg)
     interp = _interpret(cfg)
     use_nee = key[0] in (1, 2) and tbl.n_lights > 0
+    ext_nee = key[0] in (3, 4, 5) and tbl.n_lights > 0
+    neeat_hist = None
+    if ext_nee:
+        assert _FLAT, "external NEE requires the flat clustered tier"
+        from rtxpt_tpu.lighting import neeat as na
+        from rtxpt_tpu.pt.nee_external import external_nee
+        if key[0] == 3 and neeat_state is not None:
+            neeat_hist = na.zero_hist(neeat_state)
     use_tex = tbl.tex_ct is not None and \
         bool(cfg.stochastic_texture_filtering)
     tex_maps = tbl.tex_maps if use_tex else (1, 0, 0)
@@ -1251,13 +1277,39 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                 kslots, float(cfg.max_ray_travel),
                 noprune=bool(cfg.cluster_noprune), interpret=interp)
             ha_t = _from_flat_groups(ha, HA_ROWS, nrows)
-            fs, is_, sh, hitb = _kernel_a2_call(
+            d_in = fs[FS_D:FS_D + 3]
+            prev_pdf_in = fs[FS_PREVPDF]
+            prev_delta_in = is_[IS_PREVDELTA]
+            budget_in = is_[bp.IS_BUDGET]
+            fs, is_, sh, hitb, surf = _kernel_a2_call(
                 scal, ha_t, fs, is_, tbl.mat_rows, tbl.light_rows,
                 tbl.env_rows,
                 tbl.tex_ct if use_tex else None,
                 tbl.tex_meta if use_tex else None,
                 key, tbl.n_lights, tbl.tr, first_emissive,
                 tex_maps=tex_maps, interpret=interp)
+            if ext_nee:
+                hitm = ((active_in > 0) & (hitb[0] > 0.0)
+                        & (bounce < budget_in)).reshape(npad)
+                res = external_nee(
+                    scene, cfg, neeat_state,
+                    surf.reshape(bp.SF_ROWS, npad),
+                    d_in.reshape(3, npad), hitm,
+                    prev_pdf_in.reshape(npad),
+                    prev_delta_in.reshape(npad) > 0,
+                    is_[IS_PX].reshape(npad), is_[IS_PY].reshape(npad),
+                    sample_idx, bounce, first_emissive)
+                L = fs[FS_L:FS_L + 3] \
+                    + res["em_add"].T.reshape(3, nrows, 128)
+                fs = jnp.concatenate([fs[:FS_L], L, fs[FS_L + 3:]],
+                                     axis=0)
+                # pack the XLA-selected shadow requests into the SH
+                # layout so the flat shadow path below runs unchanged
+                sh = jnp.concatenate([
+                    res["shadow_o"].T, res["shadow_d"].T,
+                    res["sdist"][None], res["contrib"].T,
+                    res["do_nee"].astype(f32)[None],
+                ], axis=0).reshape(SH_ROWS, nrows, 128)
         else:
             fs, is_, sh, hitb = _kernel_a_call(
                 scal, cand, fs, is_, tbl.mat_rows, tbl.light_rows,
@@ -1271,7 +1323,7 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         if bounce == 0:
             hit0 = hitb
             src0 = src
-        if use_nee:
+        if use_nee or ext_nee:
             do = sh[SH_DO] > 0.5
             if sort_rays:
                 # Shadow rays target per-lane random lights; the primary
@@ -1309,11 +1361,18 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
             if sort_rays:
                 occ = unsort_rows(
                     ssrc, occ.reshape(1, npad))[0].reshape(nrows, 128)
+            ok = do & (occ < 0.5)
             L = fs[FS_L:FS_L + 3] + jnp.where(
-                (do & (occ < 0.5))[None], sh[SH_CONTRIB:SH_CONTRIB + 3],
-                0.0)
+                ok[None], sh[SH_CONTRIB:SH_CONTRIB + 3], 0.0)
             fs = jnp.concatenate([fs[:FS_L], L, fs[FS_L + 3:]], axis=0)
             ray_count = ray_count + jnp.sum(do.astype(jnp.int32))
+            if neeat_hist is not None:
+                cf = sh[SH_CONTRIB:SH_CONTRIB + 3].reshape(3, npad)
+                neeat_hist = na.accumulate_feedback(
+                    neeat_state, neeat_hist, res["tile"], res["li"],
+                    jnp.maximum(cf[0] * 0.2126 + cf[1] * 0.7152
+                                + cf[2] * 0.0722, 0.0),
+                    ok.reshape(npad))
     if tbl.env_rows is not None:
         # final env-only round for escaping rays (XLA loop parity)
         active_in = is_[IS_ACTIVE]
@@ -1336,7 +1395,7 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                 kslots, float(cfg.max_ray_travel),
                 noprune=bool(cfg.cluster_noprune), interpret=interp)
             ha_t = _from_flat_groups(ha, HA_ROWS, nrows)
-            fs, is_, _sh, _hitf = _kernel_a2_call(
+            fs, is_, _sh, _hitf, _ = _kernel_a2_call(
                 scal, ha_t, fs, is_, tbl.mat_rows, tbl.light_rows,
                 tbl.env_rows, None, None,
                 key, tbl.n_lights, tbl.tr, first_emissive,
@@ -1358,6 +1417,8 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         L = fs[FS_L:FS_L + 3].reshape(3, npad).T[:n]
     out = dict(L=L, ray_count=ray_count, occupancy=jnp.stack(occupancy),
                cull_overflow=overflow)
+    if neeat_hist is not None:
+        out["neeat_hist"] = neeat_hist
 
     if want_aux:
         from rtxpt_tpu.accel.traverse import Hit

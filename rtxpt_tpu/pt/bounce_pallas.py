@@ -107,7 +107,8 @@ AT_UV0 = 16             # 16:18 texture uv at v0
 AT_UV1 = 18
 AT_UV2 = 20
 AT_LODB = 22            # -0.5*log2(tri_area2): ray-cone LOD bias
-AT_ROWS = 23
+AT_LID = 23             # light id of this tri's light (-1 = not a light)
+AT_ROWS = 24
 
 # material table rows (one column per material)
 MT_BASE = 0             # 0:3
@@ -162,6 +163,28 @@ TXM_NMIPS = 2
 TXM_OFF = 3                 # 3:17 per-MIP start texel
 TXM_POW = 17                # lanes k hold 2^-k (shared; not per-texture)
 TXM_ROWS = 18
+
+# --- external-NEE surface export rows (kernel -> XLA; the hot-tier
+# route for NEE-AT / >128 lights / WRS K>1: light SELECTION and MIS run
+# in XLA on the kernel-exported surface, the kernel keeps intersect +
+# scatter + textures and the shadow kernel resolves occlusion — see
+# pt/nee_external.py). Reference split: LightSampler.hlsli SampleLocal/
+# SampleGlobal read baked per-tile buffers the host maintains
+# (LightsBaker.cpp:1331-1408); here the per-tile state stays an XLA-side
+# structure instead of a VMEM table (32k tiles x 2k lights >> VMEM).
+SF_POS = 0              # 0:3 shading position
+SF_SHN = 3              # 3:6 shading normal
+SF_GN = 6               # 6:9 geometric normal (ray-facing)
+SF_MID = 9              # material id
+SF_BASE = 10            # 10:13 textured base color
+SF_METAL = 13           # textured metallic
+SF_ROUGH = 14           # textured roughness
+SF_ETA = 15             # relative IoR at this crossing
+SF_THP = 16             # 16:19 throughput at the surface (post-volume)
+SF_EMIT = 19            # 19:22 unweighted emissive contribution thp*Le
+SF_PGEO = 22            # area->solid-angle jacobian t^2/(A*cos) of the hit
+SF_LID = 23             # hit triangle's light id (-1 none)
+SF_ROWS = 24
 
 # Effect seeds — must match pt/integrator.py
 EFFECT_SCATTER = 29
@@ -316,8 +339,10 @@ def build_tex_tables(atlas, materials):
 
 
 def pack_lights(lights) -> np.ndarray:
-    """[W.LROWS, 128] lane table: one column per light."""
-    n_lights = int(np.asarray(lights.num))
+    """[W.LROWS, 128] lane table: one column per light (first 128 —
+    scenes with more ride the external-NEE mode and never select from
+    this table)."""
+    n_lights = min(int(np.asarray(lights.num)), 128)
     lt = np.zeros((W.LROWS, 128), np.float32)
     lt[W.LROW_CDF, :] = 1.0
     lt[W.LROW_KIND, :n_lights] = np.asarray(lights.kind)[:n_lights]
@@ -357,8 +382,10 @@ def build_bounce_tables(positions, normals, indices, tri_material,
     t = len(indices)
     n_mats = len(np.asarray(materials.base_color))
     n_lights = int(np.asarray(lights.num))
-    if (t == 0 or t > PALLAS_MAX_TRIS or n_mats > MAX_MATERIALS
-            or n_lights > MAX_LIGHTS):
+    # n_lights > MAX_LIGHTS is allowed: the in-kernel light table only
+    # holds the first 128 columns and pt/dispatch.py routes such scenes
+    # to the EXTERNAL-NEE mode (XLA-side selection, any light count).
+    if t == 0 or t > PALLAS_MAX_TRIS or n_mats > MAX_MATERIALS:
         return None
     env_rows = None
     if int(np.asarray(lights.env_light)) >= 0:
@@ -433,6 +460,7 @@ def build_bounce_tables(positions, normals, indices, tri_material,
     attr[AT_LAREA, :t] = np.where(
         has_l, np.asarray(lights.extra)[li, 0], 1.0)
     attr[AT_ISLIGHT, :t] = has_l.astype(np.float32)
+    attr[AT_LID, :t] = tri_light[:t].astype(np.float32)
     if uvs is not None:
         uvs = np.asarray(uvs, np.float32)
         attr[AT_UV0:AT_UV0 + 2, :t] = uvs[indices[:, 0]].T
@@ -802,17 +830,26 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
         return tuple(rng.uniform_sample(
             seed, rng.hash_combine(sample_idx, dd)) for dd in dims)
 
+    # nee_mode: 0 off | 1 uniform | 2 power (in-kernel selection) |
+    # 3 NEE-AT | 4 uniform-ext | 5 power-ext (external selection:
+    # the kernel exports the surface and XLA runs NEE — pt/nee_external).
+    ext_nee = nee_mode in (3, 4, 5) and n_lights > 0
     use_nee = nee_mode in (1, 2) and n_lights > 0
-    nee_uniform = nee_mode == 1
+    nee_uniform = nee_mode in (1, 4)
+    # emissive-hit MIS with the baked per-tri selection pdf works
+    # in-kernel for every mode except NEE-AT (mixture needs the XLA-side
+    # per-tile state: exported as p_geo + light id instead).
+    em_mis_inkernel = nee_mode in (1, 2, 4, 5) and n_lights > 0
     em_gate = jnp.asarray(first_emissive, bool) | (bounce > 0)
 
     hit_mask = active & hit
     # ----- HandleMiss: environment (PathTracer.hlsli:407-503) -----
     if env_ref is not None:
         miss_mask = active & ~hit
-        env_L, p_env = _env_eval_pdf(env_ref, d, nee_uniform, n_lights,
-                                     with_pdf=use_nee and bool(enable_mis))
-        if use_nee and enable_mis:
+        env_L, p_env = _env_eval_pdf(
+            env_ref, d, nee_uniform, n_lights,
+            with_pdf=(use_nee or ext_nee) and bool(enable_mis))
+        if (use_nee or ext_nee) and enable_mis:
             w_env = jnp.where(prev_delta | (bounce == 0), 1.0,
                               W.power_heuristic(prev_pdf, p_env))
         else:
@@ -925,23 +962,39 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
     emissive = jnp.where(front, emissive, 0.0)
 
     # ----- emissive hit + MIS (baked per-tri light pdf/area) -----
-    if use_nee and enable_mis:
-        cos_l = jnp.abs(W.dot3(-d, gn))
+    cos_l = jnp.abs(W.dot3(-d, gn))
+    area = jnp.maximum(attr(AT_LAREA), 1e-12)
+    p_geo = t * t / jnp.maximum(area * jnp.maximum(cos_l, 1e-9), 1e-12)
+    if em_mis_inkernel and enable_mis:
         if nee_uniform:
             sel_pdf_hit = attr(AT_ISLIGHT) / float(max(n_lights, 1))
         else:
             sel_pdf_hit = attr(AT_LPDF)
-        area = jnp.maximum(attr(AT_LAREA), 1e-12)
-        p_light = sel_pdf_hit * t * t / jnp.maximum(
-            area * jnp.maximum(cos_l, 1e-9), 1e-12)
+        p_light = sel_pdf_hit * p_geo
         p_light = jnp.where(attr(AT_ISLIGHT) > 0.5, p_light, 0.0)
         w_em = jnp.where(prev_delta | (bounce == 0), 1.0,
                          W.power_heuristic(prev_pdf, p_light))
     else:
         w_em = jnp.ones_like(t)
-    L = L + jnp.where(hit_mask & em_gate, thp * emissive * w_em, 0.0)
+    if nee_mode == 3:
+        # NEE-AT: the mixture selection pmf lives in the XLA-side tile
+        # state — export the unweighted contribution + jacobian + light
+        # id; pt/nee_external applies the exact mixture MIS weight.
+        em3 = jnp.where(hit_mask & em_gate, thp * emissive, 0.0)
+    else:
+        L = L + jnp.where(hit_mask & em_gate, thp * emissive * w_em, 0.0)
+        em3 = jnp.zeros_like(thp)
 
     wo = W.to_local3(-d, sh_n)
+    if ext_nee:
+        surf_rows = jnp.concatenate([
+            pos, sh_n, gn, mid.astype(f32)[None],
+            base_color, metallic[None], roughness[None],
+            bsdf.eta[None], thp, em3,
+            jnp.where(attr(AT_ISLIGHT) > 0.5, p_geo, 0.0)[None],
+            attr(AT_LID)[None]], axis=0)
+    else:
+        surf_rows = None
 
     # ----- NEE (1 candidate; HandleNEE analog) -----
     do_nee = jnp.zeros(t.shape, bool)
@@ -1047,7 +1100,7 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
         o_new=o_new, wi_world=wi_world, thp=thp, L=L, prev_pdf=prev_pdf,
         active=active, prev_delta=prev_delta, med0=med0, med1=med1,
         do_nee=do_nee, shadow_o=shadow_o, shadow_d=shadow_d, sdist=sdist,
-        contrib=contrib, cone=cone, spread=spread)
+        contrib=contrib, cone=cone, spread=spread, surf=surf_rows)
 
 
 def _attrs_from_prim(attr_ref, prim_g, tc, n_chunks):
@@ -1086,6 +1139,8 @@ def _bounce_kernel(*refs,
     fs_out = next(it)
     is_out = next(it)
     hit_out = next(it)
+    ext_nee = cfg_key[0] in (3, 4, 5) and n_lights > 0 and not final_env
+    surf_out = next(it) if ext_nee else None
     sample_idx = scal_ref[0, 0]
     bounce = scal_ref[0, 1].astype(jnp.int32)
 
@@ -1142,7 +1197,7 @@ def _bounce_kernel(*refs,
         # rays (integrator.py: break after HandleMiss) — mirror it with
         # an intersect+env-only pass.
         (nee_mode_, enable_mis_, *_rest) = cfg_key
-        use_nee_ = nee_mode_ in (1, 2) and n_lights > 0
+        use_nee_ = nee_mode_ in (1, 2, 4, 5) and n_lights > 0
         active_in = is_[IS_ACTIVE] > 0
         prev_delta_in = is_[IS_PREVDELTA] > 0
         miss_mask = active_in & ~hit
@@ -1183,13 +1238,14 @@ def _bounce_kernel(*refs,
     # ----- NEE shadow occlusion (in-kernel second matmul pass) -----
     L = s["L"]
     do_nee = s["do_nee"]
-    occs = []
-    for g in range(_R):
-        cols = _ray_cols(s["shadow_o"], s["shadow_d"], g)
-        occs.append(_occluded_group(tri_ref, cols, s["sdist"][g:g + 1],
-                                    tc, n_chunks))
-    occluded = _stack_groups(occs) > 0.5
-    L = L + jnp.where(do_nee & ~occluded, s["contrib"], 0.0)
+    if not ext_nee:
+        occs = []
+        for g in range(_R):
+            cols = _ray_cols(s["shadow_o"], s["shadow_d"], g)
+            occs.append(_occluded_group(tri_ref, cols, s["sdist"][g:g + 1],
+                                        tc, n_chunks))
+        occluded = _stack_groups(occs) > 0.5
+        L = L + jnp.where(do_nee & ~occluded, s["contrib"], 0.0)
 
     fs_out[:] = jnp.concatenate(
         [s["o_new"], s["wi_world"], s["thp"], L, s["prev_pdf"][None],
@@ -1202,6 +1258,44 @@ def _bounce_kernel(*refs,
     hit_out[:] = jnp.stack(
         [jnp.where(hit, t, 0.0), prim_f, bu, bv,
          front.astype(f32), do_nee.astype(f32)], axis=0)
+    if ext_nee:
+        surf_out[:] = s["surf"]
+
+
+def _shadow_kernel(sh_ref, tri_ref, occ_out, *, tc, n_chunks):
+    """Occlusion-only pass for XLA-built shadow requests (external NEE).
+    sh rows follow bounce_clustered.SH_* (o 0:3, d 3:6, dist 6, do 10)."""
+    sh = sh_ref[:]
+    occs = []
+    for g in range(_R):
+        cols = _ray_cols(sh[0:3], sh[3:6], g)
+        occs.append(_occluded_group(tri_ref, cols, sh[6][g:g + 1],
+                                    tc, n_chunks))
+    occ = _stack_groups(occs)
+    occ_out[:] = jnp.where(sh[10] > 0.5, occ, 1.0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tc", "n_chunks", "interpret"))
+def shadow_occlusion_call(sh, tri_rows, tc, n_chunks, interpret=False):
+    """sh [11, nrows, 128] -> occ [nrows, 128] (1 = occluded/no-request)."""
+    nrows = sh.shape[1]
+    grid = nrows // _R
+    kern = functools.partial(_shadow_kernel, tc=tc, n_chunks=n_chunks)
+    return pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((sh.shape[0], _R, 128), lambda b: (0, b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(tri_rows.shape, lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_R, 128), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nrows, 128), jnp.float32),
+        interpret=interpret,
+    )(sh, tri_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -1272,32 +1366,50 @@ def _bounce_call(scal, fs, is_, tri_rows, attr_rows, mat_rows, light_rows,
         in_specs.append(pl.BlockSpec(tex_meta.shape, const,
                                      memory_space=pltpu.VMEM))
         inputs.extend([tex_ct, tex_meta])
-    return pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((NF, _R, 128), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((NI, _R, 128), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((6, _R, 128), lambda b: (0, b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((NF, nrows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((NI, nrows, 128), jnp.int32),
+        jax.ShapeDtypeStruct((6, nrows, 128), jnp.float32),
+    ]
+    ext_nee = cfg_key[0] in (3, 4, 5) and n_lights > 0 and not final_env
+    if ext_nee:
+        out_specs.append(pl.BlockSpec((SF_ROWS, _R, 128),
+                                      lambda b: (0, b, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((SF_ROWS, nrows, 128), jnp.float32))
+    out = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((NF, _R, 128), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((NI, _R, 128), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, _R, 128), lambda b: (0, b, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((NF, nrows, 128), jnp.float32),
-            jax.ShapeDtypeStruct((NI, nrows, 128), jnp.int32),
-            jax.ShapeDtypeStruct((6, nrows, 128), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(*inputs)
+    if ext_nee:
+        return out
+    return out + (None,)
 
 
 def _cfg_key(cfg):
     """Static kernel-permutation key. Every flag that changes the traced
     kernel body MUST ride here (it is a static jit argname of
-    _bounce_call) — never read env/process state inside the kernel."""
-    return (int(cfg.nee.value), bool(cfg.enable_mis),
+    _bounce_call) — never read env/process state inside the kernel.
+
+    nee slot: 0 off | 1 uniform | 2 power (in-kernel) | 3 NEE-AT |
+    4 uniform-external | 5 power-external (pt/nee_external.py)."""
+    mode = int(cfg.nee.value)
+    if getattr(cfg, "nee_external", False) and mode in (1, 2):
+        mode += 3
+    return (mode, bool(cfg.enable_mis),
             float(cfg.firefly_clamp), bool(cfg.enable_russian_roulette),
             int(cfg.min_bounces_before_rr), float(cfg.max_ray_travel),
             bool(cfg.low_discrepancy), bool(cfg.kernel_energy_comp),
@@ -1313,14 +1425,16 @@ def eligible(scene, cfg, neeat_state) -> bool:
 
 def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                        want_aux: bool = False, first_emissive: bool = True,
-                       first_hit=None, bounce_budget=None):
+                       first_hit=None, bounce_budget=None,
+                       neeat_state=None):
     """Fused-kernel wavefront: same contract as integrator.trace_paths.
 
     `first_hit` (accel Hit): V-buffer restart — bounce 0 skips the
     in-kernel intersect loop and shades the injected hit (stable-planes
     FILL; FirstHitFromVBuffer, PathTracerSample.hlsl:34-94).
     `bounce_budget` [N] i32: per-lane remaining bounces (see
-    integrator.trace_paths)."""
+    integrator.trace_paths). `neeat_state`: NEE-AT tile state — routes
+    NEE through the external XLA block (pt/nee_external.py)."""
     tbl: BounceTables = scene.bounce_tables
     n = o.shape[0]
     f32 = jnp.float32
@@ -1381,6 +1495,13 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
     use_tex = tbl.tex_ct is not None and \
         bool(cfg.stochastic_texture_filtering)
     tex_maps = tbl.tex_maps if use_tex else (1, 0, 0)
+    ext_nee = key[0] in (3, 4, 5) and tbl.n_lights > 0
+    neeat_hist = None
+    if ext_nee:
+        from rtxpt_tpu.lighting import neeat as na
+        from rtxpt_tpu.pt.nee_external import external_nee
+        if key[0] == 3 and neeat_state is not None:
+            neeat_hist = na.zero_hist(neeat_state)
 
     ray_count = jnp.zeros((), jnp.int32)
     occupancy = []
@@ -1390,7 +1511,11 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         occupancy.append(jnp.sum(active_in))
         scal = jnp.stack(
             [sample_idx, jnp.uint32(bounce)]).reshape(1, 2)
-        fs, is_, hit = _bounce_call(
+        d_in = fs[FS_D:FS_D + 3]
+        prev_pdf_in = fs[FS_PREVPDF]
+        prev_delta_in = is_[IS_PREVDELTA]
+        budget_in = is_[IS_BUDGET]
+        fs, is_, hit, surf = _bounce_call(
             scal, fs, is_, tbl.tri_rows, tbl.attr_rows, tbl.mat_rows,
             tbl.light_rows, tbl.env_rows,
             tbl.tex_ct if use_tex else None,
@@ -1398,6 +1523,38 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
             key, tbl.tc, tbl.n_chunks, tbl.n_lights, tbl.tr,
             first_emissive, tex_maps=tex_maps, interpret=interp,
             inj=inj0 if bounce == 0 else None)
+        if ext_nee:
+            hitm = ((active_in > 0) & (hit[0] > 0.0)
+                    & (bounce < budget_in)).reshape(npad)
+            res = external_nee(
+                scene, cfg, neeat_state, surf.reshape(SF_ROWS, npad),
+                d_in.reshape(3, npad), hitm,
+                prev_pdf_in.reshape(npad),
+                prev_delta_in.reshape(npad) > 0,
+                is_[IS_PX].reshape(npad), is_[IS_PY].reshape(npad),
+                sample_idx, bounce, first_emissive)
+            sh_rows = jnp.concatenate([
+                res["shadow_o"].T, res["shadow_d"].T,
+                res["sdist"][None],
+                jnp.zeros((3, npad), jnp.float32),
+                res["do_nee"].astype(jnp.float32)[None],
+            ], axis=0).reshape(11, nrows, 128)
+            occ = shadow_occlusion_call(sh_rows, tbl.tri_rows, tbl.tc,
+                                        tbl.n_chunks, interpret=interp)
+            ok = res["do_nee"] & (occ.reshape(npad) < 0.5)
+            add = res["em_add"] + jnp.where(ok[:, None],
+                                            res["contrib"], 0.0)
+            L = fs[FS_L:FS_L + 3] + add.T.reshape(3, nrows, 128)
+            fs = jnp.concatenate([fs[:FS_L], L, fs[FS_L + 3:]], axis=0)
+            ray_count = ray_count + jnp.sum(res["do_nee"].astype(
+                jnp.int32))
+            if neeat_hist is not None:
+                neeat_hist = na.accumulate_feedback(
+                    neeat_state, neeat_hist, res["tile"], res["li"],
+                    jnp.maximum(res["contrib"][:, 0] * 0.2126
+                                + res["contrib"][:, 1] * 0.7152
+                                + res["contrib"][:, 2] * 0.0722, 0.0),
+                    ok)
         ray_count = ray_count + jnp.sum(active_in) \
             + jnp.sum(hit[5].astype(jnp.int32))
         if bounce == 0:
@@ -1407,7 +1564,7 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         active_in = is_[IS_ACTIVE]
         scal = jnp.stack(
             [sample_idx, jnp.uint32(cfg.max_bounces)]).reshape(1, 2)
-        fs, is_, _hitf = _bounce_call(
+        fs, is_, _hitf, _surf = _bounce_call(
             scal, fs, is_, tbl.tri_rows, tbl.attr_rows, tbl.mat_rows,
             tbl.light_rows, tbl.env_rows, None, None,
             key, tbl.tc, tbl.n_chunks, tbl.n_lights, tbl.tr,
@@ -1417,6 +1574,8 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
 
     L = fs[FS_L:FS_L + 3].reshape(3, npad).T[:n]
     out = dict(L=L, ray_count=ray_count, occupancy=jnp.stack(occupancy))
+    if neeat_hist is not None:
+        out["neeat_hist"] = neeat_hist
 
     if want_aux:
         from rtxpt_tpu.accel.traverse import Hit

@@ -36,17 +36,56 @@ log = logging.getLogger("rtxpt_tpu.dispatch")
 _seen_tiers: set = set()
 
 
+def _nee_routing_ok(scene, cfg, neeat_state, tables) -> bool:
+    """Shared NEE eligibility for the Pallas tiers. Small scenes with
+    in-table lights (<=128, uniform/power, 1 candidate) sample lights
+    IN-KERNEL; NEE-AT, >128 lights and WRS K>1 ride the EXTERNAL XLA
+    selection block (pt/nee_external.py) — see needs_external_nee."""
+    mode = cfg.nee.value
+    if mode == 3:
+        # NEE-AT: needs the tile state; env-in-NEEAT MIS (uniform-uv
+        # counterpart strategy, integrator.py:262-300) is not ported to
+        # the external block yet — env scenes fall back to XLA.
+        if neeat_state is None:
+            return False
+        lights = getattr(scene, "lights", None)
+        if lights is None:
+            return False
+        try:
+            import numpy as _np
+            if int(_np.asarray(lights.env_light)) >= 0:
+                return False
+        except Exception:
+            return False
+        return True
+    if mode not in (0, 1, 2):
+        return False
+    return True
+
+
+def needs_external_nee(scene, cfg, neeat_state) -> bool:
+    """True when NEE must run in the external XLA block on a Pallas
+    tier: NEE-AT state, >128 lights (past the VMEM lane table), or
+    WRS candidate counts > 1."""
+    if cfg.nee.value == 0 or scene.lights is None:
+        return False
+    if cfg.nee.value == 3:
+        return True
+    n_lights = int(getattr(scene.lights, "count", 0) or 0)
+    return n_lights > 128 or int(cfg.nee_candidates) > 1
+
+
 def fused_structural_ok(scene, cfg, neeat_state) -> bool:
     """Structural (pytree-shape only) eligibility for the fused kernel.
 
     The kernel demands VMEM-resident operand tables baked at prepare().
-    Textures ride in-kernel via stochastic filtering (RTXTF analog) and
-    env lighting via the baked (64,128) env table — matching the
-    reference's in-megakernel bindless sampling
-    (PathTracerBridgeDonut.hlsli:270-285, Lighting/EnvMap.hlsli); the
-    few remaining unported features (alpha/OMM retrace, NEE-AT, split
-    channels, WRS K>1, nested priorities, normal maps) fall back to the
-    XLA wavefront.
+    Textures ride in-kernel via stochastic filtering (RTXTF analog), env
+    lighting via the baked (64,128) env table — matching the reference's
+    in-megakernel bindless sampling (PathTracerBridgeDonut.hlsli:270-285,
+    Lighting/EnvMap.hlsli) — and NEE-AT / >128 lights / WRS K>1 via the
+    external XLA selection block (pt/nee_external.py). Remaining
+    unported features (alpha/OMM retrace, split channels, nested
+    priorities, normal maps) fall back to the XLA wavefront.
     """
     if getattr(scene, "bounce_tables", None) is None:
         return False
@@ -64,13 +103,9 @@ def fused_structural_ok(scene, cfg, neeat_state) -> bool:
     # the Pallas tiers diverges per-platform).
     if getattr(scene, "has_nested_priorities", False):
         return False
-    if neeat_state is not None:
-        return False
     if getattr(cfg, "split_channels", False):
         return False
-    if cfg.nee.value not in (0, 1, 2):
-        return False
-    if int(cfg.nee_candidates) > 1:
+    if not _nee_routing_ok(scene, cfg, neeat_state, scene.bounce_tables):
         return False
     return True
 
@@ -88,13 +123,10 @@ def clustered_structural_ok(scene, cfg, neeat_state) -> bool:
             return False
     if getattr(scene, "has_nested_priorities", False):
         return False
-    if neeat_state is not None:
-        return False
     if getattr(cfg, "split_channels", False):
         return False
-    if cfg.nee.value not in (0, 1, 2):
-        return False
-    if int(cfg.nee_candidates) > 1:
+    if not _nee_routing_ok(scene, cfg, neeat_state,
+                           scene.cluster_tables):
         return False
     return True
 
@@ -139,10 +171,12 @@ def resolve(scene, cfg, neeat_state=None):
     noprune = cfg.cluster_noprune or \
         env.get("RTXPT_TPU_CLUSTER_NOPRUNE") == "1"
 
+    ext = tier in ("fused", "clustered") and \
+        needs_external_nee(scene, cfg, neeat_state)
     out = dataclasses.replace(
         cfg, kernel_tier=tier, pallas_interpret=bool(interp),
         cluster_kslots=kslots, kernel_energy_comp=energy,
-        cluster_noprune=noprune)
+        cluster_noprune=noprune, nee_external=ext)
 
     # Tier visibility (VERDICT "What's weak" #4: silent 8x cliffs): log
     # once per (tier, scene-structure) so enabling e.g. an envmap that

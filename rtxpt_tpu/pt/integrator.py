@@ -95,13 +95,15 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
                                      sample_idx, want_aux=want_aux,
                                      first_emissive=first_emissive,
                                      first_hit=first_hit,
-                                     bounce_budget=bounce_budget)
+                                     bounce_budget=bounce_budget,
+                                     neeat_state=neeat_state)
     if first_hit is None and cfg.kernel_tier == "clustered":
         from rtxpt_tpu.pt import bounce_clustered as bc
         return bc.trace_paths_clustered(scene, cfg, o, d, cone_spread,
                                         px, py, sample_idx,
                                         want_aux=want_aux,
-                                        first_emissive=first_emissive)
+                                        first_emissive=first_emissive,
+                                        neeat_state=neeat_state)
     n = o.shape[0]
     f32 = jnp.float32
     L = jnp.zeros((n, 3), f32)
