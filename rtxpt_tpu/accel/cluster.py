@@ -96,7 +96,9 @@ AT_UV1 = 29
 AT_UV2 = 31
 AT_LODB = 33             # -0.5*log2(tri_area2): ray-cone LOD bias
 AT_LID = 34              # light id of this tri's light (-1 = not a light)
-AT_ROWS = 35
+AT_TANG = 35             # 35:38 UV tangent premultiplied by 1/det_uv
+AT_TSGN = 38             # sign(det_uv); 0 = degenerate UV mapping
+AT_ROWS = 39
 
 
 @struct.dataclass
@@ -116,7 +118,7 @@ class ClusterTables:
     n_tris: int = struct.field(pytree_node=False, default=0)
     n_lights: int = struct.field(pytree_node=False, default=0)
     tr: int = struct.field(pytree_node=False, default=0)
-    tex_maps: tuple = struct.field(pytree_node=False, default=(1, 0, 0))
+    tex_maps: tuple = struct.field(pytree_node=False, default=(1, 0, 0, 0))
 
     @property
     def tex_rows(self):
@@ -194,7 +196,8 @@ def radix_cut_offsets(codes: np.ndarray, max_size: int) -> np.ndarray:
 
 
 def refresh_cluster_tables(tbl: ClusterTables, positions, normals,
-                           indices, lights=None) -> ClusterTables:
+                           indices, lights=None,
+                           uvs=None) -> ClusterTables:
     """Device-side geometry refresh of the cluster blocks for ANIMATED
     frames (VERDICT r2 #9: keep animation on the hot path). Treelet
     structure (offsets, slot->tri map, materials, uvs, light ids) is
@@ -287,6 +290,19 @@ def refresh_cluster_tables(tbl: ClusterTables, positions, normals,
     blocks = put3(blocks, AT_N2, n2)
     blocks = put1(blocks, AT_LODB,
                   -0.5 * jnp.log2(jnp.maximum(nlen[:, 0], 1e-20)))
+    if uvs is not None:
+        # UV deltas are topology, but the premultiplied tangent mixes in
+        # the world edges — recompute it for deformed geometry
+        t0 = jnp.take(uvs, tri[:, 0], axis=0)
+        duv1 = jnp.take(uvs, tri[:, 1], axis=0) - t0
+        duv2 = jnp.take(uvs, tri[:, 2], axis=0) - t0
+        det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+        ok = jnp.abs(det_uv) > 1e-12
+        r = jnp.where(ok, 1.0 / jnp.where(ok, det_uv, 1.0), 0.0)
+        tang = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * r[:, None]
+        blocks = put3(blocks, AT_TANG, tang * vmask)
+        blocks = put1(blocks, AT_TSGN,
+                      jnp.where(ok, jnp.sign(det_uv), 0.0) * vmask[:, 0])
 
     light_rows = tbl.light_rows
     if lights is not None and int(np.asarray(lights.num)) > 0:
@@ -344,9 +360,6 @@ def build_cluster_tables(positions, normals, indices, tri_material,
             np.asarray(lights.power)[int(np.asarray(lights.env_light))])
     tex = None
     if textures is not None:
-        arr = getattr(materials, "normal_tex", None)
-        if arr is not None and int(np.max(np.asarray(arr))) >= 0:
-            return None      # normal mapping is XLA-only
         tex = build_tex_tables(textures, materials)
         if tex is None:
             return None
@@ -471,6 +484,10 @@ def build_cluster_tables(positions, normals, indices, tri_material,
             uvv = pp(uvs[indices[:, vi]])
             put1(row, uvv[:, 0])
             put1(row + 1, uvv[:, 1])
+        from rtxpt_tpu.pt.bounce_pallas import _tangent_rows
+        tang, tsgn = _tangent_rows(uvs, indices, e1, e2)
+        put3(AT_TANG, pp(tang))
+        put1(AT_TSGN, pp(tsgn))
     tri_area2 = np.linalg.norm(np_, axis=-1)
     put1(AT_LODB, (-0.5 * np.log2(np.maximum(tri_area2, 1e-20))
                    ).astype(np.float32))

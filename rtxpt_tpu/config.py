@@ -75,6 +75,11 @@ class PathTracerConfig:
     # Diffuse/specular radiance split for per-channel denoising
     # (NRD RELAX_DIFFUSE_SPECULAR semantics, NrdConfig.cpp:25-27)
     split_channels: bool = False
+    # Extra wavefront iterations on the Pallas tiers for pass-through
+    # lanes (alpha-test rejections / nested-priority false hits re-trace
+    # without consuming a logical bounce — the in-kernel analog of the
+    # XLA bounded retrace, scene/omm.MAX_ALPHA_RETRACE)
+    passthrough_extra_iters: int = 2
     # --- kernel-tier dispatch (pt/dispatch.py) ---------------------------
     # Which bounce-kernel tier serves trace_paths. "auto" is resolved to a
     # concrete tier OUTSIDE jit by pt/dispatch.resolve(); the resolved

@@ -110,11 +110,12 @@ def prepare(host: HostScene, env_res="auto",
     # ones before the BVH build (scene/omm.py).
     tri_opacity = None
     tri_micromap = None
+    tri_cover = None
     if host.textures:
         from rtxpt_tpu.scene.omm import TRANSPARENT, bake_opacity_micromaps
         baked = bake_opacity_micromaps(host, sd.materials, host.textures)
         if baked is not None:
-            classes, micromaps = baked
+            classes, micromaps, covers = baked
             keep = classes != TRANSPARENT
             if not keep.all():
                 g = sd.geometry
@@ -126,9 +127,11 @@ def prepare(host: HostScene, env_res="auto",
                         np.asarray(g.tri_subinstance)[keep])))
                 classes = classes[keep]
                 micromaps = micromaps[keep]
+                covers = covers[keep]
             if (classes != 0).any():
                 tri_opacity = jnp.asarray(classes)
                 tri_micromap = micromaps.astype(np.int32)
+                tri_cover = covers.astype(np.float32)
 
     pos = np.asarray(sd.geometry.positions)
     idx = np.asarray(sd.geometry.indices)
@@ -151,6 +154,7 @@ def prepare(host: HostScene, env_res="auto",
         if tri_opacity is not None:
             tri_opacity = jnp.asarray(np.asarray(tri_opacity)[perm])
             tri_micromap = tri_micromap[np.asarray(perm)]
+            tri_cover = tri_cover[np.asarray(perm)]
 
     bvh = build_bvh(pos, idx)                       # LBVH (accel/lbvh.py)
     if tri_micromap is not None:
@@ -178,22 +182,27 @@ def prepare(host: HostScene, env_res="auto",
     # Fused Pallas bounce-kernel tables (the TPU hot path; pt/bounce_pallas)
     bounce_tables = None
     cluster_tables = None
-    if tri_opacity is None:
-        from rtxpt_tpu.pt.bounce_pallas import build_bounce_tables
-        bounce_tables = build_bounce_tables(
+    from rtxpt_tpu.pt.bounce_pallas import build_bounce_tables
+    bounce_tables = build_bounce_tables(
+        pos, np.asarray(sd.geometry.normals), idx,
+        np.asarray(sd.geometry.tri_material), sd.materials, lights,
+        uvs=np.asarray(sd.geometry.uvs), envmap=envmap,
+        textures=textures,
+        tri_micromap=(np.asarray(tri_micromap)
+                      if tri_opacity is not None else None),
+        tri_cover=(np.asarray(tri_cover)
+                   if tri_opacity is not None else None))
+    if bounce_tables is None and len(idx) > PALLAS_MAX_TRIS \
+            and tri_opacity is None:
+        # Large-scene tier: clustered streamed kernel
+        # (accel/cluster.py + pt/bounce_clustered.py). Alpha/OMM scenes
+        # are fused-tier-only for now (dispatch falls back to XLA).
+        from rtxpt_tpu.accel.cluster import build_cluster_tables
+        cluster_tables = build_cluster_tables(
             pos, np.asarray(sd.geometry.normals), idx,
             np.asarray(sd.geometry.tri_material), sd.materials, lights,
             uvs=np.asarray(sd.geometry.uvs), envmap=envmap,
             textures=textures)
-        if bounce_tables is None and len(idx) > PALLAS_MAX_TRIS:
-            # Large-scene tier: clustered streamed kernel
-            # (accel/cluster.py + pt/bounce_clustered.py).
-            from rtxpt_tpu.accel.cluster import build_cluster_tables
-            cluster_tables = build_cluster_tables(
-                pos, np.asarray(sd.geometry.normals), idx,
-                np.asarray(sd.geometry.tri_material), sd.materials, lights,
-                uvs=np.asarray(sd.geometry.uvs), envmap=envmap,
-                textures=textures)
     has_prio = bool(np.any(np.asarray(sd.materials.nested_priority) != 0))
     return sd.replace(lights=lights, textures=textures,
                       bounce_tables=bounce_tables,

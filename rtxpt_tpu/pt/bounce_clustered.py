@@ -83,7 +83,8 @@ SH_D = 3          # 3:6 direction
 SH_DIST = 6
 SH_CONTRIB = 7    # 7:10
 SH_DO = 10
-SH_ROWS = 11
+SH_CDIFF = 11     # 11:14 diffuse-channel part of contrib (split mode)
+SH_ROWS = 14
 
 # ---- flat all-rows tier (round 4) -----------------------------------------
 # The per-row kernel uses only K=32 of the MXU's 128 contraction rows and
@@ -215,10 +216,22 @@ def _kernel_a1(cand_ref, od_ref, blocks_hbm, ha_out,
         jrow = jnp.min(jnp.where(t_m <= t_c, iota, CT), axis=0,
                        keepdims=True)
         sel = (iota == jrow).astype(f32)             # [CT, FL]
-        attr_c = jax.lax.dot_general(
-            amat, sel, (((1,), (0,)), ((), ())),
-            preferred_element_type=f32,
-            precision=jax.lax.Precision.HIGHEST)     # [AT_ROWS, FL]
+        # winner-attribute gather as ONE default-precision MXU pass:
+        # 3-way bf16 split of the attrs (hi/mid/lo, ~2^-25 relative —
+        # integer id rows exact to 24 bits) stacked into [3*AT_ROWS, CT]
+        # <= 128 rows. sel is exactly {0,1} (bf16-exact), so each pass
+        # product is exact; HIGHEST here cost 6 full MXU passes (the
+        # dominant A1 matmul cost, round-4 profile).
+        a_hi = amat.astype(jnp.bfloat16).astype(f32)
+        a_r = amat - a_hi
+        a_mid = a_r.astype(jnp.bfloat16).astype(f32)
+        a_lo = a_r - a_mid
+        attr3 = jax.lax.dot_general(
+            jnp.concatenate([a_hi, a_mid, a_lo], axis=0), sel,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)              # [3*AT_ROWS, FL]
+        na = CL.AT_ROWS
+        attr_c = (attr3[0:na] + attr3[na:2 * na]) + attr3[2 * na:3 * na]
         new = jnp.concatenate(
             [t_c, attr_c, cx, cy, cz,
              jnp.zeros((_BF_ROWS - 4 - CL.AT_ROWS, _FL), f32)], axis=0)
@@ -312,11 +325,13 @@ def _kernel_a2(*refs, cfg_key, n_lights, tr, first_emissive,
     surface_and_shade body on [R,128] VPU tiles (exactly the per-row
     kernel's post-loop half, with the intersection results provided)."""
     f32 = jnp.float32
+    split_ch_k = cfg_key[9]
     it = iter(refs)
     scal_ref = next(it)
     ha_ref = next(it)
     fs_ref = next(it)
     is_ref = next(it)
+    fs2_ref = next(it) if split_ch_k else None
     mat_ref = next(it)
     light_ref = next(it)
     env_ref = next(it) if has_env else None
@@ -328,12 +343,14 @@ def _kernel_a2(*refs, cfg_key, n_lights, tr, first_emissive,
     hit_out = next(it)
     ext_nee = cfg_key[0] in (3, 4, 5) and n_lights > 0 and not final_env
     surf_out = next(it) if ext_nee else None
+    fs2_out = next(it) if split_ch_k else None
     max_travel = cfg_key[5]
     sample_idx = scal_ref[0, 0]
     bounce = scal_ref[0, 1].astype(jnp.int32)
 
     fs = fs_ref[:]
     is_ = is_ref[:]
+    fs2 = fs2_ref[:] if split_ch_k else None
     ha = ha_ref[:]
     o = fs[FS_O:FS_O + 3]
     d = fs[FS_D:FS_D + 3]
@@ -365,8 +382,9 @@ def _kernel_a2(*refs, cfg_key, n_lights, tr, first_emissive,
                               W.power_heuristic(fs[FS_PREVPDF], p_env))
         else:
             w_env = jnp.ones_like(t)
-        L = L + jnp.where(miss_mask,
+        c_env = jnp.where(miss_mask,
                           fs[FS_THP:FS_THP + 3] * env_L * w_env, 0.0)
+        L = L + c_env
         fs_out[:] = jnp.concatenate([fs[:FS_L], L, fs[FS_L + 3:]], axis=0)
         is_out[:] = jnp.concatenate(
             [jnp.zeros((1, _R, 128), jnp.int32), is_[1:]], axis=0)
@@ -374,6 +392,11 @@ def _kernel_a2(*refs, cfg_key, n_lights, tr, first_emissive,
         hit_out[:] = jnp.stack(
             [jnp.where(hit, t, 0.0), prim_f, bu, bv,
              front.astype(f32), jnp.zeros_like(t)], axis=0)
+        if split_ch_k:
+            cd = jnp.where(fs2[6:7] > 0.5, 0.0, c_env)
+            fs2_out[:] = jnp.concatenate(
+                [fs2[0:3] + cd, fs2[3:6] + (c_env - cd), fs2[6:7]],
+                axis=0)
         return
 
     s = surface_and_shade(
@@ -389,7 +412,11 @@ def _kernel_a2(*refs, cfg_key, n_lights, tr, first_emissive,
         tex_refs=((tex_ct_ref, tex_meta_ref, tr) if has_tex else None),
         tex_maps=tex_maps,
         cone=fs[bp.FS_CONE], spread=fs[bp.FS_SPREAD],
-        budget=is_[bp.IS_BUDGET])
+        budget=is_[bp.IS_BUDGET],
+        ld=(fs2[0:3] if split_ch_k else None),
+        ls=(fs2[3:6] if split_ch_k else None),
+        fspec=(fs2[6] if split_ch_k else None),
+        lbounce=is_[bp.IS_LBOUNCE])
 
     fs_out[:] = jnp.concatenate(
         [s["o_new"], s["wi_world"], s["thp"], s["L"], s["prev_pdf"][None],
@@ -398,13 +425,23 @@ def _kernel_a2(*refs, cfg_key, n_lights, tr, first_emissive,
     is_out[:] = jnp.stack(
         [s["active"].astype(jnp.int32), s["prev_delta"].astype(jnp.int32),
          s["med0"], s["med1"], is_[IS_PX], is_[IS_PY],
-         is_[bp.IS_BUDGET]], axis=0)
+         is_[bp.IS_BUDGET], s["lbounce"]], axis=0)
     sh_out[:] = jnp.concatenate(
         [s["shadow_o"], s["shadow_d"], s["sdist"][None], s["contrib"],
-         s["do_nee"].astype(f32)[None]], axis=0)
+         s["do_nee"].astype(f32)[None], s["cdiff"]], axis=0)
+    # flag row: ext-NEE consumes shaded/lb0 (1 = lb==0, 2 = lb>0);
+    # the in-kernel NEE path reads do_nee
+    if ext_nee:
+        flag = s["shaded"].astype(f32) \
+            * (1.0 + (is_[bp.IS_LBOUNCE] > 0).astype(f32))
+    else:
+        flag = s["do_nee"].astype(f32)
     hit_out[:] = jnp.stack(
         [jnp.where(hit, t, 0.0), prim_f, bu, bv,
-         front.astype(f32), s["do_nee"].astype(f32)], axis=0)
+         front.astype(f32), flag], axis=0)
+    if split_ch_k:
+        fs2_out[:] = jnp.concatenate(
+            [s["ld"], s["ls"], s["fspec"][None]], axis=0)
 
 # best-hit scratch row map ([R, _B_ROWS, 128]: one tile per ray-row)
 _B_T = 0
@@ -418,7 +455,8 @@ _ATTR_MAP = {bp.AT_N0: CL.AT_N0, bp.AT_N1: CL.AT_N1, bp.AT_N2: CL.AT_N2,
              bp.AT_GN: CL.AT_GN, bp.AT_MID: CL.AT_MID,
              bp.AT_LPDF: CL.AT_LPDF, bp.AT_LAREA: CL.AT_LAREA,
              bp.AT_ISLIGHT: CL.AT_ISLIGHT, bp.AT_LODB: CL.AT_LODB,
-             bp.AT_LID: CL.AT_LID}
+             bp.AT_LID: CL.AT_LID, bp.AT_TANG: CL.AT_TANG,
+             bp.AT_TSGN: CL.AT_TSGN}
 for _j in range(2):
     _ATTR_MAP[bp.AT_UV0 + _j] = CL.AT_UV0 + _j
     _ATTR_MAP[bp.AT_UV1 + _j] = CL.AT_UV1 + _j
@@ -428,7 +466,7 @@ for _j in range(2):
 # only the BASE row of 3-wide attributes (attr(i, k) reads k consecutive
 # rows on both sides), so expand the vector entries here.
 _ATTR_ROW_MAP = dict(_ATTR_MAP)
-for _base in (bp.AT_N0, bp.AT_N1, bp.AT_N2, bp.AT_GN):
+for _base in (bp.AT_N0, bp.AT_N1, bp.AT_N2, bp.AT_GN, bp.AT_TANG):
     for _j in range(1, 3):
         _ATTR_ROW_MAP[_base + _j] = _ATTR_MAP[_base] + _j
 
@@ -780,7 +818,8 @@ def _kernel_a(*refs,
         tex_refs=((tex_ct_ref, tex_meta_ref, tr) if has_tex else None),
         tex_maps=tex_maps,
         cone=fs[bp.FS_CONE], spread=fs[bp.FS_SPREAD],
-        budget=is_[bp.IS_BUDGET])
+        budget=is_[bp.IS_BUDGET],
+        lbounce=is_[bp.IS_LBOUNCE])
 
     fs_out[:] = jnp.concatenate(
         [s["o_new"], s["wi_world"], s["thp"], s["L"], s["prev_pdf"][None],
@@ -789,10 +828,10 @@ def _kernel_a(*refs,
     is_out[:] = jnp.stack(
         [s["active"].astype(jnp.int32), s["prev_delta"].astype(jnp.int32),
          s["med0"], s["med1"], is_[IS_PX], is_[IS_PY],
-         is_[bp.IS_BUDGET]], axis=0)
+         is_[bp.IS_BUDGET], s["lbounce"]], axis=0)
     sh_out[:] = jnp.concatenate(
         [s["shadow_o"], s["shadow_d"], s["sdist"][None], s["contrib"],
-         s["do_nee"].astype(f32)[None]], axis=0)
+         s["do_nee"].astype(f32)[None], s["cdiff"]], axis=0)
     hit_out[:] = jnp.stack(
         [jnp.where(hit, t, 0.0), prim_f, bu, bv,
          front.astype(f32), s["do_nee"].astype(f32)], axis=0)
@@ -936,12 +975,15 @@ def _kernel_b1_call(cand, sh, blocks, kslots, interpret=False):
 def _kernel_a2_call(scal, ha, fs, is_, mat_rows, light_rows, env_rows,
                     tex_ct, tex_meta,
                     cfg_key, n_lights, tr, first_emissive,
-                    tex_maps=(1, 0, 0), final_env=False, interpret=False):
+                    tex_maps=(1, 0, 0, 0), final_env=False, interpret=False,
+                    fs2=None):
     """ha: [HA_ROWS, nrows, 128] (A1 output reshaped to tiles)."""
     nrows = fs.shape[1]
     grid = nrows // _R
     has_env = env_rows is not None
     has_tex = tex_ct is not None
+    split_ch = bool(cfg_key[9])
+    assert (fs2 is not None) == split_ch
     kern = functools.partial(
         _kernel_a2, cfg_key=cfg_key, n_lights=n_lights, tr=tr,
         first_emissive=first_emissive, has_env=has_env, has_tex=has_tex,
@@ -955,10 +997,17 @@ def _kernel_a2_call(scal, ha, fs, is_, mat_rows, light_rows, env_rows,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((NI, _R, 128), lambda b: (0, b, 0),
                      memory_space=pltpu.VMEM),
+    ]
+    inputs = [scal, ha, fs, is_]
+    if split_ch:
+        in_specs.append(pl.BlockSpec((7, _R, 128), lambda b: (0, b, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(fs2)
+    in_specs += [
         pl.BlockSpec(mat_rows.shape, const2, memory_space=pltpu.VMEM),
         pl.BlockSpec(light_rows.shape, const2, memory_space=pltpu.VMEM),
     ]
-    inputs = [scal, ha, fs, is_, mat_rows, light_rows]
+    inputs += [mat_rows, light_rows]
     if has_env:
         in_specs.append(pl.BlockSpec(env_rows.shape, const2,
                                      memory_space=pltpu.VMEM))
@@ -992,6 +1041,11 @@ def _kernel_a2_call(scal, ha, fs, is_, mat_rows, light_rows, env_rows,
                                       memory_space=pltpu.VMEM))
         out_shape.append(
             jax.ShapeDtypeStruct((bp.SF_ROWS, nrows, 128), jnp.float32))
+    if split_ch:
+        out_specs.append(pl.BlockSpec((7, _R, 128), lambda b: (0, b, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((7, nrows, 128), jnp.float32))
     out = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -1000,9 +1054,15 @@ def _kernel_a2_call(scal, ha, fs, is_, mat_rows, light_rows, env_rows,
         out_shape=tuple(out_shape),
         interpret=interpret,
     )(*inputs)
+    out = list(out)
+    fs_o, is_o, sh_o, hit_o = out[0], out[1], out[2], out[3]
+    k = 4
+    surf_o = None
     if ext_nee:
-        return out
-    return out + (None,)
+        surf_o = out[k]
+        k += 1
+    fs2_o = out[k] if split_ch else None
+    return fs_o, is_o, sh_o, hit_o, surf_o, fs2_o
 
 
 # ---------------------------------------------------------------------------
@@ -1018,7 +1078,7 @@ def _kernel_a2_call(scal, ha, fs, is_, mat_rows, light_rows, env_rows,
 def _kernel_a_call(scal, cand, fs, is_, mat_rows, light_rows, env_rows,
                    tex_ct, tex_meta, blocks,
                    cfg_key, kslots, n_lights, tr, first_emissive,
-                   tex_maps=(1, 0, 0), final_env=False, interpret=False):
+                   tex_maps=(1, 0, 0, 0), final_env=False, interpret=False):
     nrows = fs.shape[1]
     grid = nrows // _R
     has_env = env_rows is not None
@@ -1186,6 +1246,7 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         rows1(px).astype(jnp.int32)[None],
         rows1(py).astype(jnp.int32)[None],
         jnp.full((1, nrows, 128), bp._NO_BUDGET, jnp.int32),
+        jnp.zeros((1, nrows, 128), jnp.int32),    # logical bounce
     ], axis=0)
 
     sample_idx = jnp.asarray(sample_idx).astype(jnp.uint32)
@@ -1193,6 +1254,10 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
     interp = _interpret(cfg)
     use_nee = key[0] in (1, 2) and tbl.n_lights > 0
     ext_nee = key[0] in (3, 4, 5) and tbl.n_lights > 0
+    split_ch = bool(key[9])
+    fs2 = jnp.zeros((7, nrows, 128), f32) if split_ch else None
+    if split_ch:
+        assert _FLAT, "split channels require the flat clustered tier"
     neeat_hist = None
     if ext_nee:
         assert _FLAT, "external NEE requires the flat clustered tier"
@@ -1202,7 +1267,7 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
             neeat_hist = na.zero_hist(neeat_state)
     use_tex = tbl.tex_ct is not None and \
         bool(cfg.stochastic_texture_filtering)
-    tex_maps = tbl.tex_maps if use_tex else (1, 0, 0)
+    tex_maps = tbl.tex_maps if use_tex else (1, 0, 0, 0)
 
     def g4(x3):
         return x3.reshape(3, n_groups, _R, 128)
@@ -1221,7 +1286,7 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
     slo = jnp.min(tbl.aabb_lo, axis=0)
     sext = jnp.maximum(jnp.max(tbl.aabb_hi, axis=0) - slo, 1e-6)
 
-    def _sort_wavefront(fs, is_, src, bounce):
+    def _sort_wavefront(fs, is_, fs2, src, bounce):
         flat_fs = fs.reshape(NF, npad)
         flat_is = is_.reshape(NI, npad)
         active = flat_is[IS_ACTIVE] > 0
@@ -1236,16 +1301,22 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
             skey = ray_coherence_key(
                 flat_fs[FS_O:FS_O + 3], flat_fs[FS_D:FS_D + 3],
                 slo, sext, active)
+        n2 = 7 if fs2 is not None else 0
+        flat2 = fs2.reshape(n2, npad) if fs2 is not None else \
+            jnp.zeros((0, npad), f32)
         # lax.sort requires same-shaped operands; mixed dtypes are fine
         # as separate payload operands
         out = jax.lax.sort(
             (skey,) + tuple(flat_fs[i] for i in range(NF))
             + tuple(flat_is[i] for i in range(NI))
+            + tuple(flat2[i] for i in range(n2))
             + (src.reshape(npad),), num_keys=1)
-        fs2 = jnp.stack(out[1:1 + NF]).reshape(NF, nrows, 128)
-        is2 = jnp.stack(out[1 + NF:1 + NF + NI]).reshape(NI, nrows, 128)
-        src2 = out[1 + NF + NI].reshape(nrows, 128)
-        return fs2, is2, src2
+        fs_s = jnp.stack(out[1:1 + NF]).reshape(NF, nrows, 128)
+        is_s = jnp.stack(out[1 + NF:1 + NF + NI]).reshape(NI, nrows, 128)
+        fs2_s = (jnp.stack(out[1 + NF + NI:1 + NF + NI + n2]).reshape(
+            7, nrows, 128) if fs2 is not None else None)
+        src2 = out[1 + NF + NI + n2].reshape(nrows, 128)
+        return fs_s, is_s, fs2_s, src2
 
     src = jnp.arange(npad, dtype=jnp.int32).reshape(nrows, 128)
     sort_rays = bool(getattr(cfg, "sort_rays", True))
@@ -1256,7 +1327,7 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
     hit0 = None
     for bounce in range(cfg.max_bounces):
         if sort_rays:
-            fs, is_, src = _sort_wavefront(fs, is_, src, bounce)
+            fs, is_, fs2, src = _sort_wavefront(fs, is_, fs2, src, bounce)
         active_in = is_[IS_ACTIVE]
         occupancy.append(jnp.sum(active_in))
         act = (active_in > 0).reshape(n_groups, _R, 128)
@@ -1281,16 +1352,17 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
             prev_pdf_in = fs[FS_PREVPDF]
             prev_delta_in = is_[IS_PREVDELTA]
             budget_in = is_[bp.IS_BUDGET]
-            fs, is_, sh, hitb, surf = _kernel_a2_call(
+            fs, is_, sh, hitb, surf, fs2 = _kernel_a2_call(
                 scal, ha_t, fs, is_, tbl.mat_rows, tbl.light_rows,
                 tbl.env_rows,
                 tbl.tex_ct if use_tex else None,
                 tbl.tex_meta if use_tex else None,
                 key, tbl.n_lights, tbl.tr, first_emissive,
-                tex_maps=tex_maps, interpret=interp)
+                tex_maps=tex_maps, interpret=interp, fs2=fs2)
             if ext_nee:
-                hitm = ((active_in > 0) & (hitb[0] > 0.0)
-                        & (bounce < budget_in)).reshape(npad)
+                # hitb[5]: 0 = not shaded, 1 = shaded lb==0, 2 = lb>0
+                hitm = (hitb[5] > 0.5).reshape(npad)
+                lb0 = (hitb[5] < 1.5).reshape(npad)
                 res = external_nee(
                     scene, cfg, neeat_state,
                     surf.reshape(bp.SF_ROWS, npad),
@@ -1298,17 +1370,27 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                     prev_pdf_in.reshape(npad),
                     prev_delta_in.reshape(npad) > 0,
                     is_[IS_PX].reshape(npad), is_[IS_PY].reshape(npad),
-                    sample_idx, bounce, first_emissive)
+                    sample_idx, bounce, first_emissive,
+                    first_spec=(fs2[6].reshape(npad) > 0.5 if split_ch
+                                else None))
                 L = fs[FS_L:FS_L + 3] \
                     + res["em_add"].T.reshape(3, nrows, 128)
                 fs = jnp.concatenate([fs[:FS_L], L, fs[FS_L + 3:]],
                                      axis=0)
+                if split_ch and key[0] == 3 and bounce > 0:
+                    # deferred NEE-AT emissive split (primary excluded)
+                    fspec_f = fs2[6:7] > 0.5
+                    em_t = res["em_add"].T.reshape(3, nrows, 128)
+                    cd = jnp.where(fspec_f, 0.0, em_t)
+                    fs2 = jnp.concatenate(
+                        [fs2[0:3] + cd, fs2[3:6] + (em_t - cd),
+                         fs2[6:7]], axis=0)
                 # pack the XLA-selected shadow requests into the SH
                 # layout so the flat shadow path below runs unchanged
                 sh = jnp.concatenate([
                     res["shadow_o"].T, res["shadow_d"].T,
                     res["sdist"][None], res["contrib"].T,
-                    res["do_nee"].astype(f32)[None],
+                    res["do_nee"].astype(f32)[None], res["cdiff"].T,
                 ], axis=0).reshape(SH_ROWS, nrows, 128)
         else:
             fs, is_, sh, hitb = _kernel_a_call(
@@ -1365,6 +1447,13 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
             L = fs[FS_L:FS_L + 3] + jnp.where(
                 ok[None], sh[SH_CONTRIB:SH_CONTRIB + 3], 0.0)
             fs = jnp.concatenate([fs[:FS_L], L, fs[FS_L + 3:]], axis=0)
+            if split_ch:
+                cd = jnp.where(ok[None], sh[SH_CDIFF:SH_CDIFF + 3], 0.0)
+                tot = jnp.where(ok[None],
+                                sh[SH_CONTRIB:SH_CONTRIB + 3], 0.0)
+                fs2 = jnp.concatenate(
+                    [fs2[0:3] + cd, fs2[3:6] + (tot - cd), fs2[6:7]],
+                    axis=0)
             ray_count = ray_count + jnp.sum(do.astype(jnp.int32))
             if neeat_hist is not None:
                 cf = sh[SH_CONTRIB:SH_CONTRIB + 3].reshape(3, npad)
@@ -1395,11 +1484,11 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                 kslots, float(cfg.max_ray_travel),
                 noprune=bool(cfg.cluster_noprune), interpret=interp)
             ha_t = _from_flat_groups(ha, HA_ROWS, nrows)
-            fs, is_, _sh, _hitf, _ = _kernel_a2_call(
+            fs, is_, _sh, _hitf, _surf, fs2 = _kernel_a2_call(
                 scal, ha_t, fs, is_, tbl.mat_rows, tbl.light_rows,
                 tbl.env_rows, None, None,
                 key, tbl.n_lights, tbl.tr, first_emissive,
-                final_env=True, interpret=interp)
+                final_env=True, interpret=interp, fs2=fs2)
         else:
             fs, is_, _sh, _hitf = _kernel_a_call(
                 scal, cand, fs, is_, tbl.mat_rows, tbl.light_rows,
@@ -1417,6 +1506,13 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         L = fs[FS_L:FS_L + 3].reshape(3, npad).T[:n]
     out = dict(L=L, ray_count=ray_count, occupancy=jnp.stack(occupancy),
                cull_overflow=overflow)
+    if split_ch:
+        if sort_rays:
+            f2 = unsort_rows(src.reshape(npad), fs2[0:6].reshape(6, npad))
+        else:
+            f2 = fs2[0:6].reshape(6, npad)
+        out["L_diff"] = f2[0:3].T[:n]
+        out["L_spec"] = f2[3:6].T[:n]
     if neeat_hist is not None:
         out["neeat_hist"] = neeat_hist
 
@@ -1439,6 +1535,11 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                             cone_spread * jnp.maximum(t0, 0.0))
         alb = surf.bsdf.diffuse + surf.bsdf.specular_f0
         out["albedo"] = jnp.where(hm[..., None], alb, 1.0)
+        if split_ch:
+            out["albedo_diff"] = jnp.where(
+                hm[..., None], surf.bsdf.diffuse, 1.0)
+            out["albedo_spec"] = jnp.where(
+                hm[..., None], surf.bsdf.specular_f0 + 0.04, 1.0)
         out["normal"] = jnp.where(hm[..., None], surf.sh_n, 0.0)
         out["depth"] = jnp.where(hm, t0, 0.0)
         out["wpos"] = jnp.where(hm[..., None], surf.pos, 0.0)

@@ -90,7 +90,10 @@ IS_MED1 = 3
 IS_PX = 4
 IS_PY = 5
 IS_BUDGET = 6           # per-lane remaining-bounce budget (stable planes)
-NI = 7
+IS_LBOUNCE = 7          # per-lane LOGICAL bounce index: pass-through
+                        # iterations (alpha-reject / nested-priority false
+                        # hits) do not advance it (integrator retrace analog)
+NI = 8
 
 _NO_BUDGET = 0x3FFFFFFF  # sentinel: effectively unlimited bounces
 
@@ -108,7 +111,9 @@ AT_UV1 = 18
 AT_UV2 = 20
 AT_LODB = 22            # -0.5*log2(tri_area2): ray-cone LOD bias
 AT_LID = 23             # light id of this tri's light (-1 = not a light)
-AT_ROWS = 24
+AT_TANG = 24            # 24:27 UV-space tangent premultiplied by 1/det_uv
+AT_TSGN = 27            # sign(det_uv); 0 = degenerate UV mapping
+AT_ROWS = 28
 
 # material table rows (one column per material)
 MT_BASE = 0             # 0:3
@@ -130,7 +135,10 @@ MT_EAVG = 22
 MT_BTEX = 23            # base-color texture id (-1 none)
 MT_MRTEX = 24           # metal-rough texture id
 MT_ETEX = 25            # emissive texture id
-MT_ROWS = 26
+MT_NTEX = 26            # tangent-space normal texture id
+MT_ACUT = 27            # alpha-test cutoff (-1 = not alpha tested)
+MT_PRIO = 28            # nested-dielectric priority (0 = none)
+MT_ROWS = 29
 
 # --- environment table (in-kernel env eval/sampling; EnvMap analog of
 # Shaders/PathTracer/Lighting/EnvMap.hlsli evaluated inside the
@@ -191,6 +199,7 @@ EFFECT_SCATTER = 29
 EFFECT_NEE = 31
 EFFECT_RR = 37
 EFFECT_STF = 41
+EFFECT_ALPHA = 43
 
 
 @struct.dataclass
@@ -210,7 +219,14 @@ class BounceTables:
     n_tris: int = struct.field(pytree_node=False, default=0)
     tr: int = struct.field(pytree_node=False, default=0)
     # static: which maps any material binds (base, metal_rough, emissive)
-    tex_maps: tuple = struct.field(pytree_node=False, default=(1, 0, 0))
+    tex_maps: tuple = struct.field(pytree_node=False, default=(1, 0, 0, 0))
+    # static: tri_rows carry opacity-micromap row groups (6 groups/chunk
+    # instead of 4) and the kernels run the alpha/OMM path (scene/omm.py
+    # level-2 bake resolved IN the intersection loop — OmmBaker analog)
+    omm: bool = struct.field(pytree_node=False, default=False)
+    # static: any material has nested_priority != 0 (the kernel runs the
+    # pass-through false-hit rejection, PathTracerNestedDielectrics analog)
+    prio: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def tex_rows(self):
@@ -247,9 +263,18 @@ def pack_materials(materials) -> np.ndarray:
     mat[MT_BTEX, :] = -1.0
     mat[MT_MRTEX, :] = -1.0
     mat[MT_ETEX, :] = -1.0
+    mat[MT_NTEX, :] = -1.0
+    mat[MT_ACUT, :] = -1.0
+    arr = getattr(materials, "alpha_cutoff", None)
+    if arr is not None:
+        mat[MT_ACUT, :n_mats] = np.asarray(arr, np.float32)
+    arr = getattr(materials, "nested_priority", None)
+    if arr is not None:
+        mat[MT_PRIO, :n_mats] = np.asarray(arr, np.float32)
     for row, field in ((MT_BTEX, "base_color_tex"),
                        (MT_MRTEX, "metal_rough_tex"),
-                       (MT_ETEX, "emissive_tex")):
+                       (MT_ETEX, "emissive_tex"),
+                       (MT_NTEX, "normal_tex")):
         arr = getattr(materials, field, None)
         if arr is not None:
             mat[row, :n_mats] = np.asarray(arr, np.float32)
@@ -257,12 +282,12 @@ def pack_materials(materials) -> np.ndarray:
 
 
 def _tex_maps_of(materials) -> tuple:
-    """Static (base, metal_rough, emissive) map-presence flags."""
+    """Static (base, metal_rough, emissive, normal) map-presence flags."""
     def has(field):
         arr = getattr(materials, field, None)
         return int(arr is not None and int(np.max(np.asarray(arr))) >= 0)
     return (has("base_color_tex"), has("metal_rough_tex"),
-            has("emissive_tex"))
+            has("emissive_tex"), has("normal_tex"))
 
 
 def build_env_rows(envmap) -> Optional[np.ndarray]:
@@ -363,10 +388,35 @@ def pack_lights(lights) -> np.ndarray:
     return lt
 
 
+def _tangent_rows(uvs, indices, e1, e2):
+    """Per-triangle UV-parameterisation tangent (premultiplied by the
+    signed 1/det_uv) + sign(det_uv) — the host half of the tangent-space
+    normal mapping in pt/surface.py:145-171 (same math, baked per tri so
+    the kernel only does the Gram-Schmidt + perturbation)."""
+    t0 = uvs[indices[:, 0]]
+    t1 = uvs[indices[:, 1]]
+    t2 = uvs[indices[:, 2]]
+    duv1 = t1 - t0
+    duv2 = t2 - t0
+    det_uv = duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0]
+    ok = np.abs(det_uv) > 1e-12
+    r = np.where(ok, 1.0 / np.where(ok, det_uv, 1.0), 0.0)
+    tang = (duv2[:, 1:2] * e1 - duv1[:, 1:2] * e2) * r[:, None]
+    tsgn = np.where(ok, np.sign(det_uv), 0.0)
+    return tang.astype(np.float32), tsgn.astype(np.float32)
+
+
 def build_bounce_tables(positions, normals, indices, tri_material,
                         materials, lights, uvs=None, envmap=None,
-                        textures=None) -> Optional[BounceTables]:
-    """Host-side table bake; returns None when the scene is ineligible."""
+                        textures=None,
+                        tri_micromap=None,
+                        tri_cover=None) -> Optional[BounceTables]:
+    """Host-side table bake; returns None when the scene is ineligible.
+
+    tri_micromap: optional [T] uint32 level-2 opacity micromaps
+    (scene/omm.py bake, fully-TRANSPARENT tris already dropped) — adds
+    two intersection row groups so the kernels resolve alpha inside the
+    candidate loop (OmmBaker analog, OmmBuildQueue.h:31-142)."""
     if getattr(materials, "anisotropy", None) is not None and \
             float(np.max(np.asarray(materials.anisotropy))) > 0.0:
         return None      # anisotropic GGX runs on the XLA path
@@ -400,11 +450,6 @@ def build_bounce_tables(positions, normals, indices, tri_material,
         env_rows[EV_AUX + EVA_SELPDF, :] = sel
     tex = None
     if textures is not None:
-        # normal maps are XLA-only (tangent-frame perturbation unported)
-        for f in ("normal_tex",):
-            arr = getattr(materials, f, None)
-            if arr is not None and int(np.max(np.asarray(arr))) >= 0:
-                return None
         tex = build_tex_tables(textures, materials)
         if tex is None:
             return None
@@ -426,17 +471,29 @@ def build_bounce_tables(positions, normals, indices, tri_material,
     # ---- intersection rows: per chunk c, row groups [det|u|v|t] x tc ----
     # det = d.(-n); u = d.(v0xe2) + oxd.e2; v = d.(-v0xe1) + oxd.(-e1);
     # t = o.n + 1*(-v0n)     (ray column = [d|oxd|o|1] rows 0..9)
-    tri_rows = np.zeros((4 * tpad, 128), np.float32)
+    # With opacity micromaps two extra groups [wlo|whi] ride the same
+    # matmul: their only nonzero coefficient sits at the constant-1 ray
+    # slot (col 9), broadcasting each tri's 16-bit micromap halves across
+    # all rays of the pass (exact in f32; HIGHEST precision matmul).
+    omm = tri_micromap is not None
+    n_groups_t = 7 if omm else 4
+    tri_rows = np.zeros((n_groups_t * tpad, 128), np.float32)
     v0xe2 = np.cross(v0, e2)
     v0xe1 = np.cross(v0, e1)
     v0n = np.einsum("tj,tj->t", v0, n)
+    if omm:
+        mm_w = np.asarray(tri_micromap).astype(np.uint32)
+        mm_lo = (mm_w & np.uint32(0xFFFF)).astype(np.float32)
+        mm_hi = (mm_w >> np.uint32(16)).astype(np.float32)
+        mm_cov = (np.asarray(tri_cover, np.float32)
+                  if tri_cover is not None else np.ones((t,), np.float32))
     for c in range(n_chunks):
         lo = c * tc
         hi = min(lo + tc, t)
         w = hi - lo
         if w <= 0:
             continue
-        base = 4 * c * tc
+        base = n_groups_t * c * tc
         tri_rows[base:base + w, 0:3] = -n[lo:hi]
         tri_rows[base + tc:base + tc + w, 0:3] = v0xe2[lo:hi]
         tri_rows[base + tc:base + tc + w, 3:6] = e2[lo:hi]
@@ -444,6 +501,10 @@ def build_bounce_tables(positions, normals, indices, tri_material,
         tri_rows[base + 2 * tc:base + 2 * tc + w, 3:6] = -e1[lo:hi]
         tri_rows[base + 3 * tc:base + 3 * tc + w, 6:9] = n[lo:hi]
         tri_rows[base + 3 * tc:base + 3 * tc + w, 9] = -v0n[lo:hi]
+        if omm:
+            tri_rows[base + 4 * tc:base + 4 * tc + w, 9] = mm_lo[lo:hi]
+            tri_rows[base + 5 * tc:base + 5 * tc + w, 9] = mm_hi[lo:hi]
+            tri_rows[base + 6 * tc:base + 6 * tc + w, 9] = mm_cov[lo:hi]
 
     # ---- attribute rows ----
     gn = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
@@ -466,6 +527,9 @@ def build_bounce_tables(positions, normals, indices, tri_material,
         attr[AT_UV0:AT_UV0 + 2, :t] = uvs[indices[:, 0]].T
         attr[AT_UV1:AT_UV1 + 2, :t] = uvs[indices[:, 1]].T
         attr[AT_UV2:AT_UV2 + 2, :t] = uvs[indices[:, 2]].T
+        tang, tsgn = _tangent_rows(uvs, indices, e1, e2)
+        attr[AT_TANG:AT_TANG + 3, :t] = tang.T
+        attr[AT_TSGN, :t] = tsgn
     tri_area2 = np.linalg.norm(n, axis=-1)
     attr[AT_LODB, :t] = -0.5 * np.log2(np.maximum(tri_area2, 1e-20))
 
@@ -477,7 +541,10 @@ def build_bounce_tables(positions, normals, indices, tri_material,
         tex_meta=(tex[1] if tex is not None else None),
         tc=tc, n_chunks=n_chunks, n_lights=n_lights, n_tris=t,
         tr=(tex[2] if tex is not None else 0),
-        tex_maps=_tex_maps_of(materials))
+        tex_maps=_tex_maps_of(materials),
+        omm=omm,
+        prio=bool(getattr(materials, "nested_priority", None) is not None
+                  and np.any(np.asarray(materials.nested_priority) != 0)))
 
 
 # ---------------------------------------------------------------------------
@@ -509,18 +576,44 @@ def _ray_cols(o, d, g):
     return jnp.concatenate(rows + [pad], axis=0)
 
 
-def _intersect_group(tri_ref, attr_ref, cols, tmin_g, tmax_g, tc, n_chunks):
+MICRO_OPAQUE, MICRO_UNKNOWN, MICRO_TRANSPARENT = 0, 1, 2  # scene/omm.py
+
+
+def _micro_state(wlo, whi, u, v):
+    """Level-2 opacity-micromap state at barycentric (u, v): decodes the
+    16x2-bit word carried as two exact-f32 16-bit halves (scene/omm.py
+    micro_index order, S = 4)."""
+    uu = u * 4.0
+    vv = v * 4.0
+    a = jnp.minimum(jnp.floor(uu), 3.0)
+    b = jnp.minimum(jnp.floor(vv), 3.0)
+    inv = (uu - a) + (vv - b) > 1.0 + 1e-7
+    a = jnp.minimum(a, 3.0 - b)
+    mi = (b * (8.0 - b) + 2.0 * a
+          + jnp.where(inv & (a + b < 3.0), 1.0, 0.0)).astype(jnp.int32)
+    word = jnp.where(mi < 8, wlo, whi).astype(jnp.int32)
+    sh = 2 * jnp.where(mi < 8, mi, mi - 8)
+    return jax.lax.shift_right_logical(word, sh) & 3
+
+
+def _intersect_group(tri_ref, attr_ref, cols, tmin_g, tmax_g, tc, n_chunks,
+                     omm=False):
     """Closest hit for one 128-ray group. Returns per-ray [1,128] rows:
-    (t, prim_f, u, v, det_pick) and attrs [AT_ROWS,128]."""
+    (t, prim_f, u, v, det_pick, unk) and attrs [AT_ROWS,128]. With omm,
+    micro-TRANSPARENT candidates are rejected inside the loop (the
+    anyhit-free OMM fast path) and `unk` flags winners whose micro state
+    is UNKNOWN (texture alpha test at shade time)."""
+    ng = 7 if omm else 4
     best_t = jnp.full((1, 128), _BIG, jnp.float32)
     best_attr = jnp.zeros((AT_ROWS, 128), jnp.float32)
     best_u = jnp.zeros((1, 128), jnp.float32)
     best_v = jnp.zeros((1, 128), jnp.float32)
     best_det = jnp.zeros((1, 128), jnp.float32)
     best_prim = jnp.full((1, 128), -1.0, jnp.float32)
+    best_unk = jnp.zeros((1, 128), jnp.float32)
     for c in range(n_chunks):
-        base = 4 * c * tc
-        g = _mm(tri_ref[base:base + 4 * tc, :], cols)     # [4tc,128]
+        base = ng * c * tc
+        g = _mm(tri_ref[base:base + ng * tc, :], cols)    # [ng*tc,128]
         det = g[0:tc]
         u_num = g[tc:2 * tc]
         v_num = g[2 * tc:3 * tc]
@@ -532,6 +625,10 @@ def _intersect_group(tri_ref, attr_ref, cols, tmin_g, tmax_g, tc, n_chunks):
         t = t_num * inv
         valid = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                  & (t > tmin_g) & (t < tmax_g) & (t < best_t))
+        if omm:
+            st = _micro_state(g[4 * tc:5 * tc], g[5 * tc:6 * tc], u, v)
+            valid = valid & (st != MICRO_TRANSPARENT)
+            unk_c = (st == MICRO_UNKNOWN).astype(jnp.float32)
         t_m = jnp.where(valid, t, _BIG)
         t_c = jnp.min(t_m, axis=0, keepdims=True)
         hit_c = t_c < best_t
@@ -549,17 +646,26 @@ def _intersect_group(tri_ref, attr_ref, cols, tmin_g, tmax_g, tc, n_chunks):
         best_det = jnp.where(hit_c, pick(det), best_det)
         best_prim = jnp.where(hit_c, (j + c * tc).astype(jnp.float32),
                               best_prim)
+        if omm:
+            best_unk = jnp.where(hit_c, pick(unk_c), best_unk)
         best_t = jnp.where(hit_c, t_c, best_t)
-    return best_t, best_prim, best_u, best_v, best_det, best_attr
+    return (best_t, best_prim, best_u, best_v, best_det, best_attr,
+            best_unk)
 
 
-def _occluded_group(tri_ref, cols, tmax_g, tc, n_chunks):
+def _occluded_group(tri_ref, cols, tmax_g, tc, n_chunks, omm=False,
+                    u_alpha=None):
     """Any-hit in (0, tmax_g) for one 128-ray group -> f32 0/1 [1,128]
-    (f32, not bool: Mosaic can't concatenate i1 tiles across groups)."""
+    (f32, not bool: Mosaic can't concatenate i1 tiles across groups).
+    With omm, micro-TRANSPARENT candidates never occlude; UNKNOWN ones
+    occlude STOCHASTICALLY against the baked unknown-cell coverage
+    (u_alpha [1,128] per-ray uniform; the XLA path resolves them by
+    texture retrace — scene/omm.intersect_any_alpha)."""
+    ng = 7 if omm else 4
     occ = jnp.zeros((1, 128), jnp.float32)
     for c in range(n_chunks):
-        base = 4 * c * tc
-        g = _mm(tri_ref[base:base + 4 * tc, :], cols)
+        base = ng * c * tc
+        g = _mm(tri_ref[base:base + ng * tc, :], cols)
         det = g[0:tc]
         u_num = g[tc:2 * tc]
         v_num = g[2 * tc:3 * tc]
@@ -571,6 +677,13 @@ def _occluded_group(tri_ref, cols, tmax_g, tc, n_chunks):
         t = t_num * inv
         valid = (ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                  & (t > 0.0) & (t < tmax_g))
+        if omm:
+            st = _micro_state(g[4 * tc:5 * tc], g[5 * tc:6 * tc], u, v)
+            valid = valid & (st != MICRO_TRANSPARENT)
+            if u_alpha is not None:
+                cover = g[6 * tc:7 * tc]
+                valid = valid & ((st != MICRO_UNKNOWN)
+                                 | (u_alpha < cover))
         occ = jnp.maximum(
             occ, jnp.max(valid.astype(jnp.float32), axis=0, keepdims=True))
     return occ
@@ -807,8 +920,11 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
                       thp, L, prev_pdf, active, prev_delta, med0, med1,
                       px, py, sample_idx, bounce, mat_ref, light_ref,
                       cfg_key, n_lights, first_emissive,
-                      env_ref=None, tex_refs=None, tex_maps=(1, 0, 0),
-                      cone=None, spread=None, budget=None):
+                      env_ref=None, tex_refs=None, tex_maps=(1, 0, 0, 0),
+                      cone=None, spread=None, budget=None,
+                      ld=None, ls=None, fspec=None,
+                      lbounce=None, maxb=None, omm_unknown=None,
+                      prio=False):
     """Shared post-intersection bounce body: surface fetch, volume
     absorption, emissive-hit MIS, NEE light sample + BSDF eval (shadow ray
     RETURNED, not resolved), BSDF scatter sample, medium stack, RR.
@@ -821,7 +937,7 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
     Rtxpt/Shaders/PathTracer/PathTracer.hlsli HandleHit / HandleNEE /
     GenerateScatterRay (see module docstring)."""
     (nee_mode, enable_mis, firefly, rr_enable, min_rr, max_travel,
-     low_discrepancy, energy_comp, noprune) = cfg_key
+     low_discrepancy, energy_comp, noprune, split_ch) = cfg_key
     f32 = jnp.float32
 
     def lds(seed, dims):
@@ -840,7 +956,16 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
     # in-kernel for every mode except NEE-AT (mixture needs the XLA-side
     # per-tile state: exported as p_geo + light id instead).
     em_mis_inkernel = nee_mode in (1, 2, 4, 5) and n_lights > 0
-    em_gate = jnp.asarray(first_emissive, bool) | (bounce > 0)
+    # Logical bounce: with pass-through iterations (alpha/priority false
+    # hits) the loop index `bounce` overcounts — every bounce-SEMANTIC
+    # gate below uses the per-lane lb instead; RNG seeds keep the global
+    # index (each iteration must draw fresh randoms).
+    lb = lbounce if lbounce is not None else \
+        jnp.full(t.shape, bounce, jnp.int32)
+    em_gate = jnp.asarray(first_emissive, bool) | (lb > 0)
+    # diffuse/specular radiance split for per-channel denoising
+    # (integrator.py:132-135 semantics; NrdConfig.cpp:25-27)
+    split = bool(split_ch) and ld is not None
 
     hit_mask = active & hit
     # ----- HandleMiss: environment (PathTracer.hlsli:407-503) -----
@@ -850,18 +975,27 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
             env_ref, d, nee_uniform, n_lights,
             with_pdf=(use_nee or ext_nee) and bool(enable_mis))
         if (use_nee or ext_nee) and enable_mis:
-            w_env = jnp.where(prev_delta | (bounce == 0), 1.0,
+            w_env = jnp.where(prev_delta | (lb == 0), 1.0,
                               W.power_heuristic(prev_pdf, p_env))
         else:
             w_env = jnp.ones_like(t)
-        L = L + jnp.where(miss_mask & em_gate, thp * env_L * w_env, 0.0)
+        c_env = jnp.where(miss_mask & em_gate, thp * env_L * w_env, 0.0)
+        L = L + c_env
+        if split:
+            cd = jnp.where(fspec > 0.5, 0.0, c_env)
+            ld = ld + cd
+            ls = ls + (c_env - cd)
     active = active & hit                     # miss terminates
     # ----- per-lane bounce budget (stable-planes FILL: the BUILD chain
     # already consumed path vertices; integrator.py:308-309 order —
     # env-on-miss above is still paid at the expiry bounce, surface
-    # shading below is not) -----
+    # shading below is not). With pass-through iterations the per-lane
+    # LOGICAL limit also covers cfg.max_bounces (the loop runs extra
+    # iterations; a lane stops shading once lb reaches its limit). -----
     if budget is not None:
-        not_expired = bounce < budget
+        not_expired = lb < budget
+        if maxb is not None:
+            not_expired = not_expired & (lb < maxb)
         active = active & not_expired
         hit_mask = hit_mask & not_expired
 
@@ -910,7 +1044,7 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
         uv_u = bw_ * uv0u + bu * uv1u + bv * uv2u
         uv_v = bw_ * uv0v + bu * uv1v + bv * uv2v
         mip = 0.5 * jnp.log2(jnp.maximum(cone * cone, 1e-30))             + attr(AT_LODB)
-        seed_tx = rng.pixel_seed(px, py, bounce, EFFECT_STF)
+        seed_tx = rng.pixel_seed(px, py, lb, EFFECT_STF)
         ju0, ju1 = lds(seed_tx, (0, 1))
 
         def tfetch(row):
@@ -924,6 +1058,7 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
             base_color = jnp.where(has_b,
                                    base_color * jnp.stack(brgba[:3], 0),
                                    base_color)
+            base_alpha = jnp.where(has_b, brgba[3], 1.0)
         if tex_maps[1]:
             has_m, mrgba = tfetch(MT_MRTEX)
             # glTF convention: B = metallic, G = roughness
@@ -934,6 +1069,60 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
             emissive = jnp.where(has_e,
                                  emissive * jnp.stack(ergba[:3], 0),
                                  emissive)
+        if len(tex_maps) > 3 and tex_maps[3]:
+            # tangent-space normal mapping (pt/surface.py:145-171 on
+            # tiles; tangent baked per tri in AT_TANG/AT_TSGN —
+            # reference: PathTracerBridgeDonut.hlsli:612-680 shading-
+            # normal decode)
+            has_n, nrgba = tfetch(MT_NTEX)
+            n_ts = [c * 2.0 - 1.0 for c in nrgba[:3]]
+            tang_raw = attr(AT_TANG, 3)
+            tsgn = attr(AT_TSGN)
+            t_gs = tang_raw - sh_n * W.dot3(tang_raw, sh_n)
+            tlen = jnp.sqrt(W.dot3(t_gs, t_gs))
+            ok_t = (tsgn != 0.0) & (tlen > 1e-8)
+            tang = t_gs / jnp.maximum(tlen, 1e-8)
+            bitan = W.cross3(sh_n, tang) * tsgn
+            n_pert = W.normalize3(n_ts[0] * tang + n_ts[1] * bitan
+                                  + jnp.maximum(n_ts[2], 0.05) * sh_n)
+            n_pert = jnp.where(W.dot3(n_pert, gn) > 0.0, n_pert, sh_n)
+            sh_n = jnp.where(has_n & ok_t, n_pert, sh_n)
+
+    # ----- pass-through rejection (alpha-test fail / nested-priority
+    # false hit): the lane re-traces from just past this surface on the
+    # NEXT wavefront iteration without consuming a logical bounce —
+    # amortized analog of the XLA bounded retrace (scene/omm.py
+    # intersect_closest_alpha; integrator.py:220-256 false-hit skip;
+    # reference: PathTracerNestedDielectrics.hlsli:48,118 + anyhit) -----
+    passthru = jnp.zeros(t.shape, bool)
+    if omm_unknown is not None and tex_refs is not None and tex_maps[0]:
+        acut = mrow(MT_ACUT)
+        alpha_fail = ((omm_unknown > 0.5) & (acut >= 0.0)
+                      & (base_alpha < acut))
+        passthru = passthru | (hit_mask & alpha_fail)
+    if prio:
+        def prow(med):
+            v = _gather128(mat_ref[MT_PRIO:MT_PRIO + 1, :],
+                           jnp.clip(med, 0, 127))
+            return jnp.where(med >= 0, v, -1.0)
+
+        p_hit = mrow(MT_PRIO)
+        boundary = ~thin & (transmission > 0.0)
+        false_enter = boundary & front & (p_hit < prow(med0))
+        false_exit = boundary & ~front & (mid != med0)
+        prio_fh = hit_mask & (false_enter | false_exit)
+        # interior-list bookkeeping for the skipped boundary
+        # (InteriorList.hlsli:26-32 semantics, integrator.py:244-249)
+        p_m1 = prow(med1)
+        med1 = jnp.where(
+            prio_fh & false_enter & ((med1 < 0) | (p_hit > p_m1)), mid,
+            jnp.where(prio_fh & false_exit & (mid == med1), -1, med1))
+        passthru = passthru | prio_fh
+    hit_shade = hit_mask & ~passthru
+    u_alpha = None
+    if omm_unknown is not None:
+        seed_sa = rng.pixel_seed(px, py, lb, EFFECT_ALPHA)
+        (u_alpha,) = lds(seed_sa, (0,))
 
     # medium stack IoRs (ior row indexed by medium material id)
     def med_ior(med):
@@ -972,7 +1161,7 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
             sel_pdf_hit = attr(AT_LPDF)
         p_light = sel_pdf_hit * p_geo
         p_light = jnp.where(attr(AT_ISLIGHT) > 0.5, p_light, 0.0)
-        w_em = jnp.where(prev_delta | (bounce == 0), 1.0,
+        w_em = jnp.where(prev_delta | (lb == 0), 1.0,
                          W.power_heuristic(prev_pdf, p_light))
     else:
         w_em = jnp.ones_like(t)
@@ -980,9 +1169,15 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
         # NEE-AT: the mixture selection pmf lives in the XLA-side tile
         # state — export the unweighted contribution + jacobian + light
         # id; pt/nee_external applies the exact mixture MIS weight.
-        em3 = jnp.where(hit_mask & em_gate, thp * emissive, 0.0)
+        em3 = jnp.where(hit_shade & em_gate, thp * emissive, 0.0)
     else:
-        L = L + jnp.where(hit_mask & em_gate, thp * emissive * w_em, 0.0)
+        em_c = jnp.where(hit_shade & em_gate, thp * emissive * w_em, 0.0)
+        L = L + em_c
+        if split:
+            em_c = jnp.where(lb > 0, em_c, 0.0)  # primary em excluded
+            cd = jnp.where(fspec > 0.5, 0.0, em_c)
+            ld = ld + cd
+            ls = ls + (em_c - cd)
         em3 = jnp.zeros_like(thp)
 
     wo = W.to_local3(-d, sh_n)
@@ -999,7 +1194,7 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
     # ----- NEE (1 candidate; HandleNEE analog) -----
     do_nee = jnp.zeros(t.shape, bool)
     if use_nee:
-        seed_nee = rng.pixel_seed(px, py, bounce, EFFECT_NEE)
+        seed_nee = rng.pixel_seed(px, py, lb, EFFECT_NEE)
         u_sel, u1, u2 = lds(seed_nee, (0, 2, 3))
         u_sel = jnp.clip(u_sel, 0.0, 1.0 - 1e-7)
         if nee_uniform:
@@ -1029,43 +1224,61 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
         env_s = None
         if env_ref is not None:
             env_s = _env_sample_w(env_ref, u1, u2)
-        ls = W.sample_light_fields_w(lf, sel_pdf, pos, u1, u2, env=env_s)
-        wi_l = W.to_local3(ls["wi"], sh_n)
+        lsmp = W.sample_light_fields_w(lf, sel_pdf, pos, u1, u2, env=env_s)
+        wi_l = W.to_local3(lsmp["wi"], sh_n)
         f_l = W.bsdf_eval_w(bsdf, wo, wi_l)
         pdf_b = W.bsdf_pdf_w(bsdf, wo, wi_l)
-        do_nee = hit_mask & ls["valid"] & (W.luminance3(f_l) > 0.0)
-        shadow_o = _ray_offset_w(pos, gn, ls["wi"])
+        do_nee = hit_shade & lsmp["valid"] & (W.luminance3(f_l) > 0.0)
+        shadow_o = _ray_offset_w(pos, gn, lsmp["wi"])
         if enable_mis:
-            w_nee = jnp.where(ls["is_delta"], 1.0,
-                              W.power_heuristic(ls["pdf"], pdf_b))
+            w_nee = jnp.where(lsmp["is_delta"], 1.0,
+                              W.power_heuristic(lsmp["pdf"], pdf_b))
         else:
             w_nee = jnp.ones_like(t)
-        contrib = thp * f_l * ls["Li"] * (
-            w_nee / jnp.maximum(ls["pdf"], 1e-12))
+        contrib = thp * f_l * lsmp["Li"] * (
+            w_nee / jnp.maximum(lsmp["pdf"], 1e-12))
         if firefly > 0.0:
             lum = W.luminance3(contrib)
             contrib = contrib * jnp.minimum(
                 1.0, firefly / jnp.maximum(lum, 1e-12))
+        if split:
+            f_dp, _f_sp = W.bsdf_eval_split_w(bsdf, wo, wi_l)
+            ratio = f_dp / jnp.maximum(f_l, 1e-12)
+            cdiff = jnp.where(lb == 0, contrib * ratio,
+                              jnp.where(fspec > 0.5, 0.0, contrib))
+        else:
+            cdiff = jnp.zeros_like(thp)
         # offset-aware occlusion distance (see integrator.py NEE note)
-        dist_eff = ls["dist"] - W.dot3(shadow_o - pos, ls["wi"])
+        dist_eff = lsmp["dist"] - W.dot3(shadow_o - pos, lsmp["wi"])
         sdist = jnp.where(do_nee, dist_eff * (1.0 - 1e-4), 0.0)
-        shadow_d = ls["wi"]
+        shadow_d = lsmp["wi"]
     else:
         do_nee = jnp.zeros(t.shape, bool)
         shadow_o = pos
         shadow_d = d
         sdist = jnp.zeros_like(t)
         contrib = jnp.zeros_like(thp)
+        cdiff = jnp.zeros_like(thp)
 
     # ----- scatter (GenerateScatterRay analog) -----
-    seed_sc = rng.pixel_seed(px, py, bounce, EFFECT_SCATTER)
+    # snapshot pre-scatter state for pass-through lanes (they keep it)
+    thp_ns, pdf_ns, delta_ns = thp, prev_pdf, prev_delta
+    med0_ns, med1_ns = med0, med1
+    spread_ns = spread
+    seed_sc = rng.pixel_seed(px, py, lb, EFFECT_SCATTER)
     u_lobe, su1, su2 = lds(seed_sc, (0, 2, 3))
     bs = W.bsdf_sample_w(bsdf, wo, u_lobe, su1, su2)
     wi_world = W.to_world3(bs["wi"], sh_n)
+    if split:
+        is_spec = ((bs["lobe"] == W.LOBE_SPECULAR_REFL)
+                   | (bs["lobe"] == W.LOBE_SPECULAR_TRANS))
+        fspec = jnp.where((lb == 0) & hit_shade,
+                          is_spec.astype(f32), fspec)
     same_side_sh = bs["wi"][2] > 0.0
     same_side_geo = W.dot3(wi_world, gn) > 0.0
     leak = same_side_sh != same_side_geo
-    active = active & bs["valid"] & ~leak & (W.luminance3(bs["weight"]) > 0.0)
+    active = active & (passthru | (bs["valid"] & ~leak
+                                   & (W.luminance3(bs["weight"]) > 0.0)))
 
     thp = thp * bs["weight"]
     prev_pdf = bs["pdf"]
@@ -1079,11 +1292,11 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
     med0, med1 = new_med0, new_med1
 
     if rr_enable:
-        seed_rr = rng.pixel_seed(px, py, bounce, EFFECT_RR)
+        seed_rr = rng.pixel_seed(px, py, lb, EFFECT_RR)
         (u_rr,) = lds(seed_rr, (0,))
         p_cont = jnp.clip(
             jnp.maximum(jnp.maximum(thp[0], thp[1]), thp[2]), 0.05, 1.0)
-        rr_on = bounce >= min_rr
+        rr_on = (lb >= min_rr) & ~passthru
         kill = rr_on & (u_rr >= p_cont)
         active = active & ~kill
         thp = thp / jnp.where(rr_on, p_cont, 1.0)
@@ -1096,11 +1309,30 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
         spread = spread + jnp.sqrt(bsdf.alpha) * 0.25 \
             * (1.0 - bs["is_delta"].astype(f32))
 
+    # ----- pass-through lane overrides: continue the SAME ray from just
+    # past the rejected surface; no scatter state advances -----
+    lb_out = lb + hit_shade.astype(jnp.int32)
+    has_pass = (omm_unknown is not None and tex_refs is not None
+                and tex_maps[0]) or prio
+    if has_pass:
+        t_adv = t * (1.0 + 1e-4) + 1e-5
+        o_new = jnp.where(passthru, o + d * t_adv, o_new)
+        wi_world = jnp.where(passthru, d, wi_world)
+        thp = jnp.where(passthru, thp_ns, thp)
+        prev_pdf = jnp.where(passthru, pdf_ns, prev_pdf)
+        prev_delta = jnp.where(passthru, delta_ns, prev_delta)
+        med0 = jnp.where(passthru, med0_ns, med0)
+        med1 = jnp.where(passthru, med1_ns, med1)
+        if spread is not None:
+            spread = jnp.where(passthru, spread_ns, spread)
+
     return dict(
         o_new=o_new, wi_world=wi_world, thp=thp, L=L, prev_pdf=prev_pdf,
         active=active, prev_delta=prev_delta, med0=med0, med1=med1,
         do_nee=do_nee, shadow_o=shadow_o, shadow_d=shadow_d, sdist=sdist,
-        contrib=contrib, cone=cone, spread=spread, surf=surf_rows)
+        contrib=contrib, cone=cone, spread=spread, surf=surf_rows,
+        ld=ld, ls=ls, fspec=fspec, cdiff=cdiff,
+        lbounce=lb_out, shaded=hit_shade, u_alpha=u_alpha)
 
 
 def _attrs_from_prim(attr_ref, prim_g, tc, n_chunks):
@@ -1120,14 +1352,16 @@ def _attrs_from_prim(attr_ref, prim_g, tc, n_chunks):
 def _bounce_kernel(*refs,
                    cfg_key, tc, n_chunks, n_lights, tr, first_emissive,
                    has_env, has_tex, tex_maps, final_env=False,
-                   inject=False):
+                   inject=False, omm=False, prio=False, maxb=None):
     (nee_mode, enable_mis, firefly, rr_enable, min_rr, max_travel,
-     low_discrepancy, energy_comp, noprune) = cfg_key
+     low_discrepancy, energy_comp, noprune, split_ch) = cfg_key
     f32 = jnp.float32
+    split_ch_k = cfg_key[9]
     it = iter(refs)
     scal_ref = next(it)
     fs_ref = next(it)
     is_ref = next(it)
+    fs2_ref = next(it) if split_ch_k else None
     inj_ref = next(it) if inject else None
     tri_ref = next(it)
     attr_ref = next(it)
@@ -1141,11 +1375,13 @@ def _bounce_kernel(*refs,
     hit_out = next(it)
     ext_nee = cfg_key[0] in (3, 4, 5) and n_lights > 0 and not final_env
     surf_out = next(it) if ext_nee else None
+    fs2_out = next(it) if split_ch_k else None
     sample_idx = scal_ref[0, 0]
     bounce = scal_ref[0, 1].astype(jnp.int32)
 
     fs = fs_ref[:]
     is_ = is_ref[:]
+    fs2 = fs2_ref[:] if split_ch_k else None
     o = fs[FS_O:FS_O + 3]
     d = fs[FS_D:FS_D + 3]
 
@@ -1164,22 +1400,27 @@ def _bounce_kernel(*refs,
         det_pick = jnp.where(inj[4] > 0.5, 1.0, -1.0)
         attrs_g = [_attrs_from_prim(attr_ref, prim_f[g:g + 1], tc,
                                     n_chunks) for g in range(_R)]
+        # injected V-buffer hits were alpha-resolved by the BUILD pass
+        unk = jnp.zeros_like(t)
     else:
         tmin = jnp.zeros((1, 128), f32)
-        ts, prims, us, vs, dets = [], [], [], [], []
+        ts, prims, us, vs, dets, unks = [], [], [], [], [], []
         attrs_g = []
         for g in range(_R):
             cols = _ray_cols(o, d, g)
             tmax_g = jnp.full((1, 128), max_travel, f32)
-            t_g, p_g, u_g, v_g, det_g, attr_g = _intersect_group(
-                tri_ref, attr_ref, cols, tmin, tmax_g, tc, n_chunks)
+            t_g, p_g, u_g, v_g, det_g, attr_g, unk_g = _intersect_group(
+                tri_ref, attr_ref, cols, tmin, tmax_g, tc, n_chunks,
+                omm=omm)
             ts.append(t_g); prims.append(p_g); us.append(u_g)
             vs.append(v_g); dets.append(det_g); attrs_g.append(attr_g)
+            unks.append(unk_g)
         t = _stack_groups(ts)
         prim_f = _stack_groups(prims)
         bu = _stack_groups(us)
         bv = _stack_groups(vs)
         det_pick = _stack_groups(dets)
+        unk = _stack_groups(unks)
 
     def attr(i, k=1):
         if k == 1:
@@ -1210,14 +1451,19 @@ def _bounce_kernel(*refs,
                               W.power_heuristic(fs[FS_PREVPDF], p_env))
         else:
             w_env = jnp.ones_like(t)
-        L = L + jnp.where(miss_mask, fs[FS_THP:FS_THP + 3] * env_L * w_env,
+        c_env = jnp.where(miss_mask, fs[FS_THP:FS_THP + 3] * env_L * w_env,
                           0.0)
+        L = L + c_env
         fs_out[:] = jnp.concatenate([fs[:FS_L], L, fs[FS_L + 3:]], axis=0)
         is_out[:] = jnp.concatenate(
             [jnp.zeros((1, _R, 128), jnp.int32), is_[1:]], axis=0)
         hit_out[:] = jnp.stack(
             [jnp.where(hit, t, 0.0), prim_f, bu, bv,
              front.astype(f32), jnp.zeros_like(t)], axis=0)
+        if split_ch_k:
+            cd = jnp.where(fs2[6:7] > 0.5, 0.0, c_env)
+            fs2_out[:] = jnp.concatenate(
+                [fs2[0:3] + cd, fs2[3:6] + (c_env - cd), fs2[6:7]], axis=0)
         return
 
     s = surface_and_shade(
@@ -1233,19 +1479,32 @@ def _bounce_kernel(*refs,
         tex_refs=((tex_ct_ref, tex_meta_ref, tr) if has_tex else None),
         tex_maps=tex_maps,
         cone=fs[FS_CONE], spread=fs[FS_SPREAD],
-        budget=is_[IS_BUDGET])
+        budget=is_[IS_BUDGET],
+        ld=(fs2[0:3] if split_ch_k else None),
+        ls=(fs2[3:6] if split_ch_k else None),
+        fspec=(fs2[6] if split_ch_k else None),
+        lbounce=is_[IS_LBOUNCE], maxb=maxb,
+        omm_unknown=(unk if omm else None), prio=prio)
 
     # ----- NEE shadow occlusion (in-kernel second matmul pass) -----
     L = s["L"]
     do_nee = s["do_nee"]
+    ld_k = s["ld"]
+    ls_k = s["ls"]
     if not ext_nee:
         occs = []
         for g in range(_R):
             cols = _ray_cols(s["shadow_o"], s["shadow_d"], g)
-            occs.append(_occluded_group(tri_ref, cols, s["sdist"][g:g + 1],
-                                        tc, n_chunks))
+            occs.append(_occluded_group(
+                tri_ref, cols, s["sdist"][g:g + 1], tc, n_chunks, omm=omm,
+                u_alpha=(s["u_alpha"][g:g + 1] if omm else None)))
         occluded = _stack_groups(occs) > 0.5
-        L = L + jnp.where(do_nee & ~occluded, s["contrib"], 0.0)
+        ok_nee = do_nee & ~occluded
+        L = L + jnp.where(ok_nee, s["contrib"], 0.0)
+        if split_ch_k:
+            cd = jnp.where(ok_nee, s["cdiff"], 0.0)
+            ld_k = ld_k + cd
+            ls_k = ls_k + jnp.where(ok_nee, s["contrib"], 0.0) - cd
 
     fs_out[:] = jnp.concatenate(
         [s["o_new"], s["wi_world"], s["thp"], L, s["prev_pdf"][None],
@@ -1254,34 +1513,48 @@ def _bounce_kernel(*refs,
     is_out[:] = jnp.stack(
         [s["active"].astype(jnp.int32), s["prev_delta"].astype(jnp.int32),
          s["med0"], s["med1"], is_[IS_PX], is_[IS_PY],
-         is_[IS_BUDGET]], axis=0)
+         is_[IS_BUDGET], s["lbounce"]], axis=0)
+    # flag row: 0 = none; 1 = shaded at lb==0; 2 = shaded at lb>0
+    # (ext-NEE consumes it; the in-kernel NEE path reads do_nee)
+    if ext_nee:
+        flag = s["shaded"].astype(f32) \
+            * (1.0 + (is_[IS_LBOUNCE] > 0).astype(f32))
+    else:
+        flag = do_nee.astype(f32)
     hit_out[:] = jnp.stack(
         [jnp.where(hit, t, 0.0), prim_f, bu, bv,
-         front.astype(f32), do_nee.astype(f32)], axis=0)
+         front.astype(f32), flag], axis=0)
     if ext_nee:
         surf_out[:] = s["surf"]
+    if split_ch_k:
+        fs2_out[:] = jnp.concatenate(
+            [ld_k, ls_k, s["fspec"][None]], axis=0)
 
 
-def _shadow_kernel(sh_ref, tri_ref, occ_out, *, tc, n_chunks):
+def _shadow_kernel(sh_ref, tri_ref, occ_out, *, tc, n_chunks, omm=False):
     """Occlusion-only pass for XLA-built shadow requests (external NEE).
-    sh rows follow bounce_clustered.SH_* (o 0:3, d 3:6, dist 6, do 10)."""
+    sh rows follow bounce_clustered.SH_* (o 0:3, d 3:6, dist 6, do 10;
+    row 7 carries the per-ray stochastic-alpha uniform when omm)."""
     sh = sh_ref[:]
     occs = []
     for g in range(_R):
         cols = _ray_cols(sh[0:3], sh[3:6], g)
-        occs.append(_occluded_group(tri_ref, cols, sh[6][g:g + 1],
-                                    tc, n_chunks))
+        occs.append(_occluded_group(
+            tri_ref, cols, sh[6][g:g + 1], tc, n_chunks, omm=omm,
+            u_alpha=(sh[7][g:g + 1] if omm else None)))
     occ = _stack_groups(occs)
     occ_out[:] = jnp.where(sh[10] > 0.5, occ, 1.0)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tc", "n_chunks", "interpret"))
-def shadow_occlusion_call(sh, tri_rows, tc, n_chunks, interpret=False):
+                   static_argnames=("tc", "n_chunks", "interpret", "omm"))
+def shadow_occlusion_call(sh, tri_rows, tc, n_chunks, interpret=False,
+                          omm=False):
     """sh [11, nrows, 128] -> occ [nrows, 128] (1 = occluded/no-request)."""
     nrows = sh.shape[1]
     grid = nrows // _R
-    kern = functools.partial(_shadow_kernel, tc=tc, n_chunks=n_chunks)
+    kern = functools.partial(_shadow_kernel, tc=tc, n_chunks=n_chunks,
+                             omm=omm)
     return pl.pallas_call(
         kern,
         grid=(grid,),
@@ -1321,20 +1594,23 @@ def _interpret(cfg=None) -> bool:
     jax.jit,
     static_argnames=("cfg_key", "tc", "n_chunks", "n_lights", "tr",
                      "first_emissive", "tex_maps", "final_env",
-                     "interpret"))
+                     "interpret", "omm", "prio", "maxb"))
 def _bounce_call(scal, fs, is_, tri_rows, attr_rows, mat_rows, light_rows,
                  env_rows, tex_ct, tex_meta,
                  cfg_key, tc, n_chunks, n_lights, tr, first_emissive,
-                 tex_maps=(1, 0, 0), final_env=False, interpret=False,
-                 inj=None):
+                 tex_maps=(1, 0, 0, 0), final_env=False, interpret=False,
+                 inj=None, fs2=None, omm=False, prio=False, maxb=None):
     nrows = fs.shape[1]
     grid = nrows // _R
     has_env = env_rows is not None
     has_tex = tex_ct is not None
     inject = inj is not None
+    split_ch = bool(cfg_key[9])
+    assert (fs2 is not None) == split_ch
     kern = functools.partial(
         _bounce_kernel, cfg_key=cfg_key, tc=tc, n_chunks=n_chunks,
         n_lights=n_lights, tr=tr, first_emissive=first_emissive,
+        omm=omm, prio=prio, maxb=maxb,
         has_env=has_env, has_tex=has_tex, tex_maps=tex_maps,
         final_env=final_env, inject=inject)
     const = lambda b: (0, 0)
@@ -1345,6 +1621,9 @@ def _bounce_call(scal, fs, is_, tri_rows, attr_rows, mat_rows, light_rows,
         pl.BlockSpec((NI, _R, 128), lambda b: (0, b, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if split_ch:
+        in_specs.append(pl.BlockSpec((7, _R, 128), lambda b: (0, b, 0),
+                                     memory_space=pltpu.VMEM))
     if inject:
         in_specs.append(pl.BlockSpec((5, _R, 128), lambda b: (0, b, 0),
                                      memory_space=pltpu.VMEM))
@@ -1354,7 +1633,8 @@ def _bounce_call(scal, fs, is_, tri_rows, attr_rows, mat_rows, light_rows,
         pl.BlockSpec(mat_rows.shape, const, memory_space=pltpu.VMEM),
         pl.BlockSpec(light_rows.shape, const, memory_space=pltpu.VMEM),
     ]
-    inputs = [scal, fs, is_] + ([inj] if inject else []) \
+    inputs = [scal, fs, is_] + ([fs2] if split_ch else []) \
+        + ([inj] if inject else []) \
         + [tri_rows, attr_rows, mat_rows, light_rows]
     if has_env:
         in_specs.append(pl.BlockSpec(env_rows.shape, const,
@@ -1386,6 +1666,11 @@ def _bounce_call(scal, fs, is_, tri_rows, attr_rows, mat_rows, light_rows,
                                       memory_space=pltpu.VMEM))
         out_shape.append(
             jax.ShapeDtypeStruct((SF_ROWS, nrows, 128), jnp.float32))
+    if split_ch:
+        out_specs.append(pl.BlockSpec((7, _R, 128), lambda b: (0, b, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((7, nrows, 128), jnp.float32))
     out = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -1394,9 +1679,15 @@ def _bounce_call(scal, fs, is_, tri_rows, attr_rows, mat_rows, light_rows,
         out_shape=tuple(out_shape),
         interpret=interpret,
     )(*inputs)
+    out = list(out)
+    fs_o, is_o, hit_o = out[0], out[1], out[2]
+    k = 3
+    surf_o = None
     if ext_nee:
-        return out
-    return out + (None,)
+        surf_o = out[k]
+        k += 1
+    fs2_o = out[k] if split_ch else None
+    return fs_o, is_o, hit_o, surf_o, fs2_o
 
 
 def _cfg_key(cfg):
@@ -1413,7 +1704,7 @@ def _cfg_key(cfg):
             float(cfg.firefly_clamp), bool(cfg.enable_russian_roulette),
             int(cfg.min_bounces_before_rr), float(cfg.max_ray_travel),
             bool(cfg.low_discrepancy), bool(cfg.kernel_energy_comp),
-            bool(cfg.cluster_noprune))
+            bool(cfg.cluster_noprune), bool(cfg.split_channels))
 
 
 def eligible(scene, cfg, neeat_state) -> bool:
@@ -1476,6 +1767,7 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         rows1(px).astype(jnp.int32)[None],
         rows1(py).astype(jnp.int32)[None],
         budget_rows,
+        jnp.zeros((1, nrows, 128), jnp.int32),    # logical bounce
     ], axis=0)
 
     inj0 = None
@@ -1494,8 +1786,10 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
     interp = _interpret(cfg)
     use_tex = tbl.tex_ct is not None and \
         bool(cfg.stochastic_texture_filtering)
-    tex_maps = tbl.tex_maps if use_tex else (1, 0, 0)
+    tex_maps = tbl.tex_maps if use_tex else (1, 0, 0, 0)
     ext_nee = key[0] in (3, 4, 5) and tbl.n_lights > 0
+    split_ch = bool(key[9])
+    fs2 = jnp.zeros((7, nrows, 128), f32) if split_ch else None
     neeat_hist = None
     if ext_nee:
         from rtxpt_tpu.lighting import neeat as na
@@ -1506,7 +1800,13 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
     ray_count = jnp.zeros((), jnp.int32)
     occupancy = []
     hit0 = None
-    for bounce in range(cfg.max_bounces):
+    # pass-through iterations (alpha-reject / priority false hits) do not
+    # advance the logical bounce — run extra iterations so rejected lanes
+    # still reach their full depth (XLA analog: MAX_ALPHA_RETRACE /
+    # MAX_FALSE_HIT_SKIPS bounded retrace per bounce)
+    extra = int(getattr(cfg, "passthrough_extra_iters", 2)) \
+        if (tbl.omm or tbl.prio) else 0
+    for bounce in range(cfg.max_bounces + extra):
         active_in = is_[IS_ACTIVE]
         occupancy.append(jnp.sum(active_in))
         scal = jnp.stack(
@@ -1514,38 +1814,73 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         d_in = fs[FS_D:FS_D + 3]
         prev_pdf_in = fs[FS_PREVPDF]
         prev_delta_in = is_[IS_PREVDELTA]
-        budget_in = is_[IS_BUDGET]
-        fs, is_, hit, surf = _bounce_call(
+        lb_in = is_[IS_LBOUNCE]
+        fs, is_, hit, surf, fs2 = _bounce_call(
             scal, fs, is_, tbl.tri_rows, tbl.attr_rows, tbl.mat_rows,
             tbl.light_rows, tbl.env_rows,
             tbl.tex_ct if use_tex else None,
             tbl.tex_meta if use_tex else None,
             key, tbl.tc, tbl.n_chunks, tbl.n_lights, tbl.tr,
             first_emissive, tex_maps=tex_maps, interpret=interp,
-            inj=inj0 if bounce == 0 else None)
+            inj=inj0 if bounce == 0 else None, fs2=fs2,
+            omm=tbl.omm, prio=tbl.prio, maxb=cfg.max_bounces)
         if ext_nee:
-            hitm = ((active_in > 0) & (hit[0] > 0.0)
-                    & (bounce < budget_in)).reshape(npad)
+            # hit[5]: 0 = not shaded, 1 = shaded at lb==0, 2 = at lb>0
+            hitm = (hit[5] > 0.5).reshape(npad)
+            lb0 = (hit[5] < 1.5).reshape(npad)
             res = external_nee(
                 scene, cfg, neeat_state, surf.reshape(SF_ROWS, npad),
                 d_in.reshape(3, npad), hitm,
                 prev_pdf_in.reshape(npad),
                 prev_delta_in.reshape(npad) > 0,
                 is_[IS_PX].reshape(npad), is_[IS_PY].reshape(npad),
-                sample_idx, bounce, first_emissive)
+                sample_idx, bounce, first_emissive,
+                first_spec=(fs2[6].reshape(npad) > 0.5 if split_ch
+                            else None),
+                lb=(lb_in.reshape(npad) if (tbl.omm or tbl.prio)
+                    else None))
+            if tbl.omm:
+                seed_sa = rng.pixel_seed(
+                    is_[IS_PX].reshape(npad), is_[IS_PY].reshape(npad),
+                    lb_in.reshape(npad), EFFECT_ALPHA)
+                if cfg.low_discrepancy:
+                    (ua,) = rng.ld_samples(sample_idx, seed_sa, (0,))
+                else:
+                    ua = rng.uniform_sample(
+                        seed_sa, rng.hash_combine(sample_idx,
+                                                  jnp.uint32(0)))
+                ua_row = ua.reshape(1, npad)
+            else:
+                ua_row = jnp.zeros((1, npad), jnp.float32)
             sh_rows = jnp.concatenate([
                 res["shadow_o"].T, res["shadow_d"].T,
                 res["sdist"][None],
-                jnp.zeros((3, npad), jnp.float32),
+                ua_row, jnp.zeros((2, npad), jnp.float32),
                 res["do_nee"].astype(jnp.float32)[None],
             ], axis=0).reshape(11, nrows, 128)
             occ = shadow_occlusion_call(sh_rows, tbl.tri_rows, tbl.tc,
-                                        tbl.n_chunks, interpret=interp)
+                                        tbl.n_chunks, interpret=interp,
+                                        omm=tbl.omm)
             ok = res["do_nee"] & (occ.reshape(npad) < 0.5)
             add = res["em_add"] + jnp.where(ok[:, None],
                                             res["contrib"], 0.0)
             L = fs[FS_L:FS_L + 3] + add.T.reshape(3, nrows, 128)
             fs = jnp.concatenate([fs[:FS_L], L, fs[FS_L + 3:]], axis=0)
+            if split_ch:
+                # NEE + deferred-emissive split (the kernel handled only
+                # env/em for modes != 3; mode 3 em rides em_add here)
+                fspec_f = fs2[6].reshape(npad) > 0.5
+                em_s = res["em_add"] if key[0] == 3 \
+                    else jnp.zeros((npad, 3), f32)
+                em_s = jnp.where(lb0[:, None], jnp.zeros_like(em_s),
+                                 em_s)     # primary emission excluded
+                nee_s = jnp.where(ok[:, None], res["contrib"], 0.0)
+                cd = jnp.where(ok[:, None], res["cdiff"], 0.0) \
+                    + jnp.where(fspec_f[:, None], 0.0, em_s)
+                tot = nee_s + em_s
+                ld2 = fs2[0:3] + cd.T.reshape(3, nrows, 128)
+                ls2 = fs2[3:6] + (tot - cd).T.reshape(3, nrows, 128)
+                fs2 = jnp.concatenate([ld2, ls2, fs2[6:7]], axis=0)
             ray_count = ray_count + jnp.sum(res["do_nee"].astype(
                 jnp.int32))
             if neeat_hist is not None:
@@ -1556,7 +1891,7 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                                 + res["contrib"][:, 2] * 0.0722, 0.0),
                     ok)
         ray_count = ray_count + jnp.sum(active_in) \
-            + jnp.sum(hit[5].astype(jnp.int32))
+            + (0 if ext_nee else jnp.sum((hit[5] > 0.5).astype(jnp.int32)))
         if bounce == 0:
             hit0 = hit
     if tbl.env_rows is not None:
@@ -1564,16 +1899,19 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         active_in = is_[IS_ACTIVE]
         scal = jnp.stack(
             [sample_idx, jnp.uint32(cfg.max_bounces)]).reshape(1, 2)
-        fs, is_, _hitf, _surf = _bounce_call(
+        fs, is_, _hitf, _surf, fs2 = _bounce_call(
             scal, fs, is_, tbl.tri_rows, tbl.attr_rows, tbl.mat_rows,
             tbl.light_rows, tbl.env_rows, None, None,
             key, tbl.tc, tbl.n_chunks, tbl.n_lights, tbl.tr,
-            first_emissive, final_env=True, interpret=interp)
+            first_emissive, final_env=True, interpret=interp, fs2=fs2)
         ray_count = ray_count + jnp.sum(active_in)
     occupancy.append(jnp.sum(is_[IS_ACTIVE]))
 
     L = fs[FS_L:FS_L + 3].reshape(3, npad).T[:n]
     out = dict(L=L, ray_count=ray_count, occupancy=jnp.stack(occupancy))
+    if split_ch:
+        out["L_diff"] = fs2[0:3].reshape(3, npad).T[:n]
+        out["L_spec"] = fs2[3:6].reshape(3, npad).T[:n]
     if neeat_hist is not None:
         out["neeat_hist"] = neeat_hist
 
@@ -1592,6 +1930,11 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                             cone_spread * jnp.maximum(t0, 0.0))
         alb = surf.bsdf.diffuse + surf.bsdf.specular_f0
         out["albedo"] = jnp.where(hm[..., None], alb, 1.0)
+        if split_ch:
+            out["albedo_diff"] = jnp.where(
+                hm[..., None], surf.bsdf.diffuse, 1.0)
+            out["albedo_spec"] = jnp.where(
+                hm[..., None], surf.bsdf.specular_f0 + 0.04, 1.0)
         out["normal"] = jnp.where(hm[..., None], surf.sh_n, 0.0)
         out["depth"] = jnp.where(hm, t0, 0.0)
         out["wpos"] = jnp.where(hm[..., None], surf.pos, 0.0)

@@ -83,14 +83,22 @@ def fused_structural_ok(scene, cfg, neeat_state) -> bool:
     lighting via the baked (64,128) env table — matching the reference's
     in-megakernel bindless sampling (PathTracerBridgeDonut.hlsli:270-285,
     Lighting/EnvMap.hlsli) — and NEE-AT / >128 lights / WRS K>1 via the
-    external XLA selection block (pt/nee_external.py). Remaining
-    unported features (alpha/OMM retrace, split channels, nested
-    priorities, normal maps) fall back to the XLA wavefront.
+    external XLA selection block (pt/nee_external.py); normal maps via
+    baked per-tri tangent rows + in-kernel perturbation; split
+    diffuse/specular channels via the fs2 state rows. Remaining
+    unported features (alpha/OMM retrace, nested priorities) fall back
+    to the XLA wavefront.
     """
     if getattr(scene, "bounce_tables", None) is None:
         return False
     if scene.tri_opacity is not None:
-        return False
+        # alpha/OMM runs in-kernel only when the tables carry micromap
+        # row groups AND the texture path is live (the UNKNOWN-state
+        # resolve needs the in-kernel base-alpha fetch)
+        if not getattr(scene.bounce_tables, "omm", False):
+            return False
+        if scene.textures is None or not cfg.stochastic_texture_filtering:
+            return False
     if scene.textures is not None:
         if getattr(scene.bounce_tables, "tex_rows", None) is None:
             return False
@@ -98,12 +106,10 @@ def fused_structural_ok(scene, cfg, neeat_state) -> bool:
         # texel, RTXTF Config.h:95); bilinear demands the XLA sampler
         if not cfg.stochastic_texture_filtering:
             return False
-    # Nested-dielectric priority false-hit rejection is implemented only
-    # in the XLA wavefront (ADVICE r2: silently ignoring priorities on
-    # the Pallas tiers diverges per-platform).
-    if getattr(scene, "has_nested_priorities", False):
-        return False
-    if getattr(cfg, "split_channels", False):
+    # Nested-dielectric priorities run the in-kernel pass-through
+    # false-hit rejection when the tables carry MT_PRIO (always packed).
+    if getattr(scene, "has_nested_priorities", False) \
+            and not getattr(scene.bounce_tables, "prio", False):
         return False
     if not _nee_routing_ok(scene, cfg, neeat_state, scene.bounce_tables):
         return False
@@ -122,8 +128,6 @@ def clustered_structural_ok(scene, cfg, neeat_state) -> bool:
         if not cfg.stochastic_texture_filtering:
             return False
     if getattr(scene, "has_nested_priorities", False):
-        return False
-    if getattr(cfg, "split_channels", False):
         return False
     if not _nee_routing_ok(scene, cfg, neeat_state,
                            scene.cluster_tables):

@@ -649,8 +649,24 @@ def render_sample_jit(scene, cam, cfg, width, height, sample_idx,
     tier served the frame (VERDICT r2: silent tier cliffs)."""
     from rtxpt_tpu.pt import dispatch
     cfg = dispatch.resolve(scene, cfg, neeat_state)
-    out = dict(_render_sample_jit_inner(scene, cam, cfg, width, height,
-                                        sample_idx, want_aux, neeat_state))
+    try:
+        out = dict(_render_sample_jit_inner(scene, cam, cfg, width, height,
+                                            sample_idx, want_aux,
+                                            neeat_state))
+    except ValueError as e:  # pragma: no cover - jax 0.9 cache bug
+        # jax 0.9 argument-pruning bug: the jit prunes unused scene
+        # leaves per executable, and with xla_force_host_platform_device
+        # _count set, switching between scenes whose pruned signatures
+        # differ can leave the C++ fastpath with a stale kept-argument
+        # set ("Execution supplied N buffers but compiled program
+        # expected M buffers"). Clearing the caches and retrying
+        # recompiles with a consistent kept set.
+        if "buffers but compiled program expected" not in str(e):
+            raise
+        jax.clear_caches()
+        out = dict(_render_sample_jit_inner(scene, cam, cfg, width, height,
+                                            sample_idx, want_aux,
+                                            neeat_state))
     out["kernel_tier"] = cfg.kernel_tier
     return out
 

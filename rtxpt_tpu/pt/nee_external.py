@@ -76,7 +76,8 @@ def _rebuild_bsdf(scene, surf_c):
 
 def external_nee(scene, cfg, neeat_state, surf, d_in, hit_mask,
                  prev_pdf_in, prev_delta_in, px, py, sample_idx, bounce,
-                 first_emissive: bool = True):
+                 first_emissive: bool = True, first_spec=None,
+                 lb=None):
     """NEE selection + eval + MIS for a kernel-exported wavefront.
 
     surf [SF_ROWS, npad] f32 (bounce_pallas SF_*); d_in [3, npad]
@@ -101,8 +102,24 @@ def external_nee(scene, cfg, neeat_state, surf, d_in, hit_mask,
     k_cand = max(int(cfg.nee_candidates), 1)
     em_gate = bool(first_emissive) or bounce > 0
 
+    split = first_spec is not None
+    # per-lane LOGICAL bounce: with pass-through iterations on the Pallas
+    # tiers the loop index over-counts; lb restores the per-lane bounce
+    # semantics (and the per-vertex RNG keying) exactly as the XLA
+    # retrace would see them (bounce_pallas IS_LBOUNCE)
+    per_lane_lb = lb is not None
+
     def body(ops):
-        surf_c, d_c, hmask, ppdf, pdelta, px_c, py_c = ops
+        if per_lane_lb:
+            *ops, lb_c = ops
+            lb0_c = lb_c == 0
+        else:
+            lb_c = None
+            lb0_c = None
+        if split:
+            surf_c, d_c, hmask, ppdf, pdelta, px_c, py_c, fspec_c = ops
+        else:
+            surf_c, d_c, hmask, ppdf, pdelta, px_c, py_c = ops
         n = px_c.shape[0]
         pos = surf_c[SF_POS:SF_POS + 3].T
         sh_n = surf_c[SF_SHN:SF_SHN + 3].T
@@ -120,14 +137,21 @@ def external_nee(scene, cfg, neeat_state, surf, d_in, hit_mask,
             sel_mix = na.select_pdf(neeat_state, scene.lights, tile0,
                                     jnp.maximum(lid, 0))
             p_light = jnp.where(lid >= 0, sel_mix * p_geo, 0.0)
-            w_em = jnp.where(pdelta | (bounce == 0), 1.0,
+            lb0_w = lb0_c if lb0_c is not None else \
+                jnp.full((n,), bounce == 0, bool)
+            w_em = jnp.where(pdelta | lb0_w, 1.0,
                              m.power_heuristic(ppdf, p_light))
         else:
             w_em = jnp.ones((n,), f32)
         em_add = em3 * w_em[..., None] if em_gate else jnp.zeros_like(em3)
+        if per_lane_lb and not first_emissive:
+            # the em gate is per-lane: primary emission suppressed only
+            # where the lane is genuinely at its first real surface
+            em_add = jnp.where(lb0_c[:, None], 0.0, em3 * w_em[..., None])
 
         # --- candidate selection (integrator.py WRS semantics) ---
-        seed_nee = rng.pixel_seed(px_c, py_c, bounce, EFFECT_NEE)
+        seed_nee = rng.pixel_seed(
+            px_c, py_c, lb_c if per_lane_lb else bounce, EFFECT_NEE)
 
         def lds(dims):
             if cfg.low_discrepancy:
@@ -204,9 +228,23 @@ def external_nee(scene, cfg, neeat_state, surf, d_in, hit_mask,
         sdist = jnp.where(do_nee, sdist_eff * (1.0 - 1e-4), 0.0)
         li = ls.get("light_index", jnp.zeros((n,), jnp.int32))
         tile = ls.get("tile", jnp.zeros((n,), jnp.int32))
+        if split:
+            f_dp, _f_sp = B.bsdf_eval_split(bsdf, wo, wi_l)
+            ratio = f_dp / jnp.maximum(f_l, 1e-12)
+            if per_lane_lb:
+                cdiff = jnp.where(lb0_c[:, None], contrib * ratio,
+                                  jnp.where(fspec_c[:, None], 0.0,
+                                            contrib))
+            elif bounce == 0:
+                cdiff = contrib * ratio
+            else:
+                cdiff = jnp.where(fspec_c[:, None], 0.0, contrib)
+        else:
+            cdiff = jnp.zeros_like(contrib)
         return (em_add, shadow_o, ls["wi"], sdist,
                 jnp.where(do_nee[..., None], contrib, 0.0), do_nee,
-                li.astype(jnp.int32), tile.astype(jnp.int32))
+                li.astype(jnp.int32), tile.astype(jnp.int32),
+                jnp.where(do_nee[..., None], cdiff, 0.0))
 
     ops = (surf.reshape(-1, nc, ch).swapaxes(0, 1),
            d_in.reshape(3, nc, ch).swapaxes(0, 1),
@@ -214,12 +252,17 @@ def external_nee(scene, cfg, neeat_state, surf, d_in, hit_mask,
            prev_pdf_in.reshape(nc, ch),
            prev_delta_in.reshape(nc, ch),
            px.reshape(nc, ch), py.reshape(nc, ch))
+    if split:
+        ops = ops + (first_spec.reshape(nc, ch),)
+    if per_lane_lb:
+        ops = ops + (lb.reshape(nc, ch),)
     if nc == 1:
         outs = jax.tree.map(lambda x: x[None],
                             body(jax.tree.map(lambda x: x[0], ops)))
     else:
         outs = jax.lax.map(body, ops)
-    em_add, shadow_o, shadow_d, sdist, contrib, do_nee, li, tile = outs
+    (em_add, shadow_o, shadow_d, sdist, contrib, do_nee, li, tile,
+     cdiff) = outs
 
     def flat(x):
         return x.reshape((npad,) + x.shape[2:])
@@ -227,4 +270,4 @@ def external_nee(scene, cfg, neeat_state, surf, d_in, hit_mask,
     return dict(em_add=flat(em_add), shadow_o=flat(shadow_o),
                 shadow_d=flat(shadow_d), sdist=flat(sdist),
                 contrib=flat(contrib), do_nee=flat(do_nee),
-                li=flat(li), tile=flat(tile))
+                li=flat(li), tile=flat(tile), cdiff=flat(cdiff))

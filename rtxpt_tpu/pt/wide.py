@@ -320,6 +320,20 @@ def bsdf_eval_w(data: BSDFW, wo, wi):
     return f
 
 
+def bsdf_eval_split_w(data: BSDFW, wo, wi):
+    """bsdf_eval_w partitioned into (diffuse-ish, specular-ish) —
+    mirror of bsdf.bsdf_eval_split (NRD diffuse/specular channels;
+    f_d + f_s == bsdf_eval_w exactly)."""
+    f_d = (_eval_diffuse_w(data, wo, wi)
+           * (1.0 - data.transmission) * (1.0 - data.diffuse_transmission)
+           + _eval_diffuse_trans_w(data, wo, wi))
+    f_s = (_eval_spec_refl_w(data, wo, wi)
+           + _eval_spec_trans_w(data, wo, wi))
+    if data.e_poly is not None:
+        f_s = f_s + _eval_spec_ms_w(data, wo, wi)
+    return f_d, f_s
+
+
 def bsdf_pdf_w(data: BSDFW, wo, wi):
     pd, ps, pt, pdt = _lobe_probs_w(data)
     woz, wiz = wo[2], wi[2]

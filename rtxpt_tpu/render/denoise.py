@@ -106,10 +106,15 @@ def temporal_accumulate(radiance, depth, normal, motion,
     return illum, moments, hist, new_state
 
 
-def _shift2d(x, dy: int, dx: int):
-    """Shift with edge clamp (static offsets)."""
+def _shift2d(x, dy: int, dx: int, row_bounds=None):
+    """Shift with edge clamp (static offsets). `row_bounds=(lo, hi)`
+    overrides the row-clamp window — the sharded denoiser
+    (parallel/realtime_sharded.py) runs on halo-extended row blocks and
+    passes the GLOBAL image window so every iteration clamps exactly
+    where the unsharded filter would."""
     h, w = x.shape[:2]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+    lo, hi = (0, h - 1) if row_bounds is None else row_bounds
+    ys = jnp.clip(jnp.arange(h) + dy, lo, hi)
     xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
     return x[ys][:, xs]
 
@@ -117,7 +122,7 @@ def _shift2d(x, dy: int, dx: int):
 _ATROUS_W = [1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16]
 
 
-def estimate_variance(moments, hist, illum, depth):
+def estimate_variance(moments, hist, illum, depth, row_bounds=None):
     """Temporal variance; falls back to a 3x3 spatial estimate for young
     pixels (SVGF section 4.2)."""
     var_t = jnp.maximum(moments[..., 1] - moments[..., 0] ** 2, 0.0)
@@ -127,7 +132,7 @@ def estimate_variance(moments, hist, illum, depth):
     cnt = 0.0
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
-            l = _shift2d(lum, dy, dx)
+            l = _shift2d(lum, dy, dx, row_bounds)
             s1 += l
             s2 += l * l
             cnt += 1.0
@@ -137,7 +142,7 @@ def estimate_variance(moments, hist, illum, depth):
 
 def atrous_iteration(illum, variance, normal, depth, step: int,
                      sigma_z: float = 1.0, sigma_n: float = 128.0,
-                     sigma_l: float = 4.0):
+                     sigma_l: float = 4.0, row_bounds=None):
     """One edge-aware a-trous sweep with dilation 2^step (5x5 taps)."""
     lum = m.luminance(illum)
     # 3x3 gaussian prefilter of variance for the luminance weight (SVGF)
@@ -146,14 +151,16 @@ def atrous_iteration(illum, variance, normal, depth, step: int,
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             wgt = [[1, 2, 1], [2, 4, 2], [1, 2, 1]][dy + 1][dx + 1] / 16.0
-            gvar = gvar + wgt * _shift2d(variance, dy, dx)
+            gvar = gvar + wgt * _shift2d(variance, dy, dx, row_bounds)
             gw += wgt
     gvar = gvar / gw
     denom_l = sigma_l * jnp.sqrt(jnp.maximum(gvar, 1e-10)) + 1e-6
 
     # depth gradient for adaptive depth weight
-    dzdx = (_shift2d(depth, 0, 1) - _shift2d(depth, 0, -1)) * 0.5
-    dzdy = (_shift2d(depth, 1, 0) - _shift2d(depth, -1, 0)) * 0.5
+    dzdx = (_shift2d(depth, 0, 1, row_bounds)
+            - _shift2d(depth, 0, -1, row_bounds)) * 0.5
+    dzdy = (_shift2d(depth, 1, 0, row_bounds)
+            - _shift2d(depth, -1, 0, row_bounds)) * 0.5
 
     dil = 1 << step
     sum_c = jnp.zeros_like(illum)
@@ -164,11 +171,11 @@ def atrous_iteration(illum, variance, normal, depth, step: int,
             dy = (iy - 2) * dil
             dx = (ix - 2) * dil
             h_k = wy * wx
-            c_q = _shift2d(illum, dy, dx)
-            v_q = _shift2d(variance, dy, dx)
-            l_q = _shift2d(lum, dy, dx)
-            n_q = _shift2d(normal, dy, dx)
-            z_q = _shift2d(depth, dy, dx)
+            c_q = _shift2d(illum, dy, dx, row_bounds)
+            v_q = _shift2d(variance, dy, dx, row_bounds)
+            l_q = _shift2d(lum, dy, dx, row_bounds)
+            n_q = _shift2d(normal, dy, dx, row_bounds)
+            z_q = _shift2d(depth, dy, dx, row_bounds)
 
             w_n = jnp.power(jnp.maximum(jnp.sum(normal * n_q, -1), 0.0),
                             sigma_n)
@@ -188,7 +195,7 @@ def atrous_iteration(illum, variance, normal, depth, step: int,
 
 def denoise(radiance, albedo, normal, depth, motion,
             state: Optional[DenoiserState] = None,
-            iterations: int = 4):
+            iterations: int = 4, row_bounds=None):
     """Full pipeline: demodulate albedo -> temporal -> a-trous -> remodulate.
 
     radiance/albedo [H,W,3], normal [H,W,3], depth [H,W], motion [H,W,2].
@@ -201,11 +208,12 @@ def denoise(radiance, albedo, normal, depth, motion,
 
     illum, moments, hist, new_state = temporal_accumulate(
         illum, depth, normal, motion, state)
-    variance = estimate_variance(moments, hist, illum, depth)
+    variance = estimate_variance(moments, hist, illum, depth, row_bounds)
 
     out = illum
     for it in range(iterations):
-        out, variance = atrous_iteration(out, variance, normal, depth, it)
+        out, variance = atrous_iteration(out, variance, normal, depth, it,
+                                         row_bounds=row_bounds)
         if it == 0:
             # feed the first filtered result back as the temporal color
             # history (ReLAX "fast history" style stabilization)
@@ -227,10 +235,12 @@ _POISSON8 = [
 ]
 
 
-def _reblur_pass(illum, normal, depth, radius_px, base_rot: float):
+def _reblur_pass(illum, normal, depth, radius_px, base_rot: float,
+                 row_bounds=None):
     """One rotated-Poisson-disk blur with dynamic per-pixel radius and
     normal/depth edge weights (the REBLUR 'blur/post-blur' shape)."""
     h, w = depth.shape
+    lo, hi = (0, h - 1) if row_bounds is None else row_bounds
     yy = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w))
     xx = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1))
     ca, sa = jnp.cos(base_rot), jnp.sin(base_rot)
@@ -240,7 +250,7 @@ def _reblur_pass(illum, normal, depth, radius_px, base_rot: float):
     for ox, oy in _POISSON8:
         dx = (ca * ox - sa * oy) * radius_px
         dy = (sa * ox + ca * oy) * radius_px
-        sy = jnp.clip(yy + dy, 0.0, h - 1.0)
+        sy = jnp.clip(yy + dy, lo * 1.0, hi * 1.0)
         sx = jnp.clip(xx + dx, 0.0, w - 1.0)
         c_q = _bilinear_sample(illum, sy, sx)
         n_q = _bilinear_sample(normal, sy, sx)
@@ -256,7 +266,7 @@ def _reblur_pass(illum, normal, depth, radius_px, base_rot: float):
 
 def denoise_reblur(radiance, albedo, normal, depth, motion,
                    state: Optional[DenoiserState] = None,
-                   base_radius: float = 16.0):
+                   base_radius: float = 16.0, row_bounds=None):
     """REBLUR-class recurrent blur (the second NRD denoiser variant,
     NrdConfig.cpp REBLUR graphs): temporal accumulation followed by two
     rotated-Poisson-disk blurs whose per-pixel radius SHRINKS with
@@ -274,7 +284,8 @@ def denoise_reblur(radiance, albedo, normal, depth, motion,
 
     # history-driven radius (REBLUR's accumulation-speed scaling)
     radius = base_radius / (1.0 + hist)
-    out = _reblur_pass(illum, normal, depth, radius, 0.0)
+    out = _reblur_pass(illum, normal, depth, radius, 0.0, row_bounds)
     new_state = new_state._replace(color=out)      # recurrent feedback
-    out = _reblur_pass(out, normal, depth, radius * 0.5, 0.7853982)
+    out = _reblur_pass(out, normal, depth, radius * 0.5, 0.7853982,
+                       row_bounds)
     return out * safe_albedo, new_state

@@ -154,7 +154,8 @@ def refresh_refit(host: HostScene, animations: List[InstanceAnimation],
     if cluster_tables is not None:
         from rtxpt_tpu.accel.cluster import refresh_cluster_tables
         cluster_tables = refresh_cluster_tables(
-            cluster_tables, pos, nrm, prev.geometry.indices, lights=lights)
+            cluster_tables, pos, nrm, prev.geometry.indices, lights=lights,
+            uvs=prev.geometry.uvs)
     sd = prev.replace(geometry=geometry, bvh=bvh, tri_pack=tri_pack,
                       lights=lights, bounce_tables=None,
                       cluster_tables=cluster_tables)

@@ -89,10 +89,13 @@ def bake_opacity(host_scene, materials, textures_np) -> Optional[np.ndarray]:
 
 
 def bake_opacity_micromaps(host_scene, materials, textures_np):
-    """Full OMM bake: returns (classes [T] uint8, micromaps [T] uint32)
-    or None. micromaps pack 16 2-bit micro-triangle states (level 2,
-    micro_index order) — decisive micro states resolve alpha inside the
-    traversal (OmmBuildQueue.h:31-142 subdivision analog). Host numpy."""
+    """Full OMM bake: returns (classes [T] uint8, micromaps [T] uint32,
+    cover_unknown [T] f32) or None. micromaps pack 16 2-bit
+    micro-triangle states (level 2, micro_index order) — decisive micro
+    states resolve alpha inside the traversal (OmmBuildQueue.h:31-142
+    subdivision analog). cover_unknown is the mean alpha-pass fraction
+    over the UNKNOWN cells — the Pallas shadow kernels resolve UNKNOWN
+    occlusion stochastically against it. Host numpy."""
     cutoff = np.asarray(materials.alpha_cutoff)
     tex_idx = np.asarray(materials.base_color_tex)
     if not (cutoff >= 0).any() or textures_np is None:
@@ -124,6 +127,7 @@ def bake_opacity_micromaps(host_scene, materials, textures_np):
 
     classes = []
     micromaps = []
+    covers = []
     for inst in host_scene.instances:
         uv = inst.uvs
         for t in range(len(inst.indices)):
@@ -131,11 +135,13 @@ def bake_opacity_micromaps(host_scene, materials, textures_np):
             if cutoff[mat] < 0 or tex_idx[mat] < 0:
                 classes.append(OPAQUE)
                 micromaps.append(0)
+                covers.append(1.0)
                 continue
             img = textures_np[int(tex_idx[mat])]
             if img.shape[-1] < 4:
                 classes.append(OPAQUE)
                 micromaps.append(0)
+                covers.append(1.0)
                 continue
             i0, i1, i2 = inst.indices[t]
 
@@ -156,9 +162,11 @@ def bake_opacity_micromaps(host_scene, materials, textures_np):
             if frac >= 1.0 - 1e-6:
                 classes.append(OPAQUE)
                 micromaps.append(0)
+                covers.append(1.0)
             elif frac <= 1e-6:
                 classes.append(TRANSPARENT)
                 micromaps.append(0)
+                covers.append(0.0)
             else:
                 classes.append(MIXED)
                 # level-2 micromap: texture uv at each micro sample point
@@ -174,8 +182,12 @@ def bake_opacity_micromaps(host_scene, materials, textures_np):
                 for k in range(n_micro):
                     word |= np.uint32(st[k]) << np.uint32(2 * k)
                 micromaps.append(int(word))
+                unk = st == MICRO_UNKNOWN
+                covers.append(float(passed[unk].mean()) if unk.any()
+                              else float(frac))
     return (np.asarray(classes, np.uint8),
-            np.asarray(micromaps, np.uint32))
+            np.asarray(micromaps, np.uint32),
+            np.asarray(covers, np.float32))
 
 
 def intersect_any_alpha(scene, o, d, tmin, tmax):

@@ -267,7 +267,8 @@ def _box_grid(lo, hi, s: int, mat: int):
 
 def city_scene(tri_budget: int = 350_000, seed: int = 0,
                blocks: int = 8, textured: bool = False,
-               with_env: bool = False) -> HostScene:
+               with_env: bool = False,
+               normal_mapped: bool = False) -> HostScene:
     """Programmer-art 'bistro-class' large scene: a blocks x blocks grid
     of subdivided tower boxes on a subdivided ground plane, lit by a few
     emissive street panels. Deterministic in (tri_budget, seed, blocks).
@@ -353,6 +354,13 @@ def city_scene(tri_budget: int = 350_000, seed: int = 0,
         bt[3] = 1
         scene.materials = scene.materials.replace(
             base_color_tex=jnp.asarray(bt))
+    if normal_mapped:
+        scene.textures = (scene.textures or []) + [
+            ripple_normal_texture(64)]
+        nt = np.full((7,), -1, np.int32)
+        nt[0] = len(scene.textures) - 1   # bumpy ground
+        scene.materials = scene.materials.replace(
+            normal_tex=jnp.asarray(nt))
     if with_env:
         from rtxpt_tpu.lighting.sky import make_sky
         scene.envmap_image = make_sky(
@@ -364,6 +372,23 @@ def city_scene(tri_budget: int = 350_000, seed: int = 0,
                         target=[c, 4.0, c],
                         up=[0.0, 1.0, 0.0], fov_y_deg=55.0)
     return scene
+
+
+def ripple_normal_texture(n: int = 64, amp: float = 0.6,
+                          waves: int = 4) -> np.ndarray:
+    """[n,n,4] tangent-space ripple normal map, ((n_ts)+1)/2 encoded —
+    deterministic bump pattern for the normal-mapping parity tests."""
+    yy, xx = np.meshgrid(np.linspace(0, 1, n, endpoint=False),
+                         np.linspace(0, 1, n, endpoint=False),
+                         indexing="ij")
+    dzdx = amp * np.cos(2.0 * np.pi * waves * xx)
+    dzdy = amp * np.sin(2.0 * np.pi * waves * yy)
+    v = np.stack([-dzdx, -dzdy, np.ones_like(dzdx)], axis=-1)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    img = np.empty((n, n, 4), np.float32)
+    img[..., :3] = (v + 1.0) * 0.5
+    img[..., 3] = 1.0
+    return img
 
 
 def checker_texture(n: int = 64, c0=(0.9, 0.9, 0.9), c1=(0.25, 0.25, 0.3),
@@ -380,6 +405,7 @@ def checker_texture(n: int = 64, c0=(0.9, 0.9, 0.9), c1=(0.25, 0.25, 0.3),
 
 
 def textured_cornell(with_env: bool = True, with_mr: bool = False,
+                     with_normal: bool = False,
                      light_emission=(17.0, 12.0, 4.0)) -> HostScene:
     """Cornell box + checker base-color texture on the white material and
     (optionally) a procedural-sky environment — the minimal scene that
@@ -399,6 +425,12 @@ def textured_cornell(with_env: bool = True, with_mr: bool = False,
         mr[4] = 1
         host.materials = host.materials.replace(
             metal_rough_tex=jnp.asarray(mr))
+    if with_normal:
+        host.textures = host.textures + [ripple_normal_texture(64)]
+        nt = np.full_like(bt, -1)
+        nt[0] = len(host.textures) - 1      # bumpy white walls/boxes
+        host.materials = host.materials.replace(
+            normal_tex=jnp.asarray(nt))
     if with_env:
         from rtxpt_tpu.lighting.sky import make_sky
         host.envmap_image = make_sky(128, 64, sun_dir=(0.4, 0.5, 0.3),
@@ -597,3 +629,302 @@ def rooms_scene(n_rooms: int = 12, subdiv: int = 2) -> HostScene:
                         target=[cx, H * 0.45, 0.0],
                         up=[0, 1, 0], fov_y_deg=46.0)
     return scene
+
+
+def _cylinder(center, r: float, h: float, seg: int, mat: int,
+              cap: bool = True, vsub: int = 1):
+    """Open/capped cylinder: seg side quads (x vsub vertical) + top fan."""
+    cx, cy, cz = center
+    ang = np.linspace(0.0, 2.0 * np.pi, seg + 1, dtype=np.float32)
+    parts = []
+    ys = np.linspace(0.0, h, vsub + 1, dtype=np.float32)
+    for i in range(seg):
+        x0, z0 = cx + r * np.cos(ang[i]), cz + r * np.sin(ang[i])
+        x1, z1 = cx + r * np.cos(ang[i + 1]), cz + r * np.sin(ang[i + 1])
+        for j in range(vsub):
+            parts.append(_quad([x0, cy + ys[j], z0], [x1, cy + ys[j], z1],
+                               [x1, cy + ys[j + 1], z1],
+                               [x0, cy + ys[j + 1], z0], mat))
+    if cap:
+        for i in range(seg):
+            x0, z0 = cx + r * np.cos(ang[i]), cz + r * np.sin(ang[i])
+            x1, z1 = cx + r * np.cos(ang[i + 1]), cz + r * np.sin(ang[i + 1])
+            p = np.asarray([[cx, cy + h, cz], [x1, cy + h, z1],
+                            [x0, cy + h, z0], [cx, cy + h, cz]], np.float32)
+            n = np.tile(np.asarray([[0, 1, 0]], np.float32), (4, 1))
+            u = np.asarray([[0.5, 0.5], [1, 0], [0, 0], [0.5, 0.5]],
+                           np.float32)
+            parts.append((p, n, u, np.asarray([[0, 1, 2]], np.int32),
+                          np.asarray([mat], np.int32)))
+    return _merge(parts)
+
+
+def leaf_texture(n: int = 64, seed: int = 3) -> np.ndarray:
+    """[n,n,4] alpha-tested leaf-cluster card texture: green blobs on a
+    transparent background (alpha 0/1 around the 0.5 cutoff)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.linspace(0, 1, n), np.linspace(0, 1, n),
+                         indexing="ij")
+    a = np.zeros((n, n), np.float32)
+    col = np.zeros((n, n, 3), np.float32)
+    for _ in range(26):
+        cxy = rng.uniform(0.12, 0.88, 2)
+        rr = rng.uniform(0.05, 0.14)
+        el = rng.uniform(0.6, 1.6)
+        d2 = ((xx - cxy[0]) / rr) ** 2 + ((yy - cxy[1]) / (rr * el)) ** 2
+        inside = d2 < 1.0
+        a[inside] = 1.0
+        g = rng.uniform(0.25, 0.55)
+        col[inside] = [0.08 + 0.2 * g, 0.3 + g * 0.5, 0.06 + 0.12 * g]
+    img = np.concatenate([col, a[..., None]], axis=-1).astype(np.float32)
+    return img
+
+
+# bistro material ids (module-level so the ladder/tests can reference)
+BISTRO_GROUND, BISTRO_FACADE_A, BISTRO_FACADE_B, BISTRO_AWNING = 0, 1, 2, 3
+BISTRO_WOOD, BISTRO_TRUNK, BISTRO_FOLIAGE, BISTRO_GLASS = 4, 5, 6, 7
+BISTRO_BULB, BISTRO_METAL, BISTRO_SIGN = 8, 9, 10
+
+
+def bistro_scene(tri_budget: int = 600_000, seed: int = 0,
+                 n_bulbs: int = 160, with_env: bool = False,
+                 alpha_foliage: bool = True) -> HostScene:
+    """Programmer-art 'Bistro' stress scene (BASELINE.json config 5 —
+    the reference benchmarks against Amazon Lumberyard Bistro,
+    /root/reference/README.md). A street-corner plaza:
+
+      * two facade rows of subdivided buildings (bulk of the budget),
+      * cobbled ground with base-color + normal-map textures,
+      * bistro tables/chairs (wood + metal), glass bottles with
+        volume absorption + nested priority (volumes rung),
+      * trees with alpha-tested foliage cards (OMM/alpha rung),
+      * n_bulbs emissive string-light bulbs (> 128 lights -> the
+        external-NEE/NEE-AT machinery engages),
+      * animated: tree crowns + hanging sign sway as rigid-transform
+        instances (see bistro_animations) for the per-frame refit path.
+
+    Deterministic in (tri_budget, seed). Triangle count lands within
+    ~10% of tri_budget for budgets >= 100k.
+    """
+    rng = np.random.default_rng(seed)
+    g = _quad_grid
+    W, D = 44.0, 30.0                         # plaza extent (x, z)
+    parts = []                                # static merged geometry
+
+    # ---- ground (textured + normal-mapped cobbles) ----
+    gg = 40
+    parts.append(g([0, 0, 0], [W, 0, 0], [W, 0, D], [0, 0, D],
+                   gg, gg, BISTRO_GROUND))
+
+    # ---- bistro furniture: round tables + chairs + bottles ----
+    for k in range(14):
+        tx = rng.uniform(8.0, W - 4.0)
+        tz = rng.uniform(8.0, D - 4.0)
+        parts.append(_cylinder([tx, 0.68, tz], 0.55, 0.05, 20,
+                               BISTRO_WOOD))              # top
+        parts.append(_cylinder([tx, 0.0, tz], 0.06, 0.68, 10,
+                               BISTRO_METAL, cap=False))  # pedestal
+        for c in range(3):
+            a = rng.uniform(0, 2 * np.pi)
+            cx2, cz2 = tx + 1.0 * np.cos(a), tz + 1.0 * np.sin(a)
+            parts.append(_box([cx2 - 0.22, 0.0, cz2 - 0.22],
+                              [cx2 + 0.22, 0.45, cz2 + 0.22], BISTRO_WOOD))
+        # glass bottle: slim octagonal prism (volume + nested priority)
+        parts.append(_cylinder([tx + 0.15, 0.73, tz], 0.05, 0.28, 8,
+                               BISTRO_GLASS))
+
+    # ---- lamp posts ----
+    for k in range(4):
+        lx = 6.0 + k * (W - 10.0) / 3.0
+        parts.append(_cylinder([lx, 0.0, D * 0.6], 0.08, 4.2, 8,
+                               BISTRO_METAL, cap=False, vsub=2))
+
+    # ---- string lights: emissive bulbs on catenaries between posts ----
+    for k in range(max(n_bulbs, 0)):
+        tpar = (k % 40) / 39.0
+        row = k // 40
+        x = 4.0 + tpar * (W - 8.0)
+        sag = 0.6 * np.sin(np.pi * tpar)
+        y = 4.4 - sag
+        z = 4.0 + row * (D - 8.0) / max((n_bulbs + 39) // 40 - 1, 1)
+        b = 0.055
+        parts.append(_quad([x - b, y, z - b], [x + b, y, z - b],
+                           [x + b, y, z + b], [x - b, y, z + b],
+                           BISTRO_BULB))
+
+    # ---- facade rows (bulk of the tri budget) ----
+    lots = []
+    for x0 in np.arange(2.0, W - 6.0, 7.0):
+        lots.append((x0, 0.0))                # back row (z = 0 side)
+    for z0 in np.arange(6.0, D - 6.0, 7.5):
+        lots.append((0.0, z0))                # left row (x = 0 side)
+    # size the facade subdivision from the ACTUAL remaining budget
+    # (everything above is already built; awnings = 36 tris/lot and the
+    # tree/sign instances below ~410 tris are the only fixed costs left)
+    n_now = sum(len(p[3]) for p in parts)
+    rem = max(tri_budget - n_now - 36 * len(lots) - 410, 12 * len(lots))
+    s = max(2, int(round(np.sqrt(rem / (12 * len(lots))))))
+    for i, (x0, z0) in enumerate(lots):
+        if z0 == 0.0:
+            lo = [x0, 0.0, 0.0]
+            hi = [x0 + rng.uniform(5.0, 6.4), rng.uniform(7.0, 14.0),
+                  rng.uniform(3.5, 5.0)]
+        else:
+            lo = [0.0, 0.0, z0]
+            hi = [rng.uniform(3.5, 5.0), rng.uniform(7.0, 14.0),
+                  z0 + rng.uniform(5.0, 6.8)]
+        mat = BISTRO_FACADE_A if i % 2 == 0 else BISTRO_FACADE_B
+        parts.append(_box_grid(lo, hi, s, mat))
+        # awning over the ground floor
+        ax0, ax1 = lo[0] + 0.2, hi[0] + 1.4
+        az = hi[2] + 0.02 if z0 == 0.0 else lo[2] + 0.2
+        if z0 == 0.0:
+            parts.append(g([ax0, 3.4, az], [ax1 - 1.4, 3.4, az],
+                           [ax1 - 1.4, 2.7, az + 1.8], [ax0, 2.7, az + 1.8],
+                           6, 3, BISTRO_AWNING))
+        else:
+            parts.append(g([hi[0] + 0.02, 3.4, lo[2] + 0.2],
+                           [hi[0] + 0.02, 3.4, hi[2] - 0.2],
+                           [hi[0] + 1.8, 2.7, hi[2] - 0.2],
+                           [hi[0] + 1.8, 2.7, lo[2] + 0.2],
+                           6, 3, BISTRO_AWNING))
+
+    pos, nrm, uv, idx, mat = _merge(parts)
+    instances = [MeshInstance(positions=pos, normals=nrm, uvs=uv,
+                              indices=idx, material=mat, name="bistro")]
+
+    # ---- trees: static trunk + ANIMATED crown instances ----
+    fol_mat = BISTRO_FOLIAGE if alpha_foliage else BISTRO_TRUNK
+    for k in range(8):
+        txp = 7.0 + (k % 4) * (W - 12.0) / 3.0
+        tzp = 10.0 + (k // 4) * (D - 16.0) / 1.0 * 0.45
+        tp, tn, tu, ti, tm = _cylinder([txp, 0.0, tzp], 0.22, 2.6, 10,
+                                       BISTRO_TRUNK, cap=False, vsub=2)
+        instances.append(MeshInstance(positions=tp, normals=tn, uvs=tu,
+                                      indices=ti, material=tm,
+                                      name=f"trunk_{k}"))
+        crown = []
+        for q in range(5):
+            a = q * np.pi / 5.0
+            cdir = np.asarray([np.cos(a), 0.0, np.sin(a)], np.float32)
+            c0 = -1.6 * cdir + [0, 2.2, 0]
+            c1 = 1.6 * cdir + [0, 2.2, 0]
+            c2 = 1.6 * cdir + [0, 5.2, 0]
+            c3 = -1.6 * cdir + [0, 5.2, 0]
+            crown.append(_quad(c0, c1, c2, c3, fol_mat))
+        cp, cn, cu, ci, cm = _merge(crown)
+        tf = np.eye(4, dtype=np.float32)
+        tf[:3, 3] = [txp, 0.0, tzp]
+        instances.append(MeshInstance(positions=cp, normals=cn, uvs=cu,
+                                      indices=ci, material=cm, transform=tf,
+                                      name=f"foliage_{k}"))
+
+    # ---- hanging sign (animated swing) ----
+    sp, sn, su, si, sm = _quad([-0.7, -0.5, 0.0], [0.7, -0.5, 0.0],
+                               [0.7, 0.5, 0.0], [-0.7, 0.5, 0.0],
+                               BISTRO_SIGN)
+    tf = np.eye(4, dtype=np.float32)
+    tf[:3, 3] = [W * 0.35, 3.2, 4.3]
+    instances.append(MeshInstance(positions=sp, normals=sn, uvs=su,
+                                  indices=si, material=sm, transform=tf,
+                                  name="sign"))
+
+    mats = _materials([
+        dict(base_color=[0.52, 0.50, 0.47], roughness=0.85),  # ground
+        dict(base_color=[0.72, 0.62, 0.50], roughness=0.8),   # facade A
+        dict(base_color=[0.58, 0.62, 0.68], roughness=0.6),   # facade B
+        dict(base_color=[0.70, 0.25, 0.22], roughness=0.7),   # awning
+        dict(base_color=[0.45, 0.30, 0.17], roughness=0.6),   # wood
+        dict(base_color=[0.32, 0.22, 0.14], roughness=0.9),   # trunk
+        dict(base_color=[0.25, 0.45, 0.15], roughness=0.9,
+             thin=1.0),                                       # foliage
+        dict(base_color=[0.9, 0.95, 0.9], roughness=0.02,
+             transmission=1.0, ior=1.5,
+             volume_absorption=[0.6, 0.1, 0.5]),              # glass
+        dict(base_color=[0.0, 0.0, 0.0],
+             emissive=[420.0, 330.0, 180.0]),                 # bulbs
+        dict(base_color=[0.6, 0.6, 0.62], metallic=1.0,
+             roughness=0.35),                                 # metal
+        dict(base_color=[0.85, 0.8, 0.6], roughness=0.5),     # sign
+    ])
+    textures = [
+        checker_texture(64, (0.62, 0.60, 0.56), (0.40, 0.38, 0.36),
+                        cells=16),                            # 0 cobbles
+        checker_texture(64, (0.9, 0.85, 0.75), (0.6, 0.5, 0.4), cells=8),
+        wood_texture(64),                                     # 2 wood
+        leaf_texture(64),                                     # 3 leaves
+        ripple_normal_texture(64, amp=0.5, waves=8),          # 4 cobble nm
+    ]
+    bt = np.full((11,), -1, np.int32)
+    bt[BISTRO_GROUND] = 0
+    bt[BISTRO_FACADE_A] = 1
+    bt[BISTRO_WOOD] = 2
+    if alpha_foliage:
+        bt[BISTRO_FOLIAGE] = 3
+    nt = np.full((11,), -1, np.int32)
+    nt[BISTRO_GROUND] = 4
+    ac = np.full((11,), -1.0, np.float32)
+    if alpha_foliage:
+        ac[BISTRO_FOLIAGE] = 0.5
+    npri = np.zeros((11,), np.int32)
+    npri[BISTRO_GLASS] = 1
+    mats = mats.replace(base_color_tex=jnp.asarray(bt),
+                        normal_tex=jnp.asarray(nt),
+                        alpha_cutoff=jnp.asarray(ac),
+                        nested_priority=jnp.asarray(npri))
+
+    sun_d = np.asarray([0.35, -0.8, 0.49], np.float32)
+    sun_d /= np.linalg.norm(sun_d)
+    sun = AnalyticLights(
+        kind=jnp.asarray([LIGHT_DIRECTIONAL], jnp.int32),
+        position=jnp.zeros((1, 3), jnp.float32),
+        direction=jnp.asarray(sun_d[None], jnp.float32),
+        intensity=jnp.asarray([[2.4, 2.2, 1.9]], jnp.float32),
+        angular_size=jnp.zeros((1,), jnp.float32),
+        cos_inner=jnp.full((1,), -2.0, jnp.float32),
+        cos_outer=jnp.full((1,), -2.0, jnp.float32),
+    )
+    scene = HostScene(instances=instances, materials=mats,
+                      textures=textures, analytic_lights=sun)
+    if with_env:
+        from rtxpt_tpu.lighting.sky import make_sky
+        scene.envmap_image = make_sky(128, 64, sun_dir=(0.35, 0.8, -0.49),
+                                      sun_intensity=26.0, bake_sun=True)
+        scene.envmap_scale = 0.6
+    scene.camera = dict(position=[W - 4.0, 3.2, D - 2.5],
+                        target=[W * 0.3, 2.2, 6.0],
+                        up=[0.0, 1.0, 0.0], fov_y_deg=55.0)
+    return scene
+
+
+def bistro_animations(host: HostScene, sway: float = 0.05):
+    """Rigid animation tracks for bistro_scene: tree crowns + sign sway
+    (topology-preserving -> the refit path, scene/animation.refresh_refit
+    == the reference's per-frame BLAS update, Sample.cpp:1170-1198)."""
+    from rtxpt_tpu.scene import animation as anim
+    tracks = []
+    for i, inst in enumerate(host.instances):
+        if inst.name.startswith("foliage_"):
+            k = int(inst.name.split("_")[1])
+            base = np.asarray(inst.transform, np.float32).copy()
+
+            def fn(t, base=base, k=k):
+                m = anim.rotation_y(sway * np.sin(1.3 * t + 0.7 * k))
+                m[0, 3] += sway * 0.5 * np.sin(0.9 * t + k)
+                return (base @ m).astype(np.float32)
+
+            tracks.append(anim.InstanceAnimation(instance=i,
+                                                 transform_fn=fn))
+        elif inst.name == "sign":
+            base = np.asarray(inst.transform, np.float32).copy()
+
+            def sfn(t, base=base):
+                a = 0.3 * sway * 4.0 * np.sin(2.1 * t)
+                c, s_ = np.cos(a), np.sin(a)
+                m = np.eye(4, dtype=np.float32)
+                m[1, 1], m[1, 2], m[2, 1], m[2, 2] = c, -s_, s_, c
+                return (base @ m).astype(np.float32)
+
+            tracks.append(anim.InstanceAnimation(instance=i,
+                                                 transform_fn=sfn))
+    return tracks

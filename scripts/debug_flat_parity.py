@@ -70,6 +70,7 @@ is_ = jnp.concatenate([
     pad1(px).reshape(1, nrows, 128),
     pad1(py).reshape(1, nrows, 128),
     jnp.full((1, nrows, 128), 0x3FFFFFFF, jnp.int32),
+        jnp.zeros((1, nrows, 128), jnp.int32),   # logical bounce
 ], axis=0)
 assert fs.shape[0] == NF and is_.shape[0] == NI
 
@@ -100,7 +101,7 @@ ha = bc._kernel_a1_call(
     cand, bc._to_flat_groups(od, n_groups), tbl.blocks, kslots,
     float(cfg.max_ray_travel), noprune=False, interpret=True)
 ha_t = bc._from_flat_groups(ha, bc.HA_ROWS, nrows)
-fs_f, is_f, sh_f, hit_f = bc._kernel_a2_call(
+fs_f, is_f, sh_f, hit_f, _surf_f, _fs2_f = bc._kernel_a2_call(
     scal, ha_t, fs, is_, tbl.mat_rows, tbl.light_rows, tbl.env_rows,
     None, None, key, tbl.n_lights, tbl.tr, True, interpret=True)
 

@@ -116,7 +116,8 @@ def main():
         jnp.full((2, nrows, 128), -1, jnp.int32),
         pad1(px).reshape(1, nrows, 128),
         pad1(py).reshape(1, nrows, 128),
-        jnp.full((1, nrows, 128), 0x3FFFFFFF, jnp.int32),  # budget
+        jnp.full((1, nrows, 128), 0x3FFFFFFF, jnp.int32),
+        jnp.zeros((1, nrows, 128), jnp.int32),   # logical bounce  # budget
     ], axis=0)
     assert fs.shape[0] == NF and is_.shape[0] == NI
 

@@ -78,6 +78,7 @@ def main():
         pad1(px).reshape(1, nrows, 128),
         pad1(py).reshape(1, nrows, 128),
         jnp.full((1, nrows, 128), 0x3FFFFFFF, jnp.int32),
+        jnp.zeros((1, nrows, 128), jnp.int32),   # logical bounce
     ], axis=0)
     assert fs.shape[0] == NF and is_.shape[0] == NI
 
@@ -122,7 +123,7 @@ def main():
         bc._kernel_a2_call, scal, ha_t, fs, is_, tbl.mat_rows,
         tbl.light_rows, tbl.env_rows, None, None,
         key, tbl.n_lights, tbl.tr, True, interpret=False)
-    fs2, is2, sh, hitb = ka2
+    fs2, is2, sh, hitb = ka2[0], ka2[1], ka2[2], ka2[3]
     print(f"kernel A2 (shade): {t_a2*1e3:.1f} ms")
 
     # old kernel A for comparison

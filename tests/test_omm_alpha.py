@@ -119,7 +119,7 @@ def test_micromap_bake_states():
     tex[:, :4, 3] = 0.0
     host.textures = [tex]
     sd = host.flatten()
-    classes, mm = bake_opacity_micromaps(host, sd.materials, host.textures)
+    classes, mm, _cov = bake_opacity_micromaps(host, sd.materials, host.textures)
     curtain = classes == MIXED
     assert curtain.any()
     states = []
