@@ -10,11 +10,24 @@ scaled by nothing — single-chip numbers count against the same bar).
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent compile cache: the clustered city kernels take many minutes
+# of XLA/Mosaic compile on first build — cache them so repeat bench runs
+# (and the driver's end-of-round run) skip straight to execution.
+try:
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/repo/.jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
 
 
 def main():

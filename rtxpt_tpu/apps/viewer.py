@@ -66,12 +66,18 @@ _PAGE = """<!doctype html><html><head><title>rtxpt_tpu viewer</title>
  <h3>camera (drag / WASD+QE)</h3>
  <div id=stats></div>
  <h3>render</h3>
+ <label>preset
+  <select id=preset><option value="">(none)</option></select></label>
+ <label>debug view
+  <select id=view><option value=beauty>beauty</option></select></label>
  <label>bounces <span id=bv>4</span>
   <input type=range id=bounces min=1 max=12 value=4></label>
  <label>exposure <span id=ev>1</span>
   <input type=range id=exposure min=-4 max=4 step=0.1 value=0></label>
  <label><input type=checkbox id=denoise checked> denoise (1spp realtime)
  </label>
+ <h3>pixel probe (right-click image)</h3>
+ <pre id=probe style="font-size:10px;white-space:pre-wrap"></pre>
  <h3>materials</h3><div id=mats></div>
 </div>
 <script>
@@ -80,7 +86,9 @@ const img=document.getElementById('frame');
 function q(){return `yaw=${yaw}&pitch=${pitch}&dist=${dist}`+
   `&bounces=${document.getElementById('bounces').value}`+
   `&exposure=${Math.pow(2,document.getElementById('exposure').value)}`+
-  `&denoise=${document.getElementById('denoise').checked?1:0}`;}
+  `&denoise=${document.getElementById('denoise').checked?1:0}`+
+  `&view=${document.getElementById('view').value}`+
+  `&preset=${document.getElementById('preset').value}`;}
 async function tick(){
   if(busy)return; busy=true;
   const t0=performance.now();
@@ -103,7 +111,24 @@ window.onkeydown=e=>{const s=0.15;
   if(e.key=='w')dist*=0.9; if(e.key=='s')dist*=1.1;
   if(e.key=='a')yaw-=s; if(e.key=='d')yaw+=s;
   if(e.key=='q')pitch-=s; if(e.key=='e')pitch+=s; gen++;};
-for(const id of ['bounces','exposure','denoise'])
+img.oncontextmenu=async e=>{e.preventDefault();
+  const r=img.getBoundingClientRect();
+  const x=Math.floor((e.clientX-r.left)/r.width*img.naturalWidth);
+  const y=Math.floor((e.clientY-r.top)/r.height*img.naturalHeight);
+  const j=await (await fetch(`/probe?x=${x}&y=${y}&`+q())).json();
+  document.getElementById('probe').textContent=
+    JSON.stringify(j,null,1);};
+async function loadOpts(){
+  const o=await (await fetch('/options')).json();
+  const vs=document.getElementById('view');
+  o.views.forEach(v=>{if(v!='beauty'){const e=document.createElement(
+    'option');e.value=v;e.textContent=v;vs.appendChild(e);}});
+  const ps=document.getElementById('preset');
+  o.presets.forEach(v=>{const e=document.createElement('option');
+    e.value=v;e.textContent=v;ps.appendChild(e);});
+}
+loadOpts();
+for(const id of ['bounces','exposure','denoise','view','preset'])
   document.getElementById(id).oninput=()=>{gen++;
     document.getElementById('bv').textContent=
       document.getElementById('bounces').value;
@@ -161,20 +186,30 @@ class ViewerState:
         return look_at(eye.tolist(), self.center.tolist(), [0, 1, 0],
                        50.0, self.width, self.height)
 
-    def frame(self, yaw, pitch, dist, bounces, exposure, denoise):
+    def _cfg(self, bounces, preset=""):
+        from rtxpt_tpu.config import NEEMode, PathTracerConfig, PRESETS
+        from rtxpt_tpu.pt.dispatch import resolve
+        if preset and preset in PRESETS:
+            cfg = PRESETS[preset].pt
+        else:
+            cfg = PathTracerConfig(max_bounces=bounces, nee=NEEMode.POWER)
+        return resolve(self.scene, cfg)
+
+    def frame(self, yaw, pitch, dist, bounces, exposure, denoise,
+              view="beauty", preset=""):
         """One progressive frame; accumulation restarts when any input
         changes (the reference's ResetRealtimeCaches / accumulation-reset
-        semantics, Sample.cpp:1416-1462)."""
-        from rtxpt_tpu.config import NEEMode, PathTracerConfig
+        semantics, Sample.cpp:1416-1462). view selects a debug
+        visualization (SampleUI.h:209 debug-view taxonomy analog,
+        render/debug_viz.py); preset applies a config.PRESETS entry
+        (SampleUI preset dropdown)."""
         from rtxpt_tpu.pt.integrator import render_sample_jit
         from rtxpt_tpu.render.postprocess import tonemap
         key = (round(yaw, 4), round(pitch, 4), round(dist, 4), bounces,
-               denoise)
+               denoise, view, preset)
         with self.lock:
             cam = self.camera(yaw, pitch, dist)
-            cfg = PathTracerConfig(max_bounces=bounces, nee=NEEMode.POWER)
-            from rtxpt_tpu.pt.dispatch import resolve
-            cfg = resolve(self.scene, cfg)
+            cfg = self._cfg(bounces, preset)
             if key != self.last_key:
                 self.accum = None
                 self.accum_n = 0
@@ -183,6 +218,13 @@ class ViewerState:
                                     self.height,
                                     self.jnp.uint32(self.accum_n), True,
                                     None)
+            if view != "beauty":
+                from rtxpt_tpu.render.debug_viz import visualize
+                img = visualize(view, albedo=out["albedo"],
+                                normal=out["normal"], depth=out["depth"],
+                                emission=out["emission"])
+                self.accum_n += 1
+                return np.asarray(img), self.accum_n
             L = out["L"]
             if denoise and self.accum_n < 4:
                 # early frames: one edge-aware a-trous sweep while the
@@ -213,6 +255,18 @@ class ViewerState:
         return materials_to_json(self.host.materials,
                                  getattr(self.host, "material_names", None))
 
+    def probe(self, x, y, yaw, pitch, dist, bounces, preset=""):
+        """Pixel pick: re-trace one pixel, per-bounce state dump (the
+        right-click DebugFeedbackStruct pick, Sample.cpp:2259-2291)."""
+        from rtxpt_tpu.utils.debug import probe_pixel
+        with self.lock:
+            cam = self.camera(yaw, pitch, dist)
+            cfg = self._cfg(bounces, preset)
+            x = min(max(int(x), 0), self.width - 1)
+            y = min(max(int(y), 0), self.height - 1)
+            return {"x": x, "y": y,
+                    "path": probe_pixel(self.scene, cam, cfg, x, y)}
+
 
 def make_handler(state: ViewerState):
     class Handler(BaseHTTPRequestHandler):
@@ -238,11 +292,29 @@ def make_handler(state: ViewerState):
                 img, n = state.frame(
                     g("yaw", 0.8), g("pitch", 0.5), g("dist", 2.5),
                     int(g("bounces", 4)), g("exposure", 1.0),
-                    qs.get("denoise", ["1"])[0] == "1")
+                    qs.get("denoise", ["1"])[0] == "1",
+                    qs.get("view", ["beauty"])[0],
+                    qs.get("preset", [""])[0])
                 self._send(200, _png_bytes(img), "image/png",
                            extra=[("X-Accum", str(n))])
             elif url.path == "/materials":
                 self._send(200, json.dumps(state.materials_json()).encode(),
+                           "application/json")
+            elif url.path == "/options":
+                from rtxpt_tpu.config import PRESETS
+                body = json.dumps({
+                    "views": ["beauty", "albedo", "normal", "depth",
+                              "emission"],
+                    "presets": sorted(PRESETS)}).encode()
+                self._send(200, body, "application/json")
+            elif url.path == "/probe":
+                qs = parse_qs(url.query)
+                g = lambda k, d: float(qs.get(k, [d])[0])
+                rec = state.probe(g("x", 0), g("y", 0), g("yaw", 0.8),
+                                  g("pitch", 0.5), g("dist", 2.5),
+                                  int(g("bounces", 4)),
+                                  qs.get("preset", [""])[0])
+                self._send(200, json.dumps(rec).encode(),
                            "application/json")
             else:
                 self._send(404, b"not found")

@@ -46,6 +46,31 @@ def test_frame_accumulates_and_resets(server):
     assert int(h3["X-Accum"]) == 1                    # camera move resets
 
 
+def test_debug_views_presets_and_probe(server):
+    """Debug-view taxonomy + preset dropdown + right-click pixel pick
+    (SampleUI.h:209, Sample.cpp:2259-2291 analog endpoints)."""
+    base, _ = server
+    opts = json.loads(_get(base + "/options")[0])
+    assert "normal" in opts["views"] and "quality" in opts["presets"]
+    # each debug view renders a valid PNG distinct from beauty
+    q = "?yaw=0.8&pitch=0.5&dist=2.5&bounces=2&denoise=0"
+    beauty, _ = _get(base + "/frame" + q)
+    for view in ("albedo", "normal", "depth", "emission"):
+        png, _ = _get(base + "/frame" + q + "&view=" + view)
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert png != beauty, view
+    # preset changes the render
+    png_p, _ = _get(base + "/frame" + q + "&preset=fast")
+    assert png_p[:8] == b"\x89PNG\r\n\x1a\n"
+    # pixel probe returns the per-bounce path of the picked pixel
+    rec = json.loads(_get(base + "/probe" + q + "&x=32&y=24")[0])
+    assert rec["x"] == 32 and rec["y"] == 24
+    assert len(rec["path"]) >= 1
+    v0 = rec["path"][0]
+    assert {"bounce", "origin", "direction", "hit"} <= set(v0)
+    assert v0["hit"] is True                     # cornell wall behind
+
+
 def test_material_edit_changes_frame(server):
     base, state = server
     url = base + "/frame?yaw=0.8&pitch=0.4&dist=2.0&bounces=2&denoise=0"
