@@ -2,35 +2,48 @@
 
 Protocol mirrors the reference's in-app measurement (avg over frames with
 warmup excluded, Sample.cpp:1430-1440) on the BASELINE.json ladder scene
-class: Cornell-style interior at 1080p, reference mode.
+class: Cornell-style interior at 1080p, reference mode, plus the 340k-tri
+city on the clustered streamed tier (the Bistro-class path).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 200 (the BASELINE.md >=200 Mrays/s v5e-8 target,
 scaled by nothing — single-chip numbers count against the same bar).
+
+Robustness: this environment's remote TPU compile helper can wedge for
+30-120 min on a novel compile unit (docs/PERF_NOTES.md). Each stage
+therefore runs in a SUBPROCESS with its own deadline — a wedged stage is
+reported as {"error": "timeout"} instead of hanging the whole bench —
+and compiled programs land in a persistent cache so the next run skips
+straight to execution.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
-# Persistent compile cache: the clustered city kernels take many minutes
-# of XLA/Mosaic compile on first build — cache them so repeat bench runs
-# (and the driver's end-of-round run) skip straight to execution.
-try:
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/root/repo/.jax_cache")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:
-    pass
+CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           "/root/repo/.jax_cache")
+STAGE_TIMEOUT = int(os.environ.get("RTXPT_BENCH_STAGE_TIMEOUT", "2100"))
 
 
-def main():
+def _enable_cache():
+    import jax
+    try:
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          5.0)
+    except Exception:
+        pass
+
+
+def stage_cornell():
+    """Headline: Cornell 1080p reference mode (fused Pallas tier)."""
+    import jax
+    import jax.numpy as jnp
+    _enable_cache()
     from rtxpt_tpu.config import PathTracerConfig, NEEMode
     from rtxpt_tpu.prepare import prepare
     from rtxpt_tpu.pt.integrator import render_sample_jit
@@ -38,19 +51,15 @@ def main():
 
     width, height = 1920, 1080
     spp_timed = 4
-
     host = cornell_box()
     scene = prepare(host)
     cam = default_camera(host, width, height)
     cfg = PathTracerConfig(max_bounces=4, nee=NEEMode.POWER,
                            ray_chunk=1 << 18)
-
-    # Warmup (compile) — excluded from timing; also warms the
-    # accumulation add (its first dispatch would otherwise compile
-    # inside the timed loop and cost ~30% of the measurement).
+    print("[stage] cornell warmup (compile)", file=sys.stderr, flush=True)
     out = render_sample_jit(scene, cam, cfg, width, height, jnp.uint32(0))
     jax.block_until_ready(out["L"] + out["L"])
-
+    print("[stage] cornell timed loop", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     total_rays = 0
     acc = None
@@ -61,57 +70,124 @@ def main():
         total_rays += int(out["ray_count"])
     jax.block_until_ready(acc)
     dt = time.perf_counter() - t0
+    return {
+        "scene": "cornell_box", "res": f"{width}x{height}",
+        "spp_timed": spp_timed, "bounces": cfg.max_bounces,
+        "rays": total_rays,
+        "mrays_per_s": round(total_rays / dt / 1e6, 3),
+        "ms_per_frame_1spp": round(dt / spp_timed * 1e3, 2),
+        "device": str(jax.devices()[0]),
+    }
 
-    mrays = total_rays / dt / 1e6
-    ms_per_frame = dt / spp_timed * 1e3
 
-    # Second bench scene ABOVE the VMEM-resident cap: the 340k-tri city
-    # exercises the clustered streamed path (accel/cluster.py +
-    # pt/bounce_clustered.py) — the path any Bistro-class scene takes.
-    city = None
-    try:
-        from rtxpt_tpu.scene.procedural import city_scene
-        chost = city_scene(tri_budget=350_000, seed=0)
-        cscene = prepare(chost)
-        ccam = default_camera(chost, width, height)
-        ccfg = PathTracerConfig(max_bounces=4, nee=NEEMode.POWER,
-                                ray_chunk=1 << 30)
+def stage_city():
+    """Large scene ABOVE the VMEM-resident cap: 340k-tri city on the
+    clustered streamed tier (accel/cluster.py + pt/bounce_clustered.py)
+    — the path any Bistro-class scene takes."""
+    import jax
+    import jax.numpy as jnp
+    _enable_cache()
+    from rtxpt_tpu.config import PathTracerConfig, NEEMode
+    from rtxpt_tpu.prepare import prepare
+    from rtxpt_tpu.pt.integrator import render_sample_jit
+    from rtxpt_tpu.scene.procedural import city_scene, default_camera
+
+    width, height = 1920, 1080
+    chost = city_scene(tri_budget=350_000, seed=0)
+    cscene = prepare(chost)
+    ccam = default_camera(chost, width, height)
+    ccfg = PathTracerConfig(max_bounces=4, nee=NEEMode.POWER,
+                            ray_chunk=1 << 30)
+    print("[stage] city warmup (compile)", file=sys.stderr, flush=True)
+    out = render_sample_jit(cscene, ccam, ccfg, width, height,
+                            jnp.uint32(0))
+    jax.block_until_ready(out["L"] + out["L"])
+    print("[stage] city timed loop", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    crays = 0
+    cacc = None
+    for s in range(1, 3):
         out = render_sample_jit(cscene, ccam, ccfg, width, height,
-                                jnp.uint32(0))
-        jax.block_until_ready(out["L"] + out["L"])
-        t0 = time.perf_counter()
-        crays = 0
-        cacc = None
-        for s in range(1, 3):
-            out = render_sample_jit(cscene, ccam, ccfg, width, height,
-                                    jnp.uint32(s))
-            cacc = out["L"] if cacc is None else cacc + out["L"]
-            crays += int(out["ray_count"])
-        jax.block_until_ready(cacc)
-        cdt = time.perf_counter() - t0
-        city = {
-            "scene": "city_340k_tris",
-            "mrays_per_s": round(crays / cdt / 1e6, 3),
-            "ms_per_frame_1spp": round(cdt / 2 * 1e3, 2),
-            "clustered_path": cscene.cluster_tables is not None,
-        }
-    except Exception as e:                      # report, never hard-fail
-        city = {"error": str(e)[:200]}
+                                jnp.uint32(s))
+        cacc = out["L"] if cacc is None else cacc + out["L"]
+        crays += int(out["ray_count"])
+    jax.block_until_ready(cacc)
+    cdt = time.perf_counter() - t0
+    return {
+        "scene": "city_340k_tris",
+        "mrays_per_s": round(crays / cdt / 1e6, 3),
+        "ms_per_frame_1spp": round(cdt / 2 * 1e3, 2),
+        "clustered_path": cscene.cluster_tables is not None,
+    }
 
+
+def _run_stage(name: str, timeout: int, env_extra=None):
+    """Run one stage in a subprocess with a deadline; return its JSON."""
+    if timeout <= 60:
+        return {"error": f"skipped stage {name}: bench deadline spent"}
+    code = (f"import bench, json, sys; "
+            f"json.dump(bench.stage_{name}(), sys.stdout)")
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=timeout, env=env)
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {timeout}s (stage {name})"}
+    sys.stderr.write(proc.stderr[-2000:])
+    if proc.returncode != 0:
+        return {"error": f"stage {name} rc={proc.returncode}: "
+                         f"{proc.stderr[-300:]}"}
+    try:
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        return {"error": f"stage {name} bad output: {e}"}
+
+
+def main():
+    # Overall deadline: stages split whatever remains of it, so the
+    # bench always prints its JSON line before the driver's timeout.
+    deadline = time.monotonic() + int(
+        os.environ.get("RTXPT_BENCH_DEADLINE", "2700"))
+
+    def left():
+        return int(deadline - time.monotonic())
+
+    cornell = _run_stage("cornell", min(STAGE_TIMEOUT, left()))
+    # City order matters on the fragile axon worker: bank a number with
+    # the known-good visit-grouped kernels FIRST, then attempt the
+    # round-4 flat all-rows tier with whatever budget remains (its
+    # compile has been observed to wedge the remote compile helper).
+    city = _run_stage("city", min(STAGE_TIMEOUT, left()),
+                      env_extra={"RTXPT_TPU_CLUSTER_FLAT": "0"})
+    city["kernel"] = "legacy_visit_grouped"
+    if os.environ.get("RTXPT_BENCH_TRY_FLAT", "1") != "0":
+        flat = _run_stage("city", min(STAGE_TIMEOUT, left()))
+        flat["kernel"] = "flat_all_rows"
+        if "error" not in flat:
+            city = {"legacy": city, **flat}
+        else:
+            city["flat_error"] = flat["error"]
+    if "error" in cornell:
+        # still print a parseable line so the driver records something
+        result = {"metric": "pathtrace_throughput", "value": 0.0,
+                  "unit": "Mrays/s", "vs_baseline": 0.0,
+                  "detail": {"cornell": cornell, "city": city}}
+        print(json.dumps(result))
+        return 0
+    mrays = cornell["mrays_per_s"]
     result = {
         "metric": "pathtrace_throughput",
-        "value": round(mrays, 3),
+        "value": mrays,
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / 200.0, 4),
-        "detail": {
-            "scene": "cornell_box", "res": f"{width}x{height}",
-            "spp_timed": spp_timed, "bounces": cfg.max_bounces,
-            "rays": total_rays, "ms_per_frame_1spp": round(ms_per_frame, 2),
-            "device": str(jax.devices()[0]),
-            "city": city,
-        },
+        "detail": {**cornell, "city": city},
     }
     print(json.dumps(result))
+    return 0
 
 
 if __name__ == "__main__":
