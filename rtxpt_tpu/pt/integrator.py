@@ -66,7 +66,8 @@ def _lds(cfg: PathTracerConfig, sample_idx, seed, dims):
 def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
                 px, py, sample_idx, want_aux: bool = False,
                 neeat_state=None, first_emissive: bool = True,
-                first_hit=None, bounce_budget=None):
+                first_hit=None, bounce_budget=None,
+                first_direct: bool = True):
     """Trace a wavefront of paths to completion.
 
     Args: o,d [N,3] camera rays; cone_spread [N]; px,py [N] i32;
@@ -77,6 +78,12 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
           `bounce_budget` [N] i32: per-lane remaining bounces — lanes
           stop scattering once bounce >= budget (the BUILD chain already
           consumed path vertices; StablePlanes vertex-index bookkeeping).
+          `first_direct=False`: skip ALL direct lighting at the first
+          vertex (NEE at bounce 0 plus BSDF-sampled emissive/env hits at
+          bounce 1) — the caller shades it externally, e.g. ReSTIR DI on
+          the stable-plane base surface (the reference's RTXDI final
+          shade replacing the primary NEE, RTXDI/RtxdiPass.cpp:544-550).
+          XLA tier only; dispatch forces the wavefront for such calls.
     Returns dict(L [N,3], aux guide buffers when want_aux, ray_count []).
     """
     # Kernel-tier dispatch: purely on the STATIC cfg.kernel_tier (resolved
@@ -89,6 +96,10 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
     from rtxpt_tpu.pt import dispatch
     if cfg.kernel_tier == "auto":
         cfg = dispatch.resolve(scene, cfg, neeat_state)
+    if not first_direct and cfg.kernel_tier != "xla":
+        # external-DI fills (ReSTIR x stable planes) run the wavefront
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, kernel_tier="xla")
     if cfg.kernel_tier == "fused":
         from rtxpt_tpu.pt import bounce_pallas as bp
         return bp.trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py,
@@ -258,7 +269,8 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         miss_mask = active & hit.miss
 
         # ----- HandleMiss: environment (PathTracer.hlsli:407-503) -----
-        if scene.envmap is not None and (first_emissive or bounce > 0):
+        if scene.envmap is not None and (first_emissive or bounce > 0) \
+                and (first_direct or bounce != 1):
             env_L = env_eval(scene.envmap, d)
             if cfg.enable_mis and use_nee:
                 if use_neeat:
@@ -340,12 +352,17 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         em = surf.emissive
         if cfg.enable_mis and use_nee and bounce > 0:
             cos_l = jnp.abs(m.dot(-d, surf.geo_n, False))
-            p_light = light_pdf_for_tri_hit(scene.lights, hit.prim, hit.t,
+            # instanced (TLAS v2) scenes: map (prim, inst) -> expanded
+            # light-bake triangle id (lights_baker.emissive_prim_index)
+            from rtxpt_tpu.lighting.lights_baker import emissive_prim_index
+            eprim = emissive_prim_index(scene, hit.prim,
+                                        getattr(hit, "inst", None))
+            p_light = light_pdf_for_tri_hit(scene.lights, eprim, hit.t,
                                             cos_l, nee_uniform)
             if use_neeat:
                 # rescale the discrete selection part to the NEE-AT mixture
                 li_hit = jnp.take(scene.lights.tri_light,
-                                  jnp.maximum(hit.prim, 0))
+                                  jnp.maximum(eprim, 0))
                 tile = na.tile_of(neeat_state, px, py)
                 sel_mix = na.select_pdf(neeat_state, scene.lights, tile,
                                         jnp.maximum(li_hit, 0))
@@ -356,7 +373,8 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
                              m.power_heuristic(prev_pdf, p_light))
         else:
             w_em = jnp.ones((n,), f32)
-        if first_emissive or bounce > 0:
+        if (first_emissive or bounce > 0) and (first_direct
+                                               or bounce != 1):
             L = L + jnp.where(hit_mask[..., None],
                               thp * em * w_em[..., None], 0.0)
             if split and bounce > 0:
@@ -384,7 +402,7 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
         # ----- NEE (PathTracerNEE.hlsli:303 HandleNEE; WRS over candidates
         #       :54-85 when nee_candidates > 1: K light samples stream into
         #       a reservoir by unshadowed target weight, ONE shadow ray) ---
-        if use_nee:
+        if use_nee and (first_direct or bounce > 0):
             seed_nee = rng.pixel_seed(px, py, bounce, EFFECT_NEE)
 
             def _light_candidate(ci):

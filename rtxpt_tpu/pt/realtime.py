@@ -286,6 +286,27 @@ def render_frame_stable_planes(scene: SceneData, cam: Camera,
 
     planes, background = decompose(scene, o, d)
 
+    # ReSTIR DI on the dominant stable plane's base surface: resampled
+    # direct light replaces the fill's first-vertex NEE, and the fill
+    # (first_direct=False) supplies GI — composited in ONE final shade
+    # before the plane's denoiser (the reference's fused DI+GI final
+    # shade over the stable-plane G-buffer, RtxdiPass.cpp:544-550).
+    use_restir = rc.restir != "none" and scene.lights is not None
+    di_state = state.restir_di
+    restir_direct = None
+    if use_restir:
+        from rtxpt_tpu.pt.restir import gbuffer_from_hit, restir_di
+        hit0 = planes[0].vbuffer(pt_cfg.max_ray_travel)
+        gb0, _gb_em = gbuffer_from_hit(scene, planes[0].o, planes[0].d,
+                                       hit0)
+        mv_gb = motion_vectors(state.prev_camera,
+                               gb0.pos.reshape(h, w, 3),
+                               gb0.depth.reshape(h, w), w, h)
+        restir_direct, di_state = restir_di(
+            gb0, scene.lights, scene.envmap, scene.bvh, w, h,
+            jnp.uint32(state.frame_index), di_state,
+            motion_flat=mv_gb.reshape(-1, 2))
+
     hdr = jnp.zeros((n, 3), jnp.float32)
     dstates = [state.denoiser, state.denoiser_p1, state.denoiser_p2]
     new_dstates = []
@@ -298,11 +319,16 @@ def render_frame_stable_planes(scene: SceneData, cam: Camera,
         budget = jnp.where(plane.valid,
                            jnp.maximum(pt_cfg.max_bounces - plane.nverts,
                                        0), 0)
+        ext_di = use_restir and i == 0
         out = trace_paths(scene, pt_cfg, plane.o, plane.d, spread, px, py,
                           sidx_p, want_aux=True,
                           first_hit=plane.vbuffer(pt_cfg.max_ray_travel),
-                          bounce_budget=budget)
+                          bounce_budget=budget,
+                          first_direct=not ext_di)
         radiance = out["L"]
+        if ext_di:
+            radiance = radiance + jnp.where(plane.valid[:, None],
+                                            restir_direct, 0.0)
         if rc.denoiser.value:
             # per-plane motion from the plane's own base surface
             motion = motion_vectors(state.prev_camera,
@@ -343,5 +369,6 @@ def render_frame_stable_planes(scene: SceneData, cam: Camera,
                               denoiser_p1=new_dstates[1],
                               denoiser_p2=new_dstates[2],
                               taa_history=taa_hist, prev_camera=cam,
-                              frame_index=state.frame_index + 1)
+                              frame_index=state.frame_index + 1,
+                              restir_di=di_state)
     return img, hdr, new_state

@@ -442,23 +442,14 @@ def final_shade(res: Reservoir, gb: GBuffer, lights, envmap, bvh,
     return jnp.where(ok[..., None], contrib, 0.0)
 
 
-def gbuffer_from_primary(scene, cam, width: int, height: int,
-                         jitter=(0.5, 0.5)):
-    """Trace primary rays and build the compact resampling G-buffer."""
-    from rtxpt_tpu.accel.traverse import intersect_closest
+def gbuffer_from_hit(scene, o, d, hit):
+    """Build the compact resampling G-buffer from an existing hit
+    wavefront — e.g. a stable plane's V-buffer restart surface (the
+    reference composes RTXDI over the stable-plane base surface,
+    RtxdiPass.cpp:354,519). Returns (GBuffer, emissive [N,3])."""
     from rtxpt_tpu.pt.surface import load_surface
-    from rtxpt_tpu.scene.camera import camera_ray
 
-    px = jnp.tile(jnp.arange(width, dtype=jnp.int32)[None, :],
-                  (height, 1)).reshape(-1)
-    py = jnp.tile(jnp.arange(height, dtype=jnp.int32)[:, None],
-                  (1, width)).reshape(-1)
-    n = px.shape[0]
-    o, d, _ = camera_ray(cam, px, py,
-                         jnp.full((n,), jitter[0], jnp.float32),
-                         jnp.full((n,), jitter[1], jnp.float32))
-    hit = intersect_closest(scene.bvh, o, d, jnp.zeros((n,), jnp.float32),
-                            jnp.full((n,), 1e30, jnp.float32))
+    n = o.shape[0]
     surf = load_surface(scene, hit, o, d, jnp.zeros((n,), jnp.float32))
     valid = ~hit.miss
     return GBuffer(
@@ -471,6 +462,25 @@ def gbuffer_from_primary(scene, cam, width: int, height: int,
         roughness=jnp.sqrt(surf.bsdf.alpha),
         depth=jnp.where(valid, hit.t, 0.0),
     ), surf.emissive
+
+
+def gbuffer_from_primary(scene, cam, width: int, height: int,
+                         jitter=(0.5, 0.5)):
+    """Trace primary rays and build the compact resampling G-buffer."""
+    from rtxpt_tpu.accel.traverse import intersect_closest
+    from rtxpt_tpu.scene.camera import camera_ray
+
+    px = jnp.tile(jnp.arange(width, dtype=jnp.int32)[None, :],
+                  (height, 1)).reshape(-1)
+    py = jnp.tile(jnp.arange(height, dtype=jnp.int32)[:, None],
+                  (1, width)).reshape(-1)
+    n = px.shape[0]
+    o, d, _ = camera_ray(cam, px, py,
+                         jnp.full((n,), jitter[0], jnp.float32),
+                         jnp.full((n,), jitter[1], jnp.float32))
+    hit = intersect_closest(scene.bvh, o, d, jnp.zeros((n,), jnp.float32),
+                            jnp.full((n,), 1e30, jnp.float32))
+    return gbuffer_from_hit(scene, o, d, hit)
 
 
 class ReSTIRState(NamedTuple):
