@@ -38,11 +38,30 @@ def run_capture(scene, host_scene, pt_cfg, render_cfg, script: CaptureScript,
     state = realtime.init_state(render_cfg.height, render_cfg.width)
     saved = {}
     t = 0.0
+    prev_hdr = None
     for frame in range(script.total_frames):
         if script.animate is not None:
             cam = script.animate(frame, t) or cam
         img, hdr, state = realtime.render_frame(scene, cam, pt_cfg,
                                                 render_cfg, state)
+        # Frame generation (DLSS-FG/MFG analog): synthesize interpolated
+        # frames between the previous and this rendered frame from the
+        # renderer's own motion vectors (render/framegen.py).
+        if (render_cfg.frame_gen > 0 and prev_hdr is not None
+                and frame in script.screenshot_frames
+                and state.motion is not None):
+            from rtxpt_tpu.render.framegen import generate_frames
+            from rtxpt_tpu.render.postprocess import tonemap
+            gens = generate_frames(prev_hdr, hdr, state.motion,
+                                   n=render_cfg.frame_gen)
+            for k, g in enumerate(gens):
+                gimg = tonemap(g, render_cfg.exposure, render_cfg.tonemap)
+                gpath = os.path.join(
+                    out_dir, script.out_pattern.format(index=frame)
+                    .replace(".png", f".gen{k}.png"))
+                save_png(gpath, np.asarray(gimg))
+                saved[f"{frame}.gen{k}"] = gpath
+        prev_hdr = hdr
         if frame in script.screenshot_frames:
             path = os.path.join(out_dir,
                                 script.out_pattern.format(index=frame))

@@ -130,6 +130,10 @@ class RenderConfig:
     # instead of the global power CDF (reference: RtxdiPass local-light
     # presampling / ReGIR mode).
     restir_regir: bool = False
+    # Frame generation (DLSS-FG/MFG analog, render/framegen.py): number
+    # of motion-vector-interpolated frames synthesized between each pair
+    # of rendered frames (0 = off; 1 = FG, 2-3 = MFG).
+    frame_gen: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

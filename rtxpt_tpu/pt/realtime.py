@@ -46,6 +46,8 @@ class RealtimeState(NamedTuple):
     restir_di: Optional[object] = None        # pt.restir.ReSTIRState
     restir_gi: Optional[object] = None        # pt.restir_gi.GIState
     regir: Optional[object] = None            # lighting.regir.ReGIRGrid
+    motion: Optional[jnp.ndarray] = None      # display-res motion of the
+    #                                           last frame (framegen input)
 
 
 def init_state(height: int, width: int,
@@ -257,7 +259,7 @@ def render_frame(scene: SceneData, cam: Camera, pt_cfg: PathTracerConfig,
                               frame_index=state.frame_index + 1,
                               neeat=new_neeat,
                               restir_di=di_state, restir_gi=gi_state,
-                              regir=new_regir)
+                              regir=new_regir, motion=motion)
     return img, hdr, new_state
 
 
@@ -370,5 +372,5 @@ def render_frame_stable_planes(scene: SceneData, cam: Camera,
                               denoiser_p2=new_dstates[2],
                               taa_history=taa_hist, prev_camera=cam,
                               frame_index=state.frame_index + 1,
-                              restir_di=di_state)
+                              restir_di=di_state, motion=mv0)
     return img, hdr, new_state
