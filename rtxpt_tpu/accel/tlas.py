@@ -30,11 +30,14 @@ Node row layout ([M,22] f32; int-in-f32 exact below 2^24):
     20    instance leaf: mesh-subtree entry node; else -1
     21    instance leaf: instance id; else -1
 
-v1 scope (documented fallbacks, prepare() reverts to flatten mode):
-    * emissive materials only on single-instance prototypes (the light
-      list and tri_light mapping stay per-pool-triangle exact);
-    * no alpha-tested/OMM scenes (the alpha retrace runs on the
-      flattened BVH path).
+v2 scope:
+    * emissive materials on ANY prototype: the lights bake runs over an
+      expanded (instance x emissive pool tri) world-space list; hits map
+      to lights via inst_light_base[inst] + em_rank[prim]
+      (lights_baker.emissive_prim_index). Rigid animation of emissive
+      instances needs a lights rebake (refit_tlas refits boxes only).
+    * remaining fallback: alpha-tested/OMM scenes take the flattened BVH
+      path (the micromap bake is flatten-ordered; prepare() reverts).
 """
 
 from __future__ import annotations
@@ -69,6 +72,14 @@ class TLAS:
     int_level: jnp.ndarray      # [K] i32 floor(log2(range len))
     int_a: jnp.ndarray          # [K] i32 left lookup index
     int_b: jnp.ndarray          # [K] i32 right lookup index (b-2^k+1)
+    # --- emissive instancing (v2) ---------------------------------------
+    # The lights bake runs over an EXPANDED triangle list: one entry per
+    # (instance, emissive pool tri) pair in instance-major, pool order.
+    # A hit (prim, inst) maps to its expanded id — and through
+    # LightList.tri_light to its light — as
+    #     inst_light_base[inst] + em_rank[prim].
+    em_rank: Optional[jnp.ndarray] = None         # [Tpool] i32, -1 none
+    inst_light_base: Optional[jnp.ndarray] = None  # [I] i32
     n_instances: int = struct.field(pytree_node=False, default=0)
     n_meshes: int = struct.field(pytree_node=False, default=0)
 
@@ -196,17 +207,21 @@ def build_two_level(host, min_sharing: float = 1.5) -> Optional[dict]:
     tri_material = np.concatenate(pool_mat)
     tri_subinstance = np.concatenate(pool_sub)
 
-    # v1 restriction: emissive materials only on single-instance protos
+    # v2: emissive materials on ANY prototype. Rank each pool triangle
+    # among its prototype's emissive tris; the per-instance expanded
+    # light list is assembled below once transforms are known.
+    em_rank = np.full((len(indices),), -1, np.int32)
+    proto_em_count = np.zeros(n_proto, np.int64)
     if host.materials is not None:
         em = np.asarray(host.materials.emissive)
-        emissive_mat = (em.max(-1) > 0.0)
-        counts = np.bincount(proto_of, minlength=n_proto)
+        lum = em @ np.asarray([0.2126, 0.7152, 0.0722])
+        emissive_mat = lum > 0.0                   # matches bake_lights
         for p in range(n_proto):
-            if counts[p] <= 1:
-                continue
             tm = tri_material[tri_base[p]:tri_base[p + 1]]
-            if emissive_mat[np.clip(tm, 0, len(emissive_mat) - 1)].any():
-                return None
+            mask = emissive_mat[np.clip(tm, 0, len(emissive_mat) - 1)]
+            proto_em_count[p] = int(mask.sum())
+            em_rank[tri_base[p]:tri_base[p + 1]][mask] = \
+                np.arange(int(mask.sum()), dtype=np.int32)
 
     # ---- per-prototype mesh BVHs (object space) ----
     mesh_tables, mesh_prim_tri = [], []
@@ -297,17 +312,40 @@ def build_two_level(host, min_sharing: float = 1.5) -> Optional[dict]:
     lev = np.floor(np.log2(np.maximum(ln, 1))).astype(np.int64)
     ib = rg[:, 1] - (1 << lev) + 1
 
-    # single-instance prototypes: world-space positions view for the
-    # lights bake (emissive tris are restricted to these)
-    light_positions = positions.copy()
-    counts = np.bincount(proto_of, minlength=n_proto)
-    vb = 0
-    for p, i0 in enumerate(protos):
-        nv = len(insts[i0].positions)
-        if counts[p] == 1:
-            light_positions[vb:vb + nv] = (
-                insts[i0].positions @ A[i0].T + b[i0])
-        vb += nv
+    # Expanded emissive list for the lights bake: per (instance, emissive
+    # pool tri) pair, world-space vertices, instance-major, pool order.
+    # bake_lights then yields one light per entry and its tri_light array
+    # indexes exactly this expansion (BakeEmissiveTriangles over the
+    # instanced scene — Sample.cpp per-instance emissive collection).
+    inst_light_base = np.zeros(n_inst, np.int64)
+    exp_tris, exp_mats, exp_insts = [], [], []
+    run = 0
+    v0i = positions[indices[:, 0]]
+    v1i = positions[indices[:, 1]]
+    v2i = positions[indices[:, 2]]
+    for i in range(n_inst):
+        inst_light_base[i] = run
+        p = proto_of[i]
+        t0, t1 = tri_base[p], tri_base[p + 1]
+        sel = np.nonzero(em_rank[t0:t1] >= 0)[0] + t0
+        if len(sel):
+            tri = np.stack([v0i[sel], v1i[sel], v2i[sel]], 1)  # [E,3,3]
+            exp_tris.append(tri @ A[i].T + b[i])
+            exp_mats.append(tri_material[sel])
+            exp_insts.append(np.full((len(sel),), i, np.int32))
+        run += len(sel)
+    if exp_tris:
+        et = np.concatenate(exp_tris).astype(np.float32)   # [E,3,3]
+        light_positions = et.reshape(-1, 3)
+        light_indices = np.arange(et.shape[0] * 3,
+                                  dtype=np.int32).reshape(-1, 3)
+        light_materials = np.concatenate(exp_mats).astype(np.int32)
+        light_subinstance = np.concatenate(exp_insts)
+    else:
+        light_positions = np.zeros((0, 3), np.float32)
+        light_indices = np.zeros((0, 3), np.int32)
+        light_materials = np.zeros((0,), np.int32)
+        light_subinstance = np.zeros((0,), np.int32)
 
     tl = TLAS(
         nodes=jnp.asarray(nodes),
@@ -322,12 +360,17 @@ def build_two_level(host, min_sharing: float = 1.5) -> Optional[dict]:
         int_level=jnp.asarray(lev.astype(np.int32)),
         int_a=jnp.asarray(rg[:, 0].astype(np.int32)),
         int_b=jnp.asarray(ib.astype(np.int32)),
+        em_rank=jnp.asarray(em_rank),
+        inst_light_base=jnp.asarray(inst_light_base.astype(np.int32)),
         n_instances=n_inst, n_meshes=n_proto,
     )
     return dict(tlas=tl, positions=positions, normals=normals, uvs=uvs,
                 indices=indices, tri_material=tri_material,
                 tri_subinstance=tri_subinstance,
-                light_positions=light_positions)
+                light_positions=light_positions,
+                light_indices=light_indices,
+                light_materials=light_materials,
+                light_subinstance=light_subinstance)
 
 
 # ---------------------------------------------------------------------------
@@ -472,6 +515,11 @@ def refit_tlas(tl: TLAS, transforms: jnp.ndarray) -> TLAS:
     rows are refit by sparse-table range-min over the (static) preorder
     leaf ranges. Topology is kept: quality degrades only if instances
     migrate far from the build layout (then rebuild via build_two_level).
+
+    NOTE: em_rank/inst_light_base survive unchanged (they are topology),
+    but the LIGHT LIST's world-space vertices do not — moving emissive
+    instances requires a lights rebake (prepare._prepare_two_level's
+    expanded bake) alongside this refit.
     """
     A = transforms[:, :3, :3]
     b = transforms[:, :3, 3]

@@ -379,6 +379,21 @@ def sample_light(lights: LightList, envmap: EnvMap, shade_pos, u_sel, u1, u2,
                 valid=valid, light_index=li)
 
 
+def emissive_prim_index(scene, prim, inst):
+    """Map a hit (prim, inst) to the triangle id the light list was baked
+    over. Flattened scenes bake per pool triangle (identity); instanced
+    (TLAS v2) scenes bake the expanded (instance x emissive pool tri)
+    list — the id is inst_light_base[inst] + em_rank[prim], -1 when the
+    hit triangle is not emissive (accel/tlas.py v2 scope)."""
+    tl = getattr(scene, "tlas", None)
+    if tl is None or getattr(tl, "em_rank", None) is None or inst is None:
+        return prim
+    rank = jnp.take(tl.em_rank, jnp.maximum(prim, 0))
+    base = jnp.take(tl.inst_light_base, jnp.maximum(inst, 0))
+    ok = (prim >= 0) & (inst >= 0) & (rank >= 0)
+    return jnp.where(ok, base + rank, -1)
+
+
 def light_pdf_for_tri_hit(lights: LightList, prim, dist, cos_l,
                           uniform: bool = False):
     """Solid-angle NEE pdf of having sampled the emissive triangle that a

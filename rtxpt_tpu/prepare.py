@@ -54,14 +54,22 @@ def _prepare_two_level(host: HostScene, built: dict, env_res) -> SceneData:
     tri_pack, mat_pack = build_packs(geometry, mats)
     tl = built["tlas"]
 
-    # lights bake sees WORLD positions (emissive tris are restricted to
-    # single-instance prototypes by the builder, so this view is exact)
+    # lights bake over the EXPANDED (instance x emissive pool tri) world
+    # list built by build_two_level: LightList.tri_light indexes the
+    # expansion; hits map via tlas.em_rank/inst_light_base
+    # (lights_baker.emissive_prim_index).
     root = np.asarray(tl.nodes[0])
     radius = float(np.linalg.norm(root[3:6] - root[0:3]) * 0.5 + 1e-6)
-    sd_lights = sd.replace(
-        geometry=geometry.replace(
-            positions=jnp.asarray(built["light_positions"])),
-        envmap=envmap)
+    light_geo = Geometry(
+        positions=jnp.asarray(built["light_positions"]),
+        normals=jnp.zeros_like(jnp.asarray(built["light_positions"])),
+        uvs=jnp.zeros((built["light_positions"].shape[0], 2),
+                      jnp.float32),
+        indices=jnp.asarray(built["light_indices"]),
+        tri_material=jnp.asarray(built["light_materials"]),
+        tri_subinstance=jnp.asarray(built["light_subinstance"]),
+    )
+    sd_lights = sd.replace(geometry=light_geo, envmap=envmap)
     lights = bake_lights(sd_lights, envmap, radius,
                          env_quads=host.env_quad_lights)
 
