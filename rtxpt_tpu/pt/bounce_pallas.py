@@ -69,7 +69,11 @@ from rtxpt_tpu.utils import rng
 PALLAS_MAX_TRIS = 2048
 MAX_LIGHTS = 128
 MAX_MATERIALS = 128
-_R = 8                  # ray rows per block (R*128 = 1024 rays)
+# Ray rows per block (R*128 rays per grid step). Env-gated for tile-depth
+# experiments (docs/PERF_NOTES.md round-4b lever 3: deeper R tiles give
+# Mosaic more independent work to software-pipeline across the serial
+# shading chain); 8 = one (8,128) f32 register per state row.
+_R = int(os.environ.get("RTXPT_TPU_FUSED_R", "8"))
 _BIG = 1e30
 
 # fs (f32 state) channel map
@@ -464,7 +468,11 @@ def build_bounce_tables(positions, normals, indices, tri_material,
     mat = pack_materials(materials)
     lt = pack_lights(lights)
 
-    tc = min(512, _round_up(t, 128))
+    # Chunk depth: t sublane-rows per intersection group. Small scenes
+    # round to the 8-sublane f32 tile, NOT to 128 — at Cornell's 36 tris a
+    # 128 floor would make the valid/winner selection on [tc,128] tiles
+    # (the kernel's hottest VPU block) ~70% padding work.
+    tc = min(512, _round_up(t, 8))
     tpad = _round_up(t, tc)
     n_chunks = tpad // tc
 
@@ -962,6 +970,13 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
     # index (each iteration must draw fresh randoms).
     lb = lbounce if lbounce is not None else \
         jnp.full(t.shape, bounce, jnp.int32)
+    # shared pixel_seed prefix: pixel_seed(px,py,lb,e) ==
+    # hash_combine(hash_combine(hash_combine(px,py),lb), e) — hoist the
+    # (px,py,lb) part once per bounce instead of once per effect (exact).
+    seed_base = rng.hash_combine(rng.hash_combine(px, py), lb)
+
+    def eff_seed(effect):
+        return rng.hash_combine(seed_base, effect)
     em_gate = jnp.asarray(first_emissive, bool) | (lb > 0)
     # diffuse/specular radiance split for per-channel denoising
     # (integrator.py:132-135 semantics; NrdConfig.cpp:25-27)
@@ -1044,7 +1059,7 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
         uv_u = bw_ * uv0u + bu * uv1u + bv * uv2u
         uv_v = bw_ * uv0v + bu * uv1v + bv * uv2v
         mip = 0.5 * jnp.log2(jnp.maximum(cone * cone, 1e-30))             + attr(AT_LODB)
-        seed_tx = rng.pixel_seed(px, py, lb, EFFECT_STF)
+        seed_tx = eff_seed(EFFECT_STF)
         ju0, ju1 = lds(seed_tx, (0, 1))
 
         def tfetch(row):
@@ -1121,7 +1136,7 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
     hit_shade = hit_mask & ~passthru
     u_alpha = None
     if omm_unknown is not None:
-        seed_sa = rng.pixel_seed(px, py, lb, EFFECT_ALPHA)
+        seed_sa = eff_seed(EFFECT_ALPHA)
         (u_alpha,) = lds(seed_sa, (0,))
 
     # medium stack IoRs (ior row indexed by medium material id)
@@ -1194,7 +1209,7 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
     # ----- NEE (1 candidate; HandleNEE analog) -----
     do_nee = jnp.zeros(t.shape, bool)
     if use_nee:
-        seed_nee = rng.pixel_seed(px, py, lb, EFFECT_NEE)
+        seed_nee = eff_seed(EFFECT_NEE)
         u_sel, u1, u2 = lds(seed_nee, (0, 2, 3))
         u_sel = jnp.clip(u_sel, 0.0, 1.0 - 1e-7)
         if nee_uniform:
@@ -1265,7 +1280,7 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
     thp_ns, pdf_ns, delta_ns = thp, prev_pdf, prev_delta
     med0_ns, med1_ns = med0, med1
     spread_ns = spread
-    seed_sc = rng.pixel_seed(px, py, lb, EFFECT_SCATTER)
+    seed_sc = eff_seed(EFFECT_SCATTER)
     u_lobe, su1, su2 = lds(seed_sc, (0, 2, 3))
     bs = W.bsdf_sample_w(bsdf, wo, u_lobe, su1, su2)
     wi_world = W.to_world3(bs["wi"], sh_n)
@@ -1292,7 +1307,7 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
     med0, med1 = new_med0, new_med1
 
     if rr_enable:
-        seed_rr = rng.pixel_seed(px, py, lb, EFFECT_RR)
+        seed_rr = eff_seed(EFFECT_RR)
         (u_rr,) = lds(seed_rr, (0,))
         p_cont = jnp.clip(
             jnp.maximum(jnp.maximum(thp[0], thp[1]), thp[2]), 0.05, 1.0)

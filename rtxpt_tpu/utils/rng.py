@@ -21,6 +21,7 @@ API sketch:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 U32 = jnp.uint32
@@ -124,13 +125,24 @@ _SOBOL_V = _make_direction_vectors()          # np [NDIM, 32] uint32
 
 
 def sobol_u32(index, dim: int):
-    """Sobol' sample `index` in dimension `dim` (static), as uint32."""
+    """Sobol' sample `index` in dimension `dim` (static), as uint32.
+
+    Op diet (bit-exact, validated): dim 0's direction vectors are the
+    single bits 1<<(31-k), so its XOR-fold IS a bit reversal; other dims
+    replace the per-bit `bit * v_k` u32 multiply with a sign-extended
+    mask AND (shift/shift/and — no VPU integer multiply). This is the
+    hottest integer code in the fused bounce kernel (7+ dims per ray per
+    bounce — docs/PERF_NOTES.md round-4b VPU-bound analysis)."""
     assert 0 <= dim < SOBOL_NDIM
     index = _u32(index)
+    if dim == 0:
+        return reverse_bits_u32(index)   # v[0,k] == 1 << (31-k)
+    idx_i = index.astype(jnp.int32)
     result = jnp.zeros_like(index)
     for k in range(32):
-        bit = (index >> k) & U32(1)
-        result ^= bit * U32(int(_SOBOL_V[dim, k]))
+        mask = jax.lax.shift_right_arithmetic(
+            jax.lax.shift_left(idx_i, 31 - k), 31).astype(U32)
+        result ^= mask & U32(int(_SOBOL_V[dim, k]))
     return result
 
 
@@ -170,6 +182,11 @@ def shuffled_scrambled_sobol_u32(index, seed, dim: int):
     shuffle_seed = lowbias32(seed ^ U32(0xA511E9B3))
     scramble_seed = hash_combine(seed, U32(d + 1))
     shuffled = nested_uniform_scramble(_u32(index), shuffle_seed)
+    if d == 0:
+        # scramble(reverse(shuffled), s) == reverse(LK(shuffled, s)):
+        # the scramble's inner bit reversal cancels sobol dim 0's.
+        return reverse_bits_u32(
+            laine_karras_permutation(shuffled, scramble_seed))
     x = sobol_u32(shuffled, d)
     return nested_uniform_scramble(x, scramble_seed)
 
@@ -221,9 +238,14 @@ def ld_samples(sample_index, seed, dims):
                                            lowbias32(sb ^ U32(0xA511E9B3)))
         for d in ds:
             dd = d % SOBOL_NDIM
-            x = sobol_u32(shuffled, dd)
-            out[d] = u32_to_unit_float(
-                nested_uniform_scramble(x, hash_combine(sb, U32(dd + 1))))
+            cs = hash_combine(sb, U32(dd + 1))
+            if dd == 0:
+                # see shuffled_scrambled_sobol_u32 — exact dim-0 shortcut
+                out[d] = u32_to_unit_float(reverse_bits_u32(
+                    laine_karras_permutation(shuffled, cs)))
+            else:
+                out[d] = u32_to_unit_float(
+                    nested_uniform_scramble(sobol_u32(shuffled, dd), cs))
     return tuple(out[d] for d in dims)
 
 
