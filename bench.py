@@ -60,6 +60,15 @@ def stage_cornell():
     out = render_sample_jit(scene, cam, cfg, width, height, jnp.uint32(0))
     jax.block_until_ready(out["L"] + out["L"])
     print("[stage] cornell timed loop", file=sys.stderr, flush=True)
+    # Optional device-trace capture (SURVEY.md §5: jax.profiler traces;
+    # opt-in so the driver's timed run isn't perturbed):
+    #   RTXPT_BENCH_TRACE=1 python bench.py  -> trace dir in the JSON.
+    trace_dir = None
+    ctx = None
+    if os.environ.get("RTXPT_BENCH_TRACE") == "1":
+        from rtxpt_tpu.utils.metrics import FrameMetrics
+        ctx = FrameMetrics.profiler_trace("/root/repo/.profiles/cornell")
+        trace_dir = ctx.__enter__()
     t0 = time.perf_counter()
     total_rays = 0
     acc = None
@@ -70,7 +79,10 @@ def stage_cornell():
         total_rays += int(out["ray_count"])
     jax.block_until_ready(acc)
     dt = time.perf_counter() - t0
+    if ctx is not None:
+        ctx.__exit__(None, None, None)
     return {
+        **({"profiler_trace": trace_dir} if trace_dir else {}),
         "scene": "cornell_box", "res": f"{width}x{height}",
         "spp_timed": spp_timed, "bounces": cfg.max_bounces,
         "rays": total_rays,

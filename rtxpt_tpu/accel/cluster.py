@@ -100,6 +100,20 @@ AT_TANG = 35             # 35:38 UV tangent premultiplied by 1/det_uv
 AT_TSGN = 38             # sign(det_uv); 0 = degenerate UV mapping
 AT_ROWS = 39
 
+# Opacity-micromap scenes widen the blocks to 7 quantity slots
+# (det,u,v,t,mm_lo,mm_hi,cov): the micromap word rides the intersection
+# matmul itself — its "coefficient" sits in the constant-1 operand slot,
+# so the [CT]-per-tri values arrive transposed to sublanes for free.
+# The word halves are 16-bit INTEGERS, for which the generic bf16 split
+# is exact (hi lands on the bf16 grid; the residual is an integer <=
+# half-ulp <= 2^8, itself bf16-exact), so the r_hi=1/r_lo=0 contraction
+# recovers them EXACTLY in the f32 accumulator. Coverage must ride its
+# OWN slot: packing it into a word half's fraction needs ~17 significand
+# bits across the split and corrupts the integer by +-1 (flipped
+# micromap bits — measured as a 29% darkening on the curtain test).
+# Non-OMM scenes keep the 4-slot layout (less DMA).
+OMM_SLOTS = 7
+
 
 @struct.dataclass
 class ClusterTables:
@@ -119,6 +133,28 @@ class ClusterTables:
     n_lights: int = struct.field(pytree_node=False, default=0)
     tr: int = struct.field(pytree_node=False, default=0)
     tex_maps: tuple = struct.field(pytree_node=False, default=(1, 0, 0, 0))
+    # static: blocks carry micromap quantity slots (OMM_SLOTS lanes) and
+    # the kernels resolve alpha/OMM inside traversal (scene/omm.py bake;
+    # reference: OmmBuildQueue.h OMM-in-traversal for foliage)
+    omm: bool = struct.field(pytree_node=False, default=False)
+    # ---- instanced tier (build_cluster_tables_instanced) ----------------
+    # Blocks are per-PROTOTYPE in object space (BLAS-reuse memory model,
+    # Sample.cpp:1088-1242); the cull runs over the expanded
+    # (instance x prototype-cluster) WORLD candidate list:
+    #   aabb_lo/hi [Cw,3]  world AABBs of each (instance, cluster) pair
+    #   wc_block   [Cw]    pool block id the candidate streams
+    #   wc_inst    [Cw]    instance id (indexes xf / inst_post)
+    #   xf         [I,16,128] per-instance ray-operand transform tile,
+    #              DMA'd per visit: X[i,j] = M10[j,i] where M10 is the
+    #              10x10 linear map (world [d, oxd, o, 1] -> object) —
+    #              cross products transform as (Ax)x(Ay) = det(A)A^-T(xy)
+    #   inst_post  [I,19]  o2w linear (9) | normal matrix (9) | LOD bias
+    #              offset (1) for the XLA attr post-transform
+    instanced: bool = struct.field(pytree_node=False, default=False)
+    wc_block: Optional[jnp.ndarray] = None
+    wc_inst: Optional[jnp.ndarray] = None
+    xf: Optional[jnp.ndarray] = None
+    inst_post: Optional[jnp.ndarray] = None
 
     @property
     def tex_rows(self):
@@ -212,6 +248,14 @@ def refresh_cluster_tables(tbl: ClusterTables, positions, normals,
     import jax
     import jax.numpy as jnp
 
+    assert not tbl.omm, \
+        "device refresh of OMM blocks not supported (attrs pack 6/row " \
+        "and micromap quantity lanes would need re-bake); animated OMM " \
+        "scenes rebuild tables on host"
+    assert not getattr(tbl, "instanced", False), \
+        "instanced tables refresh via transforms (re-run " \
+        "build_cluster_tables_instanced world-candidate assembly), " \
+        "not the flatten-order geometry scatter"
     f32 = jnp.float32
     C = tbl.n_clusters
     off = tbl.offsets
@@ -323,11 +367,17 @@ def refresh_cluster_tables(tbl: ClusterTables, positions, normals,
 
 def build_cluster_tables(positions, normals, indices, tri_material,
                          materials, lights, uvs=None, envmap=None,
-                         textures=None) -> Optional[ClusterTables]:
+                         textures=None, tri_micromap=None,
+                         tri_cover=None,
+                         tri_gidx=None) -> Optional[ClusterTables]:
     """Bake cluster blocks. Triangles must already be Morton-ordered
     (prepare() applies morton_permutation to all per-tri arrays).
     Returns None when the scene is ineligible (see pt/bounce_clustered
-    eligibility: table caps, env/texture table requirements)."""
+    eligibility: table caps, env/texture table requirements).
+
+    `tri_gidx` ([t] i32, optional) overrides the AT_GIDX attribute (the
+    exported "global triangle index") — the instanced builder passes
+    pool-order ids so prototype-local bakes stay globally unique."""
     from rtxpt_tpu.pt.bounce_pallas import (
         EV_AUX, EVA_SELPDF, MAX_LIGHTS, MAX_MATERIALS, _tex_maps_of,
         build_env_rows, build_tex_tables, pack_lights, pack_materials)
@@ -373,6 +423,14 @@ def build_cluster_tables(positions, normals, indices, tri_material,
     gn = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
 
     tri_light = np.asarray(lights.tri_light)[:t]
+    if len(tri_light) < t:
+        # no (or fewer) emissive-geometry entries than triangles — the
+        # instanced per-prototype bakes hit this (tri_light indexes the
+        # EXPANDED light list, and the v1 instanced tier has none)
+        tri_light = np.concatenate(
+            [tri_light,
+             np.full((t - len(tri_light),), -1, tri_light.dtype
+                     if tri_light.size else np.int64)])
     has_l = tri_light >= 0
     li = np.maximum(tri_light, 0)
     lpdf = np.where(has_l, np.asarray(lights.power)[li], 0.0)
@@ -424,7 +482,12 @@ def build_cluster_tables(positions, normals, indices, tri_material,
     v0xe1 = np.cross(v0l, e1p)
     v0n = np.einsum("tj,tj->t", v0l, np_)
 
-    blocks = np.zeros((n_clusters, BLK_ROWS, LANES), np.float32)
+    omm = tri_micromap is not None
+    slots = OMM_SLOTS if omm else 4
+    lanes = slots * CT
+    if n_clusters > (1 << 29) // (BLK_ROWS * lanes * 4):
+        return None                  # keep the HBM block budget
+    blocks = np.zeros((n_clusters, BLK_ROWS, lanes), np.float32)
 
     def coef(q, k3, vals):
         """blocks[:, k3:k3+vals.shape[-1]-ish ...] for quantity q."""
@@ -440,6 +503,19 @@ def build_cluster_tables(positions, normals, indices, tri_material,
     coef(2, 3, -e1p)
     coef(3, 6, np_)                  # t:  n.o' - v0'.n
     coef(3, 9, -v0n[:, None])
+    if omm:
+        # micromap word halves as quantities 4/5 and unknown-cell
+        # coverage as quantity 6, all riding the 1-operand (coefficient
+        # row 9); the halves are 16-bit ints -> exact through the split
+        # (see OMM_SLOTS note), cov tolerates the ~2^-17 split error
+        mm_w = np.asarray(tri_micromap).astype(np.uint32)
+        mm_lo = (mm_w & np.uint32(0xFFFF)).astype(np.float32)
+        mm_hi = (mm_w >> np.uint32(16)).astype(np.float32)
+        cov = (np.asarray(tri_cover, np.float32)
+               if tri_cover is not None else np.ones((t,), np.float32))
+        coef(4, 9, pp(mm_lo)[:, None])
+        coef(5, 9, pp(mm_hi)[:, None])
+        coef(6, 9, pp(cov)[:, None])
 
     # split-bf16: rows 0..9 -> (hi, lo) with hi bf16-exact
     c_full = blocks[:, 0:10, :].copy()
@@ -476,7 +552,10 @@ def build_cluster_tables(positions, normals, indices, tri_material,
     # global (prepared-order) triangle index — clusters are variable-
     # length ranges so the kernel cannot reconstruct it as cid*CT+j;
     # f32 is exact to 2^24, far above MAX_CLUSTERS*CT
-    put1(AT_GIDX, slot_tri.astype(np.float32))
+    if tri_gidx is not None:
+        put1(AT_GIDX, pp(np.asarray(tri_gidx, np.float32)))
+    else:
+        put1(AT_GIDX, slot_tri.astype(np.float32))
     put1(AT_VALID, validp)
     if uvs is not None:
         uvs = np.asarray(uvs, np.float32)
@@ -492,8 +571,8 @@ def build_cluster_tables(positions, normals, indices, tri_material,
     put1(AT_LODB, (-0.5 * np.log2(np.maximum(tri_area2, 1e-20))
                    ).astype(np.float32))
     for i in range(AT_ROWS):
-        blocks[:, ATTR_BASE + i // 4,
-               (i % 4) * CT:(i % 4 + 1) * CT] = attr[:, i, :]
+        blocks[:, ATTR_BASE + i // slots,
+               (i % slots) * CT:(i % slots + 1) * CT] = attr[:, i, :]
 
     return ClusterTables(
         blocks=jnp.asarray(blocks),
@@ -506,4 +585,141 @@ def build_cluster_tables(positions, normals, indices, tri_material,
         tex_meta=(tex[1] if tex is not None else None),
         n_clusters=n_clusters, n_tris=t, n_lights=n_lights,
         tr=(tex[2] if tex is not None else 0),
-        tex_maps=_tex_maps_of(materials))
+        tex_maps=_tex_maps_of(materials), omm=omm)
+
+
+def build_cluster_tables_instanced(built, host, materials, lights,
+                                   envmap=None, textures=None,
+                                   max_instances=65536
+                                   ) -> Optional[ClusterTables]:
+    """Instanced clustered tables: OBJECT-space prototype blocks shared
+    across instances + an expanded (instance x cluster) world candidate
+    list (VERDICT r4 missing #6 / next #9: "TLAS prototypes -> cluster
+    tables over instances, so instanced big scenes don't re-flatten").
+
+    Geometry memory is O(sum of prototype sizes) — the BLAS-reuse
+    contract of the reference (Sample.cpp:1088-1242) — while the cull
+    metadata (world AABBs + id maps) is O(instances x clusters), tiny by
+    comparison. Per visit the kernels DMA the candidate's instance
+    transform tile alongside its block and re-base the ray into object
+    space with one [16,128]x[16,FL] MXU pass (pt/bounce_clustered.py
+    `_xform_od`); the t parameter is preserved (object direction stays
+    unnormalized), so winner selection across instances needs no
+    rescaling.
+
+    v1 restrictions (returns None; scene rides the XLA TLAS path):
+      * no emissive materials on any pool triangle (per-(instance,tri)
+        light ids cannot ride shared prototype attribute rows; analytic
+        + environment lights are fine)
+      * positive-determinant instance transforms (mirrored instances
+        would flip the object-space facing test)
+      * no alpha/OMM (build_two_level already rejects alpha textures)
+
+    `built` is build_two_level's dict (+ tri_base/inst fields).
+    """
+    tl = built["tlas"]
+    tri_base = np.asarray(built["tri_base"], np.int64)
+    inst_mesh = np.asarray(tl.inst_mesh)           # [I] prototype id
+    inst_pack = np.asarray(tl.inst_pack)           # [I,21] rot|trans|nmat
+    n_inst = len(inst_mesh)
+    n_proto = len(tri_base) - 1
+    if n_inst == 0 or n_inst > max_instances:
+        return None
+    if getattr(materials, "anisotropy", None) is not None and \
+            float(np.max(np.asarray(materials.anisotropy))) > 0.0:
+        return None
+    # no emissive pool triangles (v1): emission on a used material kills
+    # eligibility
+    mats_em = np.asarray(materials.emissive)
+    used = np.unique(np.asarray(built["tri_material"], np.int64))
+    if np.any(np.abs(mats_em[used]) > 0.0):
+        return None
+
+    pos = np.asarray(built["positions"], np.float32)
+    nrm = np.asarray(built["normals"], np.float32)
+    uv = np.asarray(built["uvs"], np.float32)
+    idx = np.asarray(built["indices"], np.int32)
+    mid = np.asarray(built["tri_material"], np.int32)
+
+    # ---- per-prototype object-space bakes --------------------------------
+    proto_tbl = []
+    merged = None
+    block_base = np.zeros(n_proto + 1, np.int64)
+    for p in range(n_proto):
+        t0, t1 = int(tri_base[p]), int(tri_base[p + 1])
+        pidx = idx[t0:t1]
+        perm = morton_permutation(pos, pidx)
+        tbl = build_cluster_tables(
+            pos, nrm, pidx[perm], mid[t0:t1][perm], materials, lights,
+            uvs=uv, envmap=envmap, textures=textures,
+            tri_gidx=(t0 + perm).astype(np.int32))
+        if tbl is None:
+            return None
+        proto_tbl.append(tbl)
+        block_base[p + 1] = block_base[p] + tbl.n_clusters
+        if merged is None:
+            merged = tbl                 # mat/light/env/tex rows shared
+    blocks = jnp.concatenate([t_.blocks for t_ in proto_tbl], axis=0)
+
+    # ---- expanded world candidate list -----------------------------------
+    wc_lo, wc_hi, wc_block, wc_inst = [], [], [], []
+    xf = np.zeros((n_inst, 16, 128), np.float32)
+    inst_post = np.zeros((n_inst, 19), np.float32)
+    for i in range(n_inst):
+        p = int(inst_mesh[i])
+        A = inst_pack[i, 0:9].reshape(3, 3)        # o2w linear
+        t_w = inst_pack[i, 9:12]
+        nmat = inst_pack[i, 12:21].reshape(3, 3)
+        detA = float(np.linalg.det(A))
+        if detA <= 1e-12:
+            return None                            # mirrored/degenerate
+        Ainv = np.linalg.inv(A)
+        t_o = -Ainv @ t_w
+        # world [d, oxd, o, 1] -> object: see ClusterTables.xf
+        M = np.zeros((10, 10), np.float64)
+        M[0:3, 0:3] = Ainv
+        tx = np.array([[0, -t_o[2], t_o[1]],
+                       [t_o[2], 0, -t_o[0]],
+                       [-t_o[1], t_o[0], 0]])
+        M[3:6, 0:3] = tx @ Ainv
+        M[3:6, 3:6] = (1.0 / detA) * A.T           # det(Ainv) * Ainv^-T
+        M[6:9, 6:9] = Ainv
+        M[6:9, 9] = t_o
+        M[9, 9] = 1.0
+        xf[i, 0:10, 0:10] = M.T.astype(np.float32)
+        inst_post[i, 0:9] = A.reshape(-1)
+        inst_post[i, 9:18] = nmat.reshape(-1)
+        # tri_area2 = |n| scales ~ det(A)^(4/3) under A (exact for
+        # uniform scale); LODB = -0.5*log2(area2) shifts by the offset
+        inst_post[i, 18] = np.float32(-(2.0 / 3.0) * np.log2(max(
+            detA, 1e-12)))
+
+        lo_p = np.asarray(proto_tbl[p].aabb_lo)    # [Cp,3] object
+        hi_p = np.asarray(proto_tbl[p].aabb_hi)
+        c = (lo_p + hi_p) * 0.5
+        e = (hi_p - lo_p) * 0.5
+        wc = c @ A.T + t_w
+        we = e @ np.abs(A).T
+        wc_lo.append((wc - we).astype(np.float32))
+        wc_hi.append((wc + we).astype(np.float32))
+        nb = proto_tbl[p].n_clusters
+        wc_block.append(np.arange(nb, dtype=np.int32)
+                        + np.int32(block_base[p]))
+        wc_inst.append(np.full((nb,), i, np.int32))
+    wc_lo = np.concatenate(wc_lo)
+    n_cand = len(wc_lo)
+    if n_cand > 4 * MAX_CLUSTERS:
+        return None
+
+    return merged.replace(
+        blocks=blocks,
+        aabb_lo=jnp.asarray(wc_lo),
+        aabb_hi=jnp.asarray(np.concatenate(wc_hi)),
+        offsets=None,
+        n_clusters=n_cand,
+        n_tris=int(tri_base[-1]),
+        instanced=True,
+        wc_block=jnp.asarray(np.concatenate(wc_block)),
+        wc_inst=jnp.asarray(np.concatenate(wc_inst)),
+        xf=jnp.asarray(xf),
+        inst_post=jnp.asarray(inst_post))

@@ -77,11 +77,22 @@ def _slab_chunk(olo, ohi, dlo, dhi, blo, bhi, tmax_row):
 
 
 def cull_candidates(o, d, active, tmax, aabb_lo, aabb_hi, kslots: int,
-                    chunk: int = 512):
+                    chunk: int = 512, lo=None):
     """Build per-group candidate lists.
 
     o,d: [3,G,R,128]; active [G,R,128] bool; tmax: scalar or [G,R,128];
     aabb_lo/hi [C,3]. Returns (cand [G,1,1+(2+R)*kslots] i32, overflow []).
+
+    `lo` (([G] f32 enter, [G] i32 cluster-id), optional) is a per-group
+    STRICT lower bound in the lexicographic (enter, id) total order:
+    only clusters ordering strictly after it are candidates. The paged-
+    traversal driver (pt/bounce_clustered.py) passes the previous
+    page's last kept slot, so successive pages walk the entry-sorted
+    cluster order without re-selecting the processed prefix. The id
+    tiebreak matters: entry ties are common (every cluster AABB
+    containing the ray origins enters at 0.0) and an enter-only bound
+    would re-select the same k forever (lax.top_k breaks ties by lowest
+    index, consistent with this order), stalling page progress.
 
     cand row layout: [count,
       ids x K            (sorted by group-min entry distance),
@@ -105,7 +116,7 @@ def cull_candidates(o, d, active, tmax, aabb_lo, aabb_hi, kslots: int,
     if jnp.ndim(tmax) == 0:
         tmax_row = jnp.full((G, R), tmax, jnp.float32)
     else:
-        tmax_row = jnp.max(jnp.where(active, tmax, 0.0), axis=-1)
+        tmax_row = jnp.max(jnp.where(active, tmax, -_INF), axis=-1)
     row_any = jnp.any(active, axis=-1)              # [G,R]
     tmax_row = jnp.where(row_any, tmax_row, -_INF)  # empty row: never hits
 
@@ -128,6 +139,12 @@ def cull_candidates(o, d, active, tmax, aabb_lo, aabb_hi, kslots: int,
         enters.append(_slab_chunk(g_olo, g_ohi, g_dlo, g_dhi,
                                   blo[:, c0:c1], bhi[:, c0:c1], g_tmax))
     enter_g = jnp.concatenate(enters, axis=-1)[:, 0]  # [G,C]
+    if lo is not None:
+        lo_e, lo_i = lo
+        cid = jnp.arange(C, dtype=jnp.int32)[None, :]
+        after = (enter_g > lo_e[:, None]) | (
+            (enter_g == lo_e[:, None]) & (cid > lo_i[:, None]))
+        enter_g = jnp.where(after, enter_g, _INF)
     hit_g = enter_g < _INF
 
     k = min(kslots, C)

@@ -367,6 +367,7 @@ def build_two_level(host, min_sharing: float = 1.5) -> Optional[dict]:
     return dict(tlas=tl, positions=positions, normals=normals, uvs=uvs,
                 indices=indices, tri_material=tri_material,
                 tri_subinstance=tri_subinstance,
+                tri_base=tri_base,
                 light_positions=light_positions,
                 light_indices=light_indices,
                 light_materials=light_materials,

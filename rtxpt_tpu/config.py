@@ -72,6 +72,14 @@ class PathTracerConfig:
     # Clustered large-scene path (pt/bounce_clustered.py)
     sort_rays: bool = True           # inter-bounce (cell, octant) ray sort
     cluster_kslots: int = 0          # candidate clusters/group; 0 = default
+    # Candidate-list pages per bounce: when a group's kslots-long
+    # nearest-first list saturates, rays not yet terminated before the
+    # page boundary stream further pages of the (entry-distance-sorted)
+    # cluster order, so capping degrades to MORE WORK instead of DROPPED
+    # GEOMETRY (the DXR traversal never drops; tests/
+    # test_cluster_saturation.py proves parity vs the no-cap oracle).
+    # 0 = default (env RTXPT_TPU_CLUSTER_PAGES, else 2).
+    cluster_pages: int = 0
     # Diffuse/specular radiance split for per-channel denoising
     # (NRD RELAX_DIFFUSE_SPECULAR semantics, NrdConfig.cpp:25-27)
     split_channels: bool = False

@@ -77,9 +77,26 @@ def _prepare_two_level(host: HostScene, built: dict, env_res) -> SceneData:
     if host.textures:
         from rtxpt_tpu.scene.textures import bake_textures
         textures = bake_textures(host.textures)
+
+    # Instanced clustered tier (VERDICT r4 #9): object-space prototype
+    # blocks + expanded world candidate list, so instanced large scenes
+    # reach the hot streamed kernels with O(prototype) geometry memory
+    # instead of demoting to the XLA TLAS walk. Small pools keep the
+    # XLA path (the fused tier's tables are world-space; flattening a
+    # small instanced scene is cheap anyway).
+    cluster_tables = None
+    from rtxpt_tpu.pt.bounce_pallas import PALLAS_MAX_TRIS
+    n_world_tris = sum(
+        len(i.indices) for i in host.instances) if host.instances else 0
+    if n_world_tris > PALLAS_MAX_TRIS:
+        from rtxpt_tpu.accel.cluster import build_cluster_tables_instanced
+        cluster_tables = build_cluster_tables_instanced(
+            built, host, mats, lights, envmap=envmap, textures=textures)
+
     has_prio = bool(np.any(np.asarray(mats.nested_priority) != 0))
     return sd.replace(tlas=tl, envmap=envmap, tri_pack=tri_pack,
                       mat_pack=mat_pack, lights=lights, textures=textures,
+                      cluster_tables=cluster_tables,
                       has_nested_priorities=has_prio)
 
 
@@ -200,17 +217,22 @@ def prepare(host: HostScene, env_res="auto",
                       if tri_opacity is not None else None),
         tri_cover=(np.asarray(tri_cover)
                    if tri_opacity is not None else None))
-    if bounce_tables is None and len(idx) > PALLAS_MAX_TRIS \
-            and tri_opacity is None:
+    if bounce_tables is None and len(idx) > PALLAS_MAX_TRIS:
         # Large-scene tier: clustered streamed kernel
         # (accel/cluster.py + pt/bounce_clustered.py). Alpha/OMM scenes
-        # are fused-tier-only for now (dispatch falls back to XLA).
+        # bake micromap quantity lanes into the blocks so foliage-class
+        # geometry stays on the hot tier (OMM-in-traversal,
+        # OmmBuildQueue.h:31-142 role).
         from rtxpt_tpu.accel.cluster import build_cluster_tables
         cluster_tables = build_cluster_tables(
             pos, np.asarray(sd.geometry.normals), idx,
             np.asarray(sd.geometry.tri_material), sd.materials, lights,
             uvs=np.asarray(sd.geometry.uvs), envmap=envmap,
-            textures=textures)
+            textures=textures,
+            tri_micromap=(np.asarray(tri_micromap)
+                          if tri_opacity is not None else None),
+            tri_cover=(np.asarray(tri_cover)
+                       if tri_opacity is not None else None))
     has_prio = bool(np.any(np.asarray(sd.materials.nested_priority) != 0))
     return sd.replace(lights=lights, textures=textures,
                       bounce_tables=bounce_tables,

@@ -47,6 +47,7 @@ from rtxpt_tpu.accel.cluster import CT
 from rtxpt_tpu.accel.cull import cull_candidates
 from rtxpt_tpu.pt import bounce_pallas as bp
 from rtxpt_tpu.pt import wide as W
+from rtxpt_tpu.utils import rng
 from rtxpt_tpu.pt.bounce_pallas import (
     _BIG, _R, FS_D, FS_L, FS_O, FS_PREVPDF, FS_THP, IS_ACTIVE, IS_MED0,
     IS_MED1, IS_PREVDELTA, IS_PX, IS_PY, NF, NI, _cfg_key, _interpret,
@@ -84,7 +85,8 @@ SH_DIST = 6
 SH_CONTRIB = 7    # 7:10
 SH_DO = 10
 SH_CDIFF = 11     # 11:14 diffuse-channel part of contrib (split mode)
-SH_ROWS = 14
+SH_UA = 14        # stochastic-alpha uniform (OMM unknown-cell shadows)
+SH_ROWS = 15
 
 # ---- flat all-rows tier (round 4) -----------------------------------------
 # The per-row kernel uses only K=32 of the MXU's 128 contraction rows and
@@ -115,13 +117,19 @@ HA_V = 2
 HA_FRONT = 3      # winner det (refit-exact); >0 = front face
 HA_PRIM = 4       # global triangle index (-1 = miss)
 HA_ATTR = 5       # + bp.AT_ROWS logical attribute rows (bp.AT_* order)
-HA_ROWS = HA_ATTR + bp.AT_ROWS
+HA_UNK = HA_ATTR + bp.AT_ROWS   # winner micro-cell is UNKNOWN (OMM)
+HA_INST = HA_UNK + 1            # winner instance id (instanced; -1 miss)
+HA_ROWS = HA_INST + 1
 
 # A1 best-winner scratch rows [_BF_ROWS, FL]
 _BF_T = 0
 _BF_ATTR = 1                      # 1 .. 1+CL.AT_ROWS
 _BF_CEN = 1 + CL.AT_ROWS          # 3 rows: cluster center
-_BF_ROWS = _round_up(1 + CL.AT_ROWS + 3, 8)
+_BF_UNK = _BF_CEN + 3             # winner micro-cell UNKNOWN flag (OMM)
+_BF_OD = _BF_UNK + 1              # 3 rows: winner OBJECT-space d (inst)
+_BF_OO = _BF_OD + 3               # 3 rows: winner object-space o
+_BF_IID = _BF_OO + 3              # winner instance id (f32-exact i32)
+_BF_ROWS = _round_up(_BF_IID + 1, 8)
 
 
 def _lane_tile(x, reps):
@@ -165,13 +173,78 @@ def _flat_center(cur):
     return cx, cy, cz
 
 
-def _kernel_a1(cand_ref, od_ref, blocks_hbm, ha_out,
-               buf0, buf1, best_ref, flag_ref, sem0, sem1,
-               *, kslots, max_travel, noprune):
+def _xform_od(od, xf):
+    """World -> object ray-operand rows for one instanced visit.
+
+    `xf` [16,128] is the candidate instance's transform tile
+    (accel/cluster.py ClusterTables.xf: X[i,j] = M10[j,i]); one
+    [16,128]x[16,FL] MXU pass maps the world [d, oxd, o, 1] rows to the
+    instance's object frame. HIGHEST precision is load-bearing: the
+    operands are GLOBAL world coordinates (the cluster-local shift
+    happens after, in _flat_cols), so a bf16-pass product would inject
+    O(2^-8 * scene extent) error ahead of the split-bf16 machinery whose
+    whole design keeps error at O(2^-17 * cluster extent). The t
+    parameter is preserved because the object direction stays
+    unnormalized (x_o(t) = A^-1(o + t d) + t_o = o_o + t d_o).
+    Returns [10, FL] (rows 0:9 = object d|oxd|o, row 9 ~= 1)."""
+    f32 = jnp.float32
+    base = jnp.concatenate(
+        [od[0:9], jnp.ones((1, _FL), f32), jnp.zeros((6, _FL), f32)],
+        axis=0)                                      # [16, FL]
+    prod = jax.lax.dot_general(
+        xf, base, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=f32)                  # [128, FL]
+    return prod[0:10]
+
+
+# Micro-cell edge guard band (cell units): the split-bf16 (u,v) carry
+# ~MARGIN-scale error, so a decisive TRANSPARENT verdict within this
+# band of a cell boundary could flip vs the exact state — with a huge
+# per-path consequence (a light path killed or a solid surface passed).
+# Near-edge candidates are never decisively rejected; they resolve as
+# UNKNOWN (shade-time texture test / stochastic shadow coverage).
+_EDGE4 = 4.0 * 4.0 * MARGIN
+
+
+def _micro_state_guarded(wlo, whi, u, v):
+    """(state, near_edge) at bf16-precision barycentrics."""
+    uu = u * 4.0
+    vv = v * 4.0
+    a = jnp.minimum(jnp.floor(uu), 3.0)
+    b = jnp.minimum(jnp.floor(vv), 3.0)
+    du = uu - a
+    dv = vv - b
+    near = ((du < _EDGE4) | (du > 1.0 - _EDGE4)
+            | (dv < _EDGE4) | (dv > 1.0 - _EDGE4)
+            | (jnp.abs(du + dv - 1.0) < _EDGE4))
+    return bp._micro_state(wlo, whi, u, v), near
+
+
+def _kernel_a1(*refs, kslots, max_travel, noprune, omm=False,
+               instanced=False):
     """Flat closest-hit kernel: candidate loop + split-bf16 selection over
     all R*128 lanes at once, exact f32 refit of the winner, logical
-    attribute rows out. No shading (kernel A2)."""
+    attribute rows out. No shading (kernel A2). With omm blocks,
+    micro-TRANSPARENT candidates are rejected during selection and the
+    winner's UNKNOWN state is exported (HA_UNK) for the shade-time
+    texture alpha test (bounce_pallas surface_and_shade pass-through).
+    With instanced tables, each visit DMAs the candidate's instance
+    transform tile alongside its block, re-bases the ray into the
+    prototype's object frame (_xform_od) and the refit runs on the
+    winner's saved object ray; the winner instance id is exported
+    (HA_INST) for the XLA attribute post-transform."""
+    if instanced:
+        (cand_ref, od_ref, blocks_hbm, xf_hbm, ha_out,
+         buf0, buf1, bufx0, bufx1, best_ref, flag_ref,
+         sem0, sem1, semx0, semx1) = refs
+        xfs = (xf_hbm, bufx0, bufx1, semx0, semx1)
+    else:
+        (cand_ref, od_ref, blocks_hbm, ha_out,
+         buf0, buf1, best_ref, flag_ref, sem0, sem1) = refs
+        xfs = None
     f32 = jnp.float32
+    slots = CL.OMM_SLOTS if omm else 4
     od = od_ref[0]                                   # [OD_ROWS, FL]
     act = od[OD_ACT:OD_ACT + 1] > 0.5                # [1,FL]
 
@@ -191,11 +264,16 @@ def _kernel_a1(cand_ref, od_ref, blocks_hbm, ha_out,
                              + jnp.minimum(i, kslots - 1)]
         return t_en_bits <= _bound_bits()
 
-    def visit(i, cur):
-        amat = _attr_mat(cur)                        # [AT_ROWS, CT]
+    def visit(i, cur, curx=None):
+        amat = _attr_mat(cur, slots)                 # [AT_ROWS, CT]
         cx, cy, cz = _flat_center(cur)
-        cols = _flat_cols(od, cx, cy, cz)            # [32, FL]
-        det, un, vn, tn = _quantities(cur, cols)     # [CT, FL] each
+        if instanced:
+            od_v = _xform_od(od, curx)               # object-frame rows
+        else:
+            od_v = od
+        cols = _flat_cols(od_v, cx, cy, cz)          # [32, FL]
+        q = _quantities(cur, cols, omm=omm)          # [CT, FL] each
+        det, un, vn, tn = q[0], q[1], q[2], q[3]
         s = jnp.where(det >= 0.0, 1.0, -1.0)
         absd = det * s
         su = un * s
@@ -206,8 +284,16 @@ def _kernel_a1(cand_ref, od_ref, blocks_hbm, ha_out,
                  & (su + sv <= absd + mm + mm)
                  & (st > 0.0) & (st < max_travel * absd))
         strict = (su >= 0.0) & (sv >= 0.0) & (su + sv <= absd)
-        tt = st / jnp.maximum(absd, 1e-30)
+        inv_d = 1.0 / jnp.maximum(absd, 1e-30)
+        tt = st * inv_d
         tt = tt * jnp.where(strict, 1.0, 1.0 + _TIE_BUMP)
+        if omm:
+            state, near = _micro_state_guarded(
+                q[4], q[5],
+                jnp.clip(su * inv_d, 0.0, 1.0),
+                jnp.clip(sv * inv_d, 0.0, 1.0))
+            valid = valid & ((state != bp.MICRO_TRANSPARENT) | near)
+            unk_c = ((state == bp.MICRO_UNKNOWN) | near).astype(f32)
         t_m = jnp.where(valid, tt, _BIG)
         t_c = jnp.min(t_m, axis=0, keepdims=True)    # [1,FL]
         b = best_ref[:]
@@ -232,13 +318,22 @@ def _kernel_a1(cand_ref, od_ref, blocks_hbm, ha_out,
             preferred_element_type=f32)              # [3*AT_ROWS, FL]
         na = CL.AT_ROWS
         attr_c = (attr3[0:na] + attr3[na:2 * na]) + attr3[2 * na:3 * na]
+        unk_w = (jnp.sum(sel * unk_c, axis=0, keepdims=True) if omm
+                 else jnp.zeros((1, _FL), f32))
+        parts = [t_c, attr_c, cx, cy, cz, unk_w]
+        if instanced:
+            # the refit must run on the WINNER's object ray + id
+            iid = cand_ref[0, 0, _cand_inst_base(kslots)
+                           + jnp.minimum(i, kslots - 1)]
+            parts += [od_v[OD_D:OD_D + 3], od_v[OD_O:OD_O + 3],
+                      jnp.full((1, _FL), iid.astype(f32))]
+        used = 5 + CL.AT_ROWS + (7 if instanced else 0)
         new = jnp.concatenate(
-            [t_c, attr_c, cx, cy, cz,
-             jnp.zeros((_BF_ROWS - 4 - CL.AT_ROWS, _FL), f32)], axis=0)
+            parts + [jnp.zeros((_BF_ROWS - used, _FL), f32)], axis=0)
         best_ref[:] = jnp.where(improved, new, b)
 
     _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
-                    kslots, visit, flag_ref, alive)
+                    kslots, visit, flag_ref, alive, xf=xfs)
 
     # ----- exact f32 refit of the winner (all lanes at once) -----
     b = best_ref[:]
@@ -253,10 +348,16 @@ def _kernel_a1(cand_ref, od_ref, blocks_hbm, ha_out,
     e1 = row3(a0 + CL.AT_E1)
     e2 = row3(a0 + CL.AT_E2)
     cen = row3(_BF_CEN)
-    ocl = jnp.stack([od[OD_O:OD_O + 1], od[OD_O + 1:OD_O + 2],
-                     od[OD_O + 2:OD_O + 3]], axis=0) - cen
-    dr = jnp.stack([od[OD_D:OD_D + 1], od[OD_D + 1:OD_D + 2],
-                    od[OD_D + 2:OD_D + 3]], axis=0)
+    if instanced:
+        # v0/e1/e2 are prototype-object-space: refit on the winner's
+        # saved object ray (t stays the world parameter — see _xform_od)
+        ocl = row3(_BF_OO) - cen
+        dr = row3(_BF_OD)
+    else:
+        ocl = jnp.stack([od[OD_O:OD_O + 1], od[OD_O + 1:OD_O + 2],
+                         od[OD_O + 2:OD_O + 3]], axis=0) - cen
+        dr = jnp.stack([od[OD_D:OD_D + 1], od[OD_D + 1:OD_D + 2],
+                        od[OD_D + 2:OD_D + 3]], axis=0)
     pvec = W.cross3(dr, e2)
     detx = W.dot3(e1, pvec)
     ok = jnp.abs(detx) > 1e-30
@@ -280,18 +381,45 @@ def _kernel_a1(cand_ref, od_ref, blocks_hbm, ha_out,
     attr_rows = [jnp.zeros((1, _FL), f32)] * bp.AT_ROWS
     for bp_i, cl_i in _ATTR_ROW_MAP.items():
         attr_rows[bp_i] = b[a0 + cl_i:a0 + cl_i + 1]
+    unk_row = jnp.where(hitr, b[_BF_UNK:_BF_UNK + 1], 0.0)
+    inst_row = (jnp.where(hitr, b[_BF_IID:_BF_IID + 1], -1.0)
+                if instanced else jnp.full((1, _FL), -1.0, f32))
     ha_out[0] = jnp.concatenate(
         [jnp.where(hitr, tx, _BIG), u, v,
          jnp.where(hitr, detx, -1.0),
-         jnp.where(hitr, gidx, -1.0)] + attr_rows, axis=0)
+         jnp.where(hitr, gidx, -1.0)] + attr_rows
+        + [unk_row, inst_row], axis=0)
 
 
 def _kernel_b1(cand_ref, sh_ref, blocks_hbm, occ_out,
-               buf0, buf1, flag_ref, sem0, sem1, *, kslots):
-    """Flat any-hit over the shadow rays' candidate lists."""
+               buf0, buf1, flag_ref, sem0, sem1, *, kslots, omm=False):
+    """Flat any-hit over the shadow rays' candidate lists. With omm,
+    micro-TRANSPARENT candidates never occlude and UNKNOWN cells occlude
+    STOCHASTICALLY against the baked coverage (SH_UA per-ray uniform —
+    same resolve as the fused tier's _occluded_group)."""
+    _kernel_b1_body(cand_ref, sh_ref, blocks_hbm, occ_out,
+                    buf0, buf1, flag_ref, sem0, sem1,
+                    kslots=kslots, omm=omm, xfs=None)
+
+
+def _kernel_b1_inst(cand_ref, sh_ref, blocks_hbm, xf_hbm, occ_out,
+                    buf0, buf1, bufx0, bufx1, flag_ref,
+                    sem0, sem1, semx0, semx1, *, kslots, omm=False):
+    """Instanced variant of _kernel_b1: per-visit instance-transform DMA
+    + object-frame ray re-basing (_xform_od)."""
+    _kernel_b1_body(cand_ref, sh_ref, blocks_hbm, occ_out,
+                    buf0, buf1, flag_ref, sem0, sem1,
+                    kslots=kslots, omm=omm,
+                    xfs=(xf_hbm, bufx0, bufx1, semx0, semx1))
+
+
+def _kernel_b1_body(cand_ref, sh_ref, blocks_hbm, occ_out,
+                    buf0, buf1, flag_ref, sem0, sem1, *, kslots, omm,
+                    xfs):
     sh = sh_ref[0]                                   # [SH_ROWS, FL]
     dist = sh[SH_DIST:SH_DIST + 1] * (1.0 - SHADOW_T_EPS)
     occ_out[0] = jnp.where(sh[SH_DO:SH_DO + 1] > 0.5, 0.0, 1.0)
+    ua = sh[SH_UA:SH_UA + 1]
     oxd = W.cross3(sh[SH_O:SH_O + 3], sh[SH_D:SH_D + 3])
     od = jnp.concatenate([
         sh[SH_D:SH_D + 3], oxd, sh[SH_O:SH_O + 3],
@@ -300,10 +428,12 @@ def _kernel_b1(cand_ref, sh_ref, blocks_hbm, occ_out,
     def alive(i):
         return jnp.max(1.0 - occ_out[0]) > 0.5
 
-    def visit(i, cur):
+    def visit(i, cur, curx=None):
         cx, cy, cz = _flat_center(cur)
-        cols = _flat_cols(od, cx, cy, cz)
-        det, un, vn, tn = _quantities(cur, cols)
+        od_v = _xform_od(od, curx) if xfs is not None else od
+        cols = _flat_cols(od_v, cx, cy, cz)
+        q = _quantities(cur, cols, omm=omm)
+        det, un, vn, tn = q[0], q[1], q[2], q[3]
         s = jnp.where(det >= 0.0, 1.0, -1.0)
         absd = det * s
         su = un * s
@@ -312,15 +442,26 @@ def _kernel_b1(cand_ref, sh_ref, blocks_hbm, occ_out,
         valid = ((absd > 1e-30) & (su >= 0.0) & (sv >= 0.0)
                  & (su + sv <= absd)
                  & (st > 0.0) & (st < dist * absd))
+        if omm:
+            inv_d = 1.0 / jnp.maximum(absd, 1e-30)
+            state, near = _micro_state_guarded(
+                q[4], q[5],
+                jnp.clip(su * inv_d, 0.0, 1.0),
+                jnp.clip(sv * inv_d, 0.0, 1.0))
+            cov = q[6]
+            unkb = (state == bp.MICRO_UNKNOWN) | near
+            valid = valid & ((state != bp.MICRO_TRANSPARENT) | near) \
+                & (~unkb | (ua < cov))
         occ_v = jnp.max(valid.astype(jnp.float32), axis=0, keepdims=True)
         occ_out[0] = jnp.maximum(occ_out[0], occ_v)
 
     _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
-                    kslots, visit, flag_ref, alive)
+                    kslots, visit, flag_ref, alive, xf=xfs)
 
 
 def _kernel_a2(*refs, cfg_key, n_lights, tr, first_emissive,
-               has_env, has_tex, tex_maps, final_env=False):
+               has_env, has_tex, tex_maps, final_env=False,
+               prio=False, maxb=None, omm=False):
     """Shading kernel over A1's reshaped hit/attribute tiles: the
     surface_and_shade body on [R,128] VPU tiles (exactly the per-row
     kernel's post-loop half, with the intersection results provided)."""
@@ -416,7 +557,8 @@ def _kernel_a2(*refs, cfg_key, n_lights, tr, first_emissive,
         ld=(fs2[0:3] if split_ch_k else None),
         ls=(fs2[3:6] if split_ch_k else None),
         fspec=(fs2[6] if split_ch_k else None),
-        lbounce=is_[bp.IS_LBOUNCE])
+        lbounce=is_[bp.IS_LBOUNCE], maxb=maxb, prio=prio,
+        omm_unknown=(ha[HA_UNK] if omm else None))
 
     fs_out[:] = jnp.concatenate(
         [s["o_new"], s["wi_world"], s["thp"], s["L"], s["prev_pdf"][None],
@@ -426,9 +568,11 @@ def _kernel_a2(*refs, cfg_key, n_lights, tr, first_emissive,
         [s["active"].astype(jnp.int32), s["prev_delta"].astype(jnp.int32),
          s["med0"], s["med1"], is_[IS_PX], is_[IS_PY],
          is_[bp.IS_BUDGET], s["lbounce"]], axis=0)
+    ua_row = (s["u_alpha"][None] if omm and s.get("u_alpha") is not None
+              else jnp.zeros((1, _R, 128), f32))
     sh_out[:] = jnp.concatenate(
         [s["shadow_o"], s["shadow_d"], s["sdist"][None], s["contrib"],
-         s["do_nee"].astype(f32)[None], s["cdiff"]], axis=0)
+         s["do_nee"].astype(f32)[None], s["cdiff"], ua_row], axis=0)
     # flag row: ext-NEE consumes shaded/lb0 (1 = lb==0, 2 = lb>0);
     # the in-kernel NEE path reads do_nee
     if ext_nee:
@@ -475,13 +619,79 @@ def default_kslots() -> int:
     return int(os.environ.get("RTXPT_TPU_CLUSTER_KSLOTS", "64"))
 
 
+# ----- sort-carry packing (wavefront sort operand diet) -----
+# The XLA sort's cost scales with its operand count (every payload row
+# rides the full sorting network), so the per-lane int state packs into
+# two u32 words around the sort. Field widths: active 1 | prevdelta 1 |
+# lbounce 6 | med0+1 8 | med1+1 8 (w0); px 12 | py 12 | budget 8 (w1).
+# px/py cap at 4095 (<= 4K frames); budget saturates at 254 with the
+# _NO_BUDGET sentinel mapping to 255 (bounce budgets are <= max_bounces
+# in practice).
+_U32 = jnp.uint32
+
+
+def _pack_is2(flat_is):
+    u = flat_is.astype(jnp.int32).astype(_U32)
+    w0 = ((u[IS_ACTIVE] & 1) | ((u[IS_PREVDELTA] & 1) << 1)
+          | ((u[bp.IS_LBOUNCE] & 63) << 2)
+          | (((flat_is[IS_MED0] + 1).astype(_U32) & 255) << 8)
+          | (((flat_is[IS_MED1] + 1).astype(_U32) & 255) << 16))
+    bud = jnp.minimum(flat_is[bp.IS_BUDGET], 255).astype(_U32)
+    w1 = (u[IS_PX] & 4095) | ((u[IS_PY] & 4095) << 12) | (bud << 24)
+    return w0, w1
+
+
+def _unpack_is2(w0, w1):
+    i32 = jnp.int32
+    bud = (w1 >> 24).astype(i32)
+    return jnp.stack([
+        (w0 & 1).astype(i32),
+        ((w0 >> 1) & 1).astype(i32),
+        ((w0 >> 8) & 255).astype(i32) - 1,
+        ((w0 >> 16) & 255).astype(i32) - 1,
+        (w1 & 4095).astype(i32),
+        ((w1 >> 12) & 4095).astype(i32),
+        jnp.where(bud >= 255, jnp.int32(bp._NO_BUDGET), bud),
+        ((w0 >> 2) & 63).astype(i32),
+    ])
+
+
+def _pack_bf16_pair(a, b):
+    """Two f32 rows -> one u32 row (bf16 halves; ~2^-8 relative)."""
+    ah = jax.lax.bitcast_convert_type(
+        a.astype(jnp.bfloat16), jnp.uint16).astype(_U32)
+    bh = jax.lax.bitcast_convert_type(
+        b.astype(jnp.bfloat16), jnp.uint16).astype(_U32)
+    return ah | (bh << 16)
+
+
+def _unpack_bf16_pair(w):
+    a = jax.lax.bitcast_convert_type(
+        (w & 0xFFFF).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+    b = jax.lax.bitcast_convert_type(
+        (w >> 16).astype(jnp.uint16), jnp.bfloat16).astype(jnp.float32)
+    return a, b
+
+
 def _dma(cand_ref, blocks_hbm, slot, buf, sem, kslots):
     c = cand_ref[0, 0, 1 + jnp.minimum(slot, kslots - 1)]
     return pltpu.make_async_copy(blocks_hbm.at[c], buf, sem)
 
 
+def _cand_inst_base(kslots):
+    """Start of the appended per-slot instance-id section of a cand row
+    (instanced tier; trace_paths_clustered appends it after te_row)."""
+    return 1 + (2 + _R) * kslots
+
+
+def _dma_xf(cand_ref, xf_hbm, slot, buf, sem, kslots):
+    iid = cand_ref[0, 0, _cand_inst_base(kslots)
+                   + jnp.minimum(slot, kslots - 1)]
+    return pltpu.make_async_copy(xf_hbm.at[iid], buf, sem)
+
+
 def _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
-                    kslots, visit, flag_ref, alive=None):
+                    kslots, visit, flag_ref, alive=None, xf=None):
     """Double-buffered nearest-first candidate loop; `visit(i, cur)` runs
     with the cluster block VALUE in VMEM for every slot whose DMA was
     started.
@@ -496,6 +706,13 @@ def _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
     count = cand_ref[0, 0, 0]
     if alive is None:
         alive = lambda i: True
+    if xf is not None:
+        xf_hbm, bufx0, bufx1, semx0, semx1 = xf
+
+    def start(slot, buf, sem, bufx, semx):
+        _dma(cand_ref, blocks_hbm, slot, buf, sem, kslots).start()
+        if xf is not None:
+            _dma_xf(cand_ref, xf_hbm, slot, bufx, semx, kslots).start()
 
     a0 = (count > 0) & alive(0)
     flag_ref[0, 0] = a0.astype(jnp.int32)
@@ -503,38 +720,52 @@ def _candidate_loop(cand_ref, blocks_hbm, buf0, buf1, sem0, sem1,
 
     @pl.when(a0)
     def _():
-        _dma(cand_ref, blocks_hbm, 0, buf0, sem0, kslots).start()
+        start(0, buf0, sem0, bufx0 if xf is not None else None,
+              semx0 if xf is not None else None)
 
-    def step(i, cur, curs, nxt, nxts):
+    def step(i, cur, curs, nxt, nxts, curx, curxs, nxtx, nxtxs):
         started = flag_ref[0, jax.lax.rem(i, 2)] > 0
 
         @pl.when(started)
         def _():
             _dma(cand_ref, blocks_hbm, i, cur, curs, kslots).wait()
-            visit(i, cur[:])
+            if xf is None:
+                visit(i, cur[:])
+            else:
+                _dma_xf(cand_ref, xf_hbm, i, curx, curxs, kslots).wait()
+                visit(i, cur[:], curx[:])
 
         nxt_alive = started & (i + 1 < count) & alive(i + 1)
         flag_ref[0, jax.lax.rem(i + 1, 2)] = nxt_alive.astype(jnp.int32)
 
         @pl.when(nxt_alive)
         def _():
-            _dma(cand_ref, blocks_hbm, i + 1, nxt, nxts, kslots).start()
+            start(i + 1, nxt, nxts, nxtx, nxtxs)
+
+    none4 = (None, None, None, None)
 
     def body(i, carry):
         jax.lax.cond(
             i % 2 == 0,
-            lambda: step(i, buf0, sem0, buf1, sem1),
-            lambda: step(i, buf1, sem1, buf0, sem0))
+            lambda: step(i, buf0, sem0, buf1, sem1,
+                         *((bufx0, semx0, bufx1, semx1)
+                           if xf is not None else none4)),
+            lambda: step(i, buf1, sem1, buf0, sem0,
+                         *((bufx1, semx1, bufx0, semx0)
+                           if xf is not None else none4)))
         return carry
 
     jax.lax.fori_loop(0, kslots, body, 0)
 
 
-def _attr_mat(cur):
-    """Unpack the logical attribute rows [AT_ROWS, CT] from a block."""
+def _attr_mat(cur, slots=4):
+    """Unpack the logical attribute rows [AT_ROWS, CT] from a block.
+    `slots` = quantity lanes per physical row (OMM_SLOTS for OMM
+    blocks)."""
     ab = CL.ATTR_BASE
     return jnp.concatenate([
-        cur[ab + j // 4:ab + 1 + j // 4, (j % 4) * CT:(j % 4 + 1) * CT]
+        cur[ab + j // slots:ab + 1 + j // slots,
+            (j % slots) * CT:(j % slots + 1) * CT]
         for j in range(CL.AT_ROWS)], axis=0)
 
 
@@ -567,20 +798,28 @@ def _row_cols(o, d, r, cx, cy, cz):
         [r_hi, r_lo, r_hi, jnp.zeros((2, 128), f32)], axis=0)
 
 
-def _quantities(cur, cols):
+def _quantities(cur, cols, omm=False):
     """Split-bf16 intersection quantities for one (row, cluster) visit:
     one K=32 MXU pass computes c_hi*r_hi + c_hi*r_lo + c_lo*r_hi in f32
     accumulation (~2^-17 relative error — bf16 speed, f32-class quality).
-    Returns det,u_num,v_num,t_num as [CT,128] (tris x rays)."""
+    Returns det,u_num,v_num,t_num as [CT,128] (tris x rays); with omm
+    blocks, also mm_lo, mm_hi (EXACT 16-bit ints: the split residual of
+    a 16-bit int is itself bf16-exact) and cov — see accel/cluster.py
+    OMM_SLOTS."""
+    lanes = cur.shape[-1]
     chi = cur[0:10, :]
     clo = cur[10:20, :]
     cstack = jnp.concatenate(
-        [chi, chi, clo, jnp.zeros((2, CL.LANES), jnp.float32)], axis=0)
+        [chi, chi, clo, jnp.zeros((2, lanes), jnp.float32)], axis=0)
     prod = jax.lax.dot_general(
         cstack, cols, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)          # DEFAULT precision
-    return (prod[0:CT], prod[CT:2 * CT], prod[2 * CT:3 * CT],
-            prod[3 * CT:4 * CT])
+    out = (prod[0:CT], prod[CT:2 * CT], prod[2 * CT:3 * CT],
+           prod[3 * CT:4 * CT])
+    if omm:
+        out = out + (prod[4 * CT:5 * CT], prod[5 * CT:6 * CT],
+                     prod[6 * CT:7 * CT])
+    return out
 
 
 def _kernel_a(*refs,
@@ -831,7 +1070,8 @@ def _kernel_a(*refs,
          is_[bp.IS_BUDGET], s["lbounce"]], axis=0)
     sh_out[:] = jnp.concatenate(
         [s["shadow_o"], s["shadow_d"], s["sdist"][None], s["contrib"],
-         s["do_nee"].astype(f32)[None], s["cdiff"]], axis=0)
+         s["do_nee"].astype(f32)[None], s["cdiff"],
+         jnp.zeros((1, _R, 128), f32)], axis=0)
     hit_out[:] = jnp.stack(
         [jnp.where(hit, t, 0.0), prim_f, bu, bv,
          front.astype(f32), s["do_nee"].astype(f32)], axis=0)
@@ -907,76 +1147,113 @@ def _kernel_b(cand_ref, sh_ref, blocks_hbm, occ_out,
 
 @functools.partial(
     jax.jit, static_argnames=("kslots", "max_travel", "noprune",
-                              "interpret"))
+                              "interpret", "omm"))
 def _kernel_a1_call(cand, od, blocks, kslots, max_travel, noprune=False,
-                    interpret=False):
-    """od: [G, OD_ROWS, FL] flat ray operand -> ha [G, HA_ROWS, FL]."""
+                    interpret=False, omm=False, xf=None):
+    """od: [G, OD_ROWS, FL] flat ray operand -> ha [G, HA_ROWS, FL].
+    `xf` ([I,16,128], optional) switches on the instanced variant: the
+    cand rows then carry block ids + an appended instance-id section and
+    each visit re-bases the ray into the candidate's object frame."""
     grid = od.shape[0]
+    lanes = blocks.shape[2]
+    instanced = xf is not None
     kern = functools.partial(_kernel_a1, kslots=kslots,
-                             max_travel=max_travel, noprune=noprune)
+                             max_travel=max_travel, noprune=noprune,
+                             omm=omm, instanced=instanced)
+    in_specs = [
+        pl.BlockSpec((1, 1, cand.shape[2]), lambda b: (b, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, OD_ROWS, _FL), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [cand, od, blocks]
+    scratch = [
+        pltpu.VMEM((CL.BLK_ROWS, lanes), jnp.float32),
+        pltpu.VMEM((CL.BLK_ROWS, lanes), jnp.float32),
+    ]
+    if instanced:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        inputs.append(xf)
+        scratch += [pltpu.VMEM((16, 128), jnp.float32),
+                    pltpu.VMEM((16, 128), jnp.float32)]
+    scratch += [
+        pltpu.VMEM((_BF_ROWS, _FL), jnp.float32),
+        pltpu.SMEM((1, 2), jnp.int32),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    if instanced:
+        scratch += [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
     return pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((1, 1, cand.shape[2]), lambda b: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, OD_ROWS, _FL), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, HA_ROWS, _FL), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((grid, HA_ROWS, _FL), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
-            pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
-            pltpu.VMEM((_BF_ROWS, _FL), jnp.float32),
-            pltpu.SMEM((1, 2), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(cand, od, blocks)
+    )(*inputs)
 
 
-@functools.partial(jax.jit, static_argnames=("kslots", "interpret"))
-def _kernel_b1_call(cand, sh, blocks, kslots, interpret=False):
+@functools.partial(jax.jit, static_argnames=("kslots", "interpret",
+                                              "omm"))
+def _kernel_b1_call(cand, sh, blocks, kslots, interpret=False, omm=False,
+                    xf=None):
     """sh: [G, SH_ROWS, FL] flat shadow rows -> occ [G, 1, FL]."""
     grid = sh.shape[0]
-    kern = functools.partial(_kernel_b1, kslots=kslots)
+    lanes = blocks.shape[2]
+    instanced = xf is not None
+    kern = functools.partial(
+        _kernel_b1_inst if instanced else _kernel_b1,
+        kslots=kslots, omm=omm)
+    in_specs = [
+        pl.BlockSpec((1, 1, cand.shape[2]), lambda b: (b, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, SH_ROWS, _FL), lambda b: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    inputs = [cand, sh, blocks]
+    scratch = [
+        pltpu.VMEM((CL.BLK_ROWS, lanes), jnp.float32),
+        pltpu.VMEM((CL.BLK_ROWS, lanes), jnp.float32),
+    ]
+    if instanced:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        inputs.append(xf)
+        scratch += [pltpu.VMEM((16, 128), jnp.float32),
+                    pltpu.VMEM((16, 128), jnp.float32)]
+    scratch += [
+        pltpu.SMEM((1, 2), jnp.int32),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA,
+    ]
+    if instanced:
+        scratch += [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
     return pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((1, 1, cand.shape[2]), lambda b: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, SH_ROWS, _FL), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, _FL), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((grid, 1, _FL), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
-            pltpu.VMEM((CL.BLK_ROWS, CL.LANES), jnp.float32),
-            pltpu.SMEM((1, 2), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(cand, sh, blocks)
+    )(*inputs)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg_key", "n_lights", "tr", "first_emissive",
-                     "tex_maps", "final_env", "interpret"))
+                     "tex_maps", "final_env", "interpret", "prio",
+                     "maxb", "omm"))
 def _kernel_a2_call(scal, ha, fs, is_, mat_rows, light_rows, env_rows,
                     tex_ct, tex_meta,
                     cfg_key, n_lights, tr, first_emissive,
                     tex_maps=(1, 0, 0, 0), final_env=False, interpret=False,
-                    fs2=None):
+                    fs2=None, prio=False, maxb=None, omm=False):
     """ha: [HA_ROWS, nrows, 128] (A1 output reshaped to tiles)."""
     nrows = fs.shape[1]
     grid = nrows // _R
@@ -987,7 +1264,8 @@ def _kernel_a2_call(scal, ha, fs, is_, mat_rows, light_rows, env_rows,
     kern = functools.partial(
         _kernel_a2, cfg_key=cfg_key, n_lights=n_lights, tr=tr,
         first_emissive=first_emissive, has_env=has_env, has_tex=has_tex,
-        tex_maps=tex_maps, final_env=final_env)
+        tex_maps=tex_maps, final_env=final_env, prio=prio, maxb=maxb,
+        omm=omm)
     const2 = lambda b: (0, 0)
     in_specs = [
         pl.BlockSpec((1, 2), const2, memory_space=pltpu.SMEM),
@@ -1178,6 +1456,12 @@ def _kernel_b_call(cand, sh, blocks, kslots, interpret=False):
 # Driver
 # ---------------------------------------------------------------------------
 
+# Scanned bounce chain (read ONCE at import): bounces 1..N-1 ride one
+# lax.scan so the per-bounce program compiles once. RTXPT_TPU_CLUSTER_SCAN=0
+# falls back to the unrolled chain — for toolchains where the scanned
+# program wedges the remote compiler (docs/PERF_NOTES.md round 5a).
+_SCAN = os.environ.get("RTXPT_TPU_CLUSTER_SCAN", "1") != "0"
+
 # Flat all-rows tier default (read ONCE at import; RTXPT_TPU_CLUSTER_FLAT=0
 # falls back to the round-3 per-row kernels for A/B comparison).
 _FLAT = os.environ.get("RTXPT_TPU_CLUSTER_FLAT", "1") != "0"
@@ -1192,6 +1476,23 @@ def _to_flat_groups(rows2d, n_groups):
 def _from_flat_groups(flat, k, nrows):
     """[G, K, FL] -> [K, nrows, 128]."""
     return flat.swapaxes(0, 1).reshape(k, nrows, 128)
+
+
+def _page_boundary(cand, kslots):
+    """Per-group boundary for the NEXT candidate page: the last kept
+    slot as an (entry distance, cluster id) pair — the strict
+    lexicographic lower bound accel/cull.py pages on. Where the list
+    did not saturate (count < kslots) the whole feasible tail fit, so
+    the bound is (+INF, max-id) and the next page selects nothing.
+    cand [G, 1, 1+(2+R)K] i32: ids at 1..1+K, te_group f32-bits at
+    1+K..1+2K."""
+    count = cand[:, 0, 0]
+    sat = count >= kslots
+    te = jax.lax.bitcast_convert_type(
+        cand[:, 0, 2 * kslots], jnp.float32)
+    lid = cand[:, 0, kslots]
+    return (jnp.where(sat, te, jnp.float32(3e38)),
+            jnp.where(sat, lid, jnp.int32(2 ** 30)))
 
 
 def eligible(scene, cfg, neeat_state) -> bool:
@@ -1268,9 +1569,158 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
     use_tex = tbl.tex_ct is not None and \
         bool(cfg.stochastic_texture_filtering)
     tex_maps = tbl.tex_maps if use_tex else (1, 0, 0, 0)
+    # nested-dielectric priorities: MT_PRIO is always packed in mat_rows
+    # (bounce_pallas.pack_materials); the shade kernel runs the false-hit
+    # pass-through only when the scene declares priorities
+    prio = bool(getattr(scene, "has_nested_priorities", False)) and _FLAT
+    # alpha/OMM: blocks carry micromap quantity lanes; transparent cells
+    # reject in-traversal, UNKNOWN cells resolve at shade time against
+    # the texture (pass-through) / stochastically for shadows
+    omm = bool(getattr(tbl, "omm", False)) and _FLAT and use_tex
+    # instanced tables: object-space prototype blocks + expanded world
+    # candidate list (accel/cluster.py build_cluster_tables_instanced)
+    instanced = bool(getattr(tbl, "instanced", False))
+    if instanced:
+        assert _FLAT, "instanced clustered tier requires the flat kernels"
+    xf_arg = tbl.xf if instanced else None
 
     def g4(x3):
         return x3.reshape(3, n_groups, _R, 128)
+
+    def _map_cand_inst(cand):
+        """World-candidate cand rows -> kernel cand rows: ids replaced
+        by pool BLOCK ids (the DMA index) and the per-slot INSTANCE ids
+        appended (read at _cand_inst_base; indexes the xf DMA +
+        inst_post). Paging boundaries must be computed from the
+        pre-remap rows (world ids are the page order's tiebreak)."""
+        if not instanced:
+            return cand
+        ids = jnp.clip(cand[:, 0, 1:1 + kslots], 0, tbl.n_clusters - 1)
+        bl = jnp.take(tbl.wc_block, ids, axis=0)
+        ins = jnp.take(tbl.wc_inst, ids, axis=0)
+        return jnp.concatenate(
+            [cand[:, 0, 0:1], bl, cand[:, 0, 1 + kslots:], ins],
+            axis=1)[:, None, :]
+
+    def _post_attr_inst(ha_t):
+        """XLA attribute post-transform for instanced hits: rotate the
+        object-space normal/tangent rows of A1's export into world space
+        per winner instance (o2w linear for tangents, normal matrix +
+        renormalize for normals) and shift the ray-cone LOD bias by the
+        instance's area-scale term. Runs on [HA_ROWS, nrows, 128]."""
+        if not instanced:
+            return ha_t
+        iid = jnp.maximum(ha_t[HA_INST].astype(jnp.int32), 0)
+        post = jnp.take(tbl.inst_post, iid, axis=0)  # [nrows,128,19]
+
+        def rot(base, moff, renorm):
+            v = ha_t[HA_ATTR + base:HA_ATTR + base + 3]
+
+            def m(k):
+                return post[..., moff + k]
+
+            out = jnp.stack([
+                m(0) * v[0] + m(1) * v[1] + m(2) * v[2],
+                m(3) * v[0] + m(4) * v[1] + m(5) * v[2],
+                m(6) * v[0] + m(7) * v[1] + m(8) * v[2]])
+            if renorm:
+                n = jnp.sqrt(jnp.maximum(
+                    out[0] * out[0] + out[1] * out[1] + out[2] * out[2],
+                    1e-24))
+                out = out / n
+            return out
+
+        rows = list(ha_t)
+        for base in (bp.AT_N0, bp.AT_N1, bp.AT_N2, bp.AT_GN):
+            r = rot(base, 9, True)
+            for j in range(3):
+                rows[HA_ATTR + base + j] = r[j]
+        r = rot(bp.AT_TANG, 0, False)
+        for j in range(3):
+            rows[HA_ATTR + bp.AT_TANG + j] = r[j]
+        rows[HA_ATTR + bp.AT_LODB] = \
+            ha_t[HA_ATTR + bp.AT_LODB] + post[..., 18]
+        return jnp.stack(rows)
+
+    # ----- paged traversal (kslots saturation without dropped geometry) --
+    # A group whose nearest-first candidate list saturates streams further
+    # PAGES of the entry-sorted cluster order; each page's cull gets the
+    # previous page's boundary as a hull-entry lower bound and the rays'
+    # committed t as a per-ray tmax, so satisfied groups produce count=0
+    # lists (the kernels' DMA gates then stream nothing). DXR-traversal
+    # analog: hardware traversal never drops geometry, it just walks more
+    # nodes. tests/test_cluster_saturation.py proves parity vs the
+    # no-cap oracle.
+    pages = int(getattr(cfg, "cluster_pages", 0)) or 1
+    pages = max(1, min(pages, -(-tbl.n_clusters // kslots)))
+    max_travel_f = jnp.float32(cfg.max_ray_travel)
+
+    def _closest_paged(o3, d3, act, od_flat):
+        """Paged closest hit: cull + kernel A1 per page, min-t merge.
+        Returns (ha [G,HA_ROWS,FL], overflow of the FINAL page — the
+        candidates still feasible past the last boundary at the
+        tightened per-ray tmax, i.e. the honest possibly-lost count)."""
+        ha = None
+        lo = None
+        tmax = max_travel_f
+        ovf = jnp.int32(0)
+        for _p in range(pages):
+            cand, ovf = cull_candidates(
+                o3, d3, act, tmax, tbl.aabb_lo, tbl.aabb_hi, kslots,
+                lo=lo)
+            ha_p = _kernel_a1_call(
+                _map_cand_inst(cand), od_flat, tbl.blocks, kslots,
+                float(cfg.max_ray_travel),
+                noprune=bool(cfg.cluster_noprune), interpret=interp,
+                omm=omm, xf=xf_arg)
+            if ha is None:
+                ha = ha_p
+            else:
+                imp = ha_p[:, HA_T:HA_T + 1] < ha[:, HA_T:HA_T + 1]
+                ha = jnp.where(imp, ha_p, ha)
+            if _p + 1 < pages:
+                lo = _page_boundary(cand, kslots)
+                tmax = jnp.minimum(ha[:, HA_T], max_travel_f).reshape(
+                    n_groups, _R, 128)
+        return ha, ovf
+
+    def _occ_paged(shp, dop):
+        """Paged any-hit occlusion: cull + kernel B1 per page, OR-merge
+        over each lane's participating pages. Returns (occ [nrows,128]
+        f32, final-page overflow)."""
+        occ = None
+        lo = None
+        ovf = jnp.int32(0)
+        dop_g = dop.reshape(n_groups, _R, 128)
+        for _p in range(pages):
+            part = dop if occ is None else (dop & (occ < 0.5))
+            if occ is None:
+                shp_p = shp
+            else:
+                shp_p = jnp.concatenate(
+                    [shp[:SH_DO], part.astype(jnp.float32)[None],
+                     shp[SH_DO + 1:]], axis=0)
+            # The cull's active mask stays the PAGE-0 mask: the group
+            # hull (and with it each cluster's entry distance, i.e. the
+            # page order) must be stable across pages or the strict
+            # boundary could exclude a never-examined cluster whose
+            # entry moved below it. Finished lanes instead drop out via
+            # per-ray tmax = -INF (cull treats that as "this row bounds
+            # nothing") — a fully finished group culls to count 0.
+            tmax_p = jnp.where(part, shp[SH_DIST], -jnp.float32(3e38))
+            cand_s, ovf = cull_candidates(
+                g4(shp_p[SH_O:SH_O + 3]), g4(shp_p[SH_D:SH_D + 3]),
+                dop_g, tmax_p.reshape(n_groups, _R, 128),
+                tbl.aabb_lo, tbl.aabb_hi, kslots, lo=lo)
+            occ_p = _kernel_b1_call(
+                _map_cand_inst(cand_s), _to_flat_groups(
+                    shp_p.reshape(SH_ROWS, npad), n_groups),
+                tbl.blocks, kslots, interpret=interp,
+                omm=omm, xf=xf_arg).reshape(nrows, 128)
+            occ = occ_p if occ is None else jnp.where(part, occ_p, occ)
+            if _p + 1 < pages:
+                lo = _page_boundary(cand_s, kslots)
+        return occ, ovf
 
     # ----- wavefront sorting (the SER analog, SURVEY §2.6) -----
     # Scatter rays between bounces are spatially incoherent, which blows
@@ -1304,61 +1754,81 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         n2 = 7 if fs2 is not None else 0
         flat2 = fs2.reshape(n2, npad) if fs2 is not None else \
             jnp.zeros((0, npad), f32)
-        # lax.sort requires same-shaped operands; mixed dtypes are fine
-        # as separate payload operands
+        # Sort-carry diet (the 24-operand carry was the #2 clustered
+        # cost, 81 ms/bounce on the city — docs/PERF_NOTES.md): the 8
+        # int rows pack into 2 words (the sort network's cost scales
+        # with operand count, the VPU pack/unpack is one linear pass)
+        # and cone+spread ride one word as a bf16 pair. O(30 ops/lane)
+        # buys ~7 fewer 2M-lane sorting-network operands.
+        iw0, iw1 = _pack_is2(flat_is)
+        cs = _pack_bf16_pair(flat_fs[bp.FS_CONE], flat_fs[bp.FS_SPREAD])
+        nf13 = bp.FS_CONE                        # rows 0..12 stay f32
         out = jax.lax.sort(
-            (skey,) + tuple(flat_fs[i] for i in range(NF))
-            + tuple(flat_is[i] for i in range(NI))
+            (skey,) + tuple(flat_fs[i] for i in range(nf13))
+            + (cs, iw0, iw1)
             + tuple(flat2[i] for i in range(n2))
             + (src.reshape(npad),), num_keys=1)
-        fs_s = jnp.stack(out[1:1 + NF]).reshape(NF, nrows, 128)
-        is_s = jnp.stack(out[1 + NF:1 + NF + NI]).reshape(NI, nrows, 128)
-        fs2_s = (jnp.stack(out[1 + NF + NI:1 + NF + NI + n2]).reshape(
+        cone_s, spread_s = _unpack_bf16_pair(out[1 + nf13])
+        fs_s = jnp.concatenate(
+            [jnp.stack(out[1:1 + nf13]),
+             cone_s[None], spread_s[None]]).reshape(NF, nrows, 128)
+        is_s = _unpack_is2(out[2 + nf13], out[3 + nf13]).reshape(
+            NI, nrows, 128)
+        fs2_s = (jnp.stack(out[4 + nf13:4 + nf13 + n2]).reshape(
             7, nrows, 128) if fs2 is not None else None)
-        src2 = out[1 + NF + NI + n2].reshape(nrows, 128)
+        src2 = out[4 + nf13 + n2].reshape(nrows, 128)
         return fs_s, is_s, fs2_s, src2
 
     src = jnp.arange(npad, dtype=jnp.int32).reshape(nrows, 128)
     sort_rays = bool(getattr(cfg, "sort_rays", True))
 
-    ray_count = jnp.zeros((), jnp.int32)
-    overflow = jnp.zeros((), jnp.int32)
-    occupancy = []
-    hit0 = None
-    for bounce in range(cfg.max_bounces):
+    def _bounce_round(fs, is_, fs2, src, neeat_hist, bounce, is_first):
+        """One wavefront bounce (sort, cull, kernel A, NEE + kernel B).
+
+        `bounce` is a STATIC int for the unrolled first bounce and a
+        TRACED uint32 inside the lax.scan over the remaining bounces —
+        the whole per-bounce program compiles ONCE instead of
+        max_bounces times (the cold city compile blew the driver bench's
+        stage budget in r4/r5; every bounce-varying decision below is
+        either static `is_first` or rides per-lane state).
+
+        Returns (fs, is_, fs2, src, neeat_hist, n_active, d_rays,
+        d_overflow, hitb)."""
         if sort_rays:
-            fs, is_, fs2, src = _sort_wavefront(fs, is_, fs2, src, bounce)
+            fs, is_, fs2, src = _sort_wavefront(
+                fs, is_, fs2, src, 0 if is_first else 1)
         active_in = is_[IS_ACTIVE]
-        occupancy.append(jnp.sum(active_in))
+        n_active = jnp.sum(active_in)
+        d_rays = n_active
         act = (active_in > 0).reshape(n_groups, _R, 128)
-        cand, ovf = cull_candidates(
-            g4(fs[FS_O:FS_O + 3]), g4(fs[FS_D:FS_D + 3]), act,
-            jnp.float32(cfg.max_ray_travel),
-            tbl.aabb_lo, tbl.aabb_hi, kslots)
-        overflow = overflow + ovf
-        scal = jnp.stack([sample_idx, jnp.uint32(bounce)]).reshape(1, 2)
+        scal = jnp.stack([
+            sample_idx,
+            jnp.asarray(bounce, jnp.uint32)]).reshape(1, 2)
         if _FLAT:
             of = fs[FS_O:FS_O + 3].reshape(3, npad)
             df = fs[FS_D:FS_D + 3].reshape(3, npad)
             od = jnp.concatenate([
                 df, W.cross3(of, df), of,
                 (active_in > 0).reshape(1, npad).astype(f32)], axis=0)
-            ha = _kernel_a1_call(
-                cand, _to_flat_groups(od, n_groups), tbl.blocks,
-                kslots, float(cfg.max_ray_travel),
-                noprune=bool(cfg.cluster_noprune), interpret=interp)
-            ha_t = _from_flat_groups(ha, HA_ROWS, nrows)
+            ha, ovf = _closest_paged(
+                g4(fs[FS_O:FS_O + 3]), g4(fs[FS_D:FS_D + 3]), act,
+                _to_flat_groups(od, n_groups))
+            d_overflow = ovf
+            ha_t = _post_attr_inst(
+                _from_flat_groups(ha, HA_ROWS, nrows))
             d_in = fs[FS_D:FS_D + 3]
             prev_pdf_in = fs[FS_PREVPDF]
             prev_delta_in = is_[IS_PREVDELTA]
-            budget_in = is_[bp.IS_BUDGET]
+            lb_pre = is_[bp.IS_LBOUNCE]
             fs, is_, sh, hitb, surf, fs2 = _kernel_a2_call(
                 scal, ha_t, fs, is_, tbl.mat_rows, tbl.light_rows,
                 tbl.env_rows,
                 tbl.tex_ct if use_tex else None,
                 tbl.tex_meta if use_tex else None,
                 key, tbl.n_lights, tbl.tr, first_emissive,
-                tex_maps=tex_maps, interpret=interp, fs2=fs2)
+                tex_maps=tex_maps, interpret=interp, fs2=fs2,
+                prio=prio, omm=omm,
+                maxb=cfg.max_bounces if (prio or omm) else None)
             if ext_nee:
                 # hitb[5]: 0 = not shaded, 1 = shaded lb==0, 2 = lb>0
                 hitm = (hitb[5] > 0.5).reshape(npad)
@@ -1370,29 +1840,54 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                     prev_pdf_in.reshape(npad),
                     prev_delta_in.reshape(npad) > 0,
                     is_[IS_PX].reshape(npad), is_[IS_PY].reshape(npad),
-                    sample_idx, bounce, first_emissive,
+                    sample_idx, 0, first_emissive,
                     first_spec=(fs2[6].reshape(npad) > 0.5 if split_ch
-                                else None))
+                                else None),
+                    lb=lb_pre.reshape(npad))
                 L = fs[FS_L:FS_L + 3] \
                     + res["em_add"].T.reshape(3, nrows, 128)
                 fs = jnp.concatenate([fs[:FS_L], L, fs[FS_L + 3:]],
                                      axis=0)
-                if split_ch and key[0] == 3 and bounce > 0:
-                    # deferred NEE-AT emissive split (primary excluded)
+                if split_ch and key[0] == 3:
+                    # deferred NEE-AT emissive split (primary excluded:
+                    # per-lane lb gate — `bounce` is traced in the scan)
                     fspec_f = fs2[6:7] > 0.5
-                    em_t = res["em_add"].T.reshape(3, nrows, 128)
+                    em_t = jnp.where(lb_pre[None] > 0,
+                                     res["em_add"].T.reshape(3, nrows, 128),
+                                     0.0)
                     cd = jnp.where(fspec_f, 0.0, em_t)
                     fs2 = jnp.concatenate(
                         [fs2[0:3] + cd, fs2[3:6] + (em_t - cd),
                          fs2[6:7]], axis=0)
                 # pack the XLA-selected shadow requests into the SH
                 # layout so the flat shadow path below runs unchanged
+                if omm:
+                    seed_sa = rng.pixel_seed(
+                        is_[IS_PX].reshape(npad),
+                        is_[IS_PY].reshape(npad),
+                        lb_pre.reshape(npad), bp.EFFECT_ALPHA)
+                    if cfg.low_discrepancy:
+                        (ua,) = rng.ld_samples(sample_idx, seed_sa, (0,))
+                    else:
+                        ua = rng.uniform_sample(
+                            seed_sa,
+                            rng.hash_combine(sample_idx, jnp.uint32(0)))
+                    ua_row = ua.reshape(1, npad)
+                else:
+                    ua_row = jnp.zeros((1, npad), f32)
                 sh = jnp.concatenate([
                     res["shadow_o"].T, res["shadow_d"].T,
                     res["sdist"][None], res["contrib"].T,
                     res["do_nee"].astype(f32)[None], res["cdiff"].T,
+                    ua_row,
                 ], axis=0).reshape(SH_ROWS, nrows, 128)
         else:
+            # legacy per-row kernel: single page (traversal + shading
+            # are one kernel, so the min-t page merge has no seam here)
+            cand, ovf = cull_candidates(
+                g4(fs[FS_O:FS_O + 3]), g4(fs[FS_D:FS_D + 3]), act,
+                max_travel_f, tbl.aabb_lo, tbl.aabb_hi, kslots)
+            d_overflow = ovf
             fs, is_, sh, hitb = _kernel_a_call(
                 scal, cand, fs, is_, tbl.mat_rows, tbl.light_rows,
                 tbl.env_rows,
@@ -1401,43 +1896,51 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                 tbl.blocks,
                 key, kslots, tbl.n_lights, tbl.tr, first_emissive,
                 tex_maps=tex_maps, interpret=interp)
-        ray_count = ray_count + jnp.sum(active_in)
-        if bounce == 0:
-            hit0 = hitb
-            src0 = src
         if use_nee or ext_nee:
             do = sh[SH_DO] > 0.5
             if sort_rays:
                 # Shadow rays target per-lane random lights; the primary
                 # wavefront order leaves group direction bounds wide, so
                 # the shadow wavefront gets its own (octant, cell) sort.
+                # Carry diet: B1 only reads o/d/dist/do/ua — the
+                # contribution rows are consumed in UNSORTED lane order
+                # after the occlusion comes back (unsort_rows below), so
+                # they never ride the sorting network. do packs into
+                # dist's sign (dist > 0 always; do=0 lanes get -dist).
                 flat_sh = sh.reshape(SH_ROWS, npad)
                 skey = ray_coherence_key(
                     flat_sh[SH_O:SH_O + 3], flat_sh[SH_D:SH_D + 3],
                     slo, sext, do.reshape(npad))
                 ssrc = jnp.arange(npad, dtype=jnp.int32)
-                out = jax.lax.sort(
-                    (skey,) + tuple(flat_sh[i] for i in range(SH_ROWS))
-                    + (ssrc,), num_keys=1)
-                shp = jnp.stack(out[1:1 + SH_ROWS]).reshape(
-                    SH_ROWS, nrows, 128)
-                ssrc = out[1 + SH_ROWS]
+                dodist = jnp.where(flat_sh[SH_DO] > 0.5,
+                                   flat_sh[SH_DIST], -flat_sh[SH_DIST])
+                carry = (flat_sh[SH_O], flat_sh[SH_O + 1],
+                         flat_sh[SH_O + 2], flat_sh[SH_D],
+                         flat_sh[SH_D + 1], flat_sh[SH_D + 2], dodist,
+                         flat_sh[SH_UA])
+                out = jax.lax.sort((skey,) + carry + (ssrc,), num_keys=1)
+                dd = out[7]
+                dop_f = (dd > 0.0).astype(f32)
+                zrow = jnp.zeros((1, npad), f32)
+                shp = jnp.concatenate([
+                    jnp.stack(out[1:7]), jnp.abs(dd)[None],
+                    zrow, zrow, zrow, dop_f[None],
+                    zrow, zrow, zrow, out[8][None]],
+                    axis=0).reshape(SH_ROWS, nrows, 128)
+                ssrc = out[9]
             else:
                 shp = sh
             dop = shp[SH_DO] > 0.5
-            cand_s, ovf2 = cull_candidates(
-                g4(shp[SH_O:SH_O + 3]), g4(shp[SH_D:SH_D + 3]),
-                dop.reshape(n_groups, _R, 128),
-                shp[SH_DIST].reshape(n_groups, _R, 128),
-                tbl.aabb_lo, tbl.aabb_hi, kslots)
-            overflow = overflow + ovf2
             if _FLAT:
-                occ = _kernel_b1_call(
-                    cand_s, _to_flat_groups(shp.reshape(SH_ROWS, npad),
-                                            n_groups),
-                    tbl.blocks, kslots, interpret=interp)
-                occ = occ.reshape(nrows, 128)
+                occ, ovf2 = _occ_paged(shp, dop)
+                d_overflow = d_overflow + ovf2
             else:
+                cand_s, ovf2 = cull_candidates(
+                    g4(shp[SH_O:SH_O + 3]), g4(shp[SH_D:SH_D + 3]),
+                    dop.reshape(n_groups, _R, 128),
+                    shp[SH_DIST].reshape(n_groups, _R, 128),
+                    tbl.aabb_lo, tbl.aabb_hi, kslots)
+                d_overflow = d_overflow + ovf2
                 occ = _kernel_b_call(cand_s, shp, tbl.blocks, kslots,
                                      interpret=interp)
             if sort_rays:
@@ -1454,7 +1957,7 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                 fs2 = jnp.concatenate(
                     [fs2[0:3] + cd, fs2[3:6] + (tot - cd), fs2[6:7]],
                     axis=0)
-            ray_count = ray_count + jnp.sum(do.astype(jnp.int32))
+            d_rays = d_rays + jnp.sum(do.astype(jnp.int32))
             if neeat_hist is not None:
                 cf = sh[SH_CONTRIB:SH_CONTRIB + 3].reshape(3, npad)
                 neeat_hist = na.accumulate_feedback(
@@ -1462,15 +1965,57 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                     jnp.maximum(cf[0] * 0.2126 + cf[1] * 0.7152
                                 + cf[2] * 0.0722, 0.0),
                     ok.reshape(npad))
+        return (fs, is_, fs2, src, neeat_hist, n_active, d_rays,
+                d_overflow, hitb)
+
+    # Bounce 0 unrolled (pixel-Morton sort key + V-buffer hit capture),
+    # bounces 1.. in ONE lax.scan so the per-bounce program — the cull,
+    # two 25-operand sort networks and three Pallas kernels — compiles
+    # once instead of max_bounces times. Nested-priority pass-through
+    # iterations (false-hit rejection, bounce_pallas surface_and_shade)
+    # do not advance the per-lane logical bounce; the scan runs extra
+    # rounds so rejected lanes still reach full depth — free here
+    # (scan trip count is runtime), unlike the fused tier's unrolled
+    # chain (trace_paths_pallas `extra`).
+    n_rounds = cfg.max_bounces + \
+        (int(getattr(cfg, "passthrough_extra_iters", 2))
+         if (prio or omm) else 0)
+    (fs, is_, fs2, src, neeat_hist, nact0, rays0, ovf0,
+     hit0) = _bounce_round(fs, is_, fs2, src, neeat_hist, 0, True)
+    src0 = src
+    ray_count = rays0
+    overflow = ovf0
+    occ_list = [nact0]
+    if n_rounds > 1 and _SCAN:
+        def _scan_body(carry, bounce_t):
+            fs, is_, fs2, src, hist, rc, ovf = carry
+            (fs, is_, fs2, src, hist, nact, d_rays, d_ovf,
+             _hitb) = _bounce_round(fs, is_, fs2, src, hist,
+                                    bounce_t, False)
+            return (fs, is_, fs2, src, hist, rc + d_rays,
+                    ovf + d_ovf), nact
+
+        (fs, is_, fs2, src, neeat_hist, ray_count, overflow), occ_s = \
+            jax.lax.scan(
+                _scan_body,
+                (fs, is_, fs2, src, neeat_hist, ray_count, overflow),
+                jnp.arange(1, n_rounds, dtype=jnp.uint32))
+        occ_list.append(occ_s)
+    elif n_rounds > 1:
+        # RTXPT_TPU_CLUSTER_SCAN=0: unrolled fallback (same body) for
+        # toolchains where the scanned program wedges the compiler
+        for b in range(1, n_rounds):
+            (fs, is_, fs2, src, neeat_hist, nact, d_rays, d_ovf,
+             _hitb) = _bounce_round(fs, is_, fs2, src, neeat_hist,
+                                    b, False)
+            ray_count = ray_count + d_rays
+            overflow = overflow + d_ovf
+            occ_list.append(nact)
+
     if tbl.env_rows is not None:
         # final env-only round for escaping rays (XLA loop parity)
         active_in = is_[IS_ACTIVE]
         act = (active_in > 0).reshape(n_groups, _R, 128)
-        cand, ovf = cull_candidates(
-            g4(fs[FS_O:FS_O + 3]), g4(fs[FS_D:FS_D + 3]), act,
-            jnp.float32(cfg.max_ray_travel),
-            tbl.aabb_lo, tbl.aabb_hi, kslots)
-        overflow = overflow + ovf
         scal = jnp.stack(
             [sample_idx, jnp.uint32(cfg.max_bounces)]).reshape(1, 2)
         if _FLAT:
@@ -1479,24 +2024,31 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
             od = jnp.concatenate([
                 df, W.cross3(of, df), of,
                 (active_in > 0).reshape(1, npad).astype(f32)], axis=0)
-            ha = _kernel_a1_call(
-                cand, _to_flat_groups(od, n_groups), tbl.blocks,
-                kslots, float(cfg.max_ray_travel),
-                noprune=bool(cfg.cluster_noprune), interpret=interp)
-            ha_t = _from_flat_groups(ha, HA_ROWS, nrows)
+            ha, ovf = _closest_paged(
+                g4(fs[FS_O:FS_O + 3]), g4(fs[FS_D:FS_D + 3]), act,
+                _to_flat_groups(od, n_groups))
+            overflow = overflow + ovf
+            ha_t = _post_attr_inst(
+                _from_flat_groups(ha, HA_ROWS, nrows))
             fs, is_, _sh, _hitf, _surf, fs2 = _kernel_a2_call(
                 scal, ha_t, fs, is_, tbl.mat_rows, tbl.light_rows,
                 tbl.env_rows, None, None,
                 key, tbl.n_lights, tbl.tr, first_emissive,
                 final_env=True, interpret=interp, fs2=fs2)
         else:
+            cand, ovf = cull_candidates(
+                g4(fs[FS_O:FS_O + 3]), g4(fs[FS_D:FS_D + 3]), act,
+                max_travel_f, tbl.aabb_lo, tbl.aabb_hi, kslots)
+            overflow = overflow + ovf
             fs, is_, _sh, _hitf = _kernel_a_call(
                 scal, cand, fs, is_, tbl.mat_rows, tbl.light_rows,
                 tbl.env_rows, None, None, tbl.blocks,
                 key, kslots, tbl.n_lights, tbl.tr, first_emissive,
                 final_env=True, interpret=interp)
         ray_count = ray_count + jnp.sum(active_in)
-    occupancy.append(jnp.sum(is_[IS_ACTIVE]))
+    occ_list.append(jnp.sum(is_[IS_ACTIVE]))
+    occupancy = jnp.concatenate(
+        [jnp.atleast_1d(o) for o in occ_list])
 
     # undo the lane permutation (src tracked through every sort)
     if sort_rays:
@@ -1504,7 +2056,7 @@ def trace_paths_clustered(scene, cfg, o, d, cone_spread, px, py, sample_idx,
         L = Lr.T[:n]
     else:
         L = fs[FS_L:FS_L + 3].reshape(3, npad).T[:n]
-    out = dict(L=L, ray_count=ray_count, occupancy=jnp.stack(occupancy),
+    out = dict(L=L, ray_count=ray_count, occupancy=occupancy,
                cull_overflow=overflow)
     if split_ch:
         if sort_rays:

@@ -932,7 +932,7 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
                       cone=None, spread=None, budget=None,
                       ld=None, ls=None, fspec=None,
                       lbounce=None, maxb=None, omm_unknown=None,
-                      prio=False):
+                      prio=False, first_direct=True):
     """Shared post-intersection bounce body: surface fetch, volume
     absorption, emissive-hit MIS, NEE light sample + BSDF eval (shadow ray
     RETURNED, not resolved), BSDF scatter sample, medium stack, RR.
@@ -978,6 +978,12 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
     def eff_seed(effect):
         return rng.hash_combine(seed_base, effect)
     em_gate = jnp.asarray(first_emissive, bool) | (lb > 0)
+    # first_direct=False (stable-planes FILL under external ReSTIR DI):
+    # the caller shades ALL primary direct light externally — suppress
+    # BSDF-sampled emissive/env arriving at lb==1 and NEE at lb==0
+    # (integrator.py:273,376,405 gates, per-lane; RtxdiPass.cpp:544-550)
+    if not first_direct:
+        em_gate = em_gate & (lb != 1)
     # diffuse/specular radiance split for per-channel denoising
     # (integrator.py:132-135 semantics; NrdConfig.cpp:25-27)
     split = bool(split_ch) and ld is not None
@@ -1074,6 +1080,20 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
                                    base_color * jnp.stack(brgba[:3], 0),
                                    base_color)
             base_alpha = jnp.where(has_b, brgba[3], 1.0)
+            if omm_unknown is not None:
+                # Alpha TEST fetch at MIP 0: the micromap bake classifies
+                # cells against level-0 alpha (scene/omm.py alpha_at), so
+                # the UNKNOWN-cell resolve must test the same signal —
+                # the ray-cone MIP average of a 0/1 cutout never crosses
+                # the cutoff (filtered alpha -> ~coverage >= cutoff) and
+                # pass-through would silently never fire. Matches the
+                # XLA retrace (omm.py intersect_closest_alpha, level 0)
+                # and the reference's SampleLevel(0) anyhit alpha test.
+                tid_b = mrow(MT_BTEX).astype(jnp.int32)
+                brgba0 = _tex_fetch_w(
+                    tex_ct_ref, tex_meta_ref, tr, tid_b, uv_u, uv_v,
+                    jnp.full_like(uv_u, -100.0), ju0, ju1)
+                base_alpha0 = jnp.where(has_b, brgba0[3], 1.0)
         if tex_maps[1]:
             has_m, mrgba = tfetch(MT_MRTEX)
             # glTF convention: B = metallic, G = roughness
@@ -1113,7 +1133,7 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
     if omm_unknown is not None and tex_refs is not None and tex_maps[0]:
         acut = mrow(MT_ACUT)
         alpha_fail = ((omm_unknown > 0.5) & (acut >= 0.0)
-                      & (base_alpha < acut))
+                      & (base_alpha0 < acut))
         passthru = passthru | (hit_mask & alpha_fail)
     if prio:
         def prow(med):
@@ -1244,6 +1264,8 @@ def surface_and_shade(*, o, d, t, hit, front, bu, bv, attr,
         f_l = W.bsdf_eval_w(bsdf, wo, wi_l)
         pdf_b = W.bsdf_pdf_w(bsdf, wo, wi_l)
         do_nee = hit_shade & lsmp["valid"] & (W.luminance3(f_l) > 0.0)
+        if not first_direct:
+            do_nee = do_nee & (lb > 0)   # primary NEE shaded externally
         shadow_o = _ray_offset_w(pos, gn, lsmp["wi"])
         if enable_mis:
             w_nee = jnp.where(lsmp["is_delta"], 1.0,
@@ -1367,7 +1389,8 @@ def _attrs_from_prim(attr_ref, prim_g, tc, n_chunks):
 def _bounce_kernel(*refs,
                    cfg_key, tc, n_chunks, n_lights, tr, first_emissive,
                    has_env, has_tex, tex_maps, final_env=False,
-                   inject=False, omm=False, prio=False, maxb=None):
+                   inject=False, omm=False, prio=False, maxb=None,
+                   first_direct=True):
     (nee_mode, enable_mis, firefly, rr_enable, min_rr, max_travel,
      low_discrepancy, energy_comp, noprune, split_ch) = cfg_key
     f32 = jnp.float32
@@ -1499,7 +1522,8 @@ def _bounce_kernel(*refs,
         ls=(fs2[3:6] if split_ch_k else None),
         fspec=(fs2[6] if split_ch_k else None),
         lbounce=is_[IS_LBOUNCE], maxb=maxb,
-        omm_unknown=(unk if omm else None), prio=prio)
+        omm_unknown=(unk if omm else None), prio=prio,
+        first_direct=first_direct)
 
     # ----- NEE shadow occlusion (in-kernel second matmul pass) -----
     L = s["L"]
@@ -1609,12 +1633,13 @@ def _interpret(cfg=None) -> bool:
     jax.jit,
     static_argnames=("cfg_key", "tc", "n_chunks", "n_lights", "tr",
                      "first_emissive", "tex_maps", "final_env",
-                     "interpret", "omm", "prio", "maxb"))
+                     "interpret", "omm", "prio", "maxb", "first_direct"))
 def _bounce_call(scal, fs, is_, tri_rows, attr_rows, mat_rows, light_rows,
                  env_rows, tex_ct, tex_meta,
                  cfg_key, tc, n_chunks, n_lights, tr, first_emissive,
                  tex_maps=(1, 0, 0, 0), final_env=False, interpret=False,
-                 inj=None, fs2=None, omm=False, prio=False, maxb=None):
+                 inj=None, fs2=None, omm=False, prio=False, maxb=None,
+                 first_direct=True):
     nrows = fs.shape[1]
     grid = nrows // _R
     has_env = env_rows is not None
@@ -1625,7 +1650,7 @@ def _bounce_call(scal, fs, is_, tri_rows, attr_rows, mat_rows, light_rows,
     kern = functools.partial(
         _bounce_kernel, cfg_key=cfg_key, tc=tc, n_chunks=n_chunks,
         n_lights=n_lights, tr=tr, first_emissive=first_emissive,
-        omm=omm, prio=prio, maxb=maxb,
+        omm=omm, prio=prio, maxb=maxb, first_direct=first_direct,
         has_env=has_env, has_tex=has_tex, tex_maps=tex_maps,
         final_env=final_env, inject=inject)
     const = lambda b: (0, 0)
@@ -1732,7 +1757,7 @@ def eligible(scene, cfg, neeat_state) -> bool:
 def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                        want_aux: bool = False, first_emissive: bool = True,
                        first_hit=None, bounce_budget=None,
-                       neeat_state=None):
+                       neeat_state=None, first_direct: bool = True):
     """Fused-kernel wavefront: same contract as integrator.trace_paths.
 
     `first_hit` (accel Hit): V-buffer restart — bounce 0 skips the
@@ -1838,7 +1863,8 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
             key, tbl.tc, tbl.n_chunks, tbl.n_lights, tbl.tr,
             first_emissive, tex_maps=tex_maps, interpret=interp,
             inj=inj0 if bounce == 0 else None, fs2=fs2,
-            omm=tbl.omm, prio=tbl.prio, maxb=cfg.max_bounces)
+            omm=tbl.omm, prio=tbl.prio, maxb=cfg.max_bounces,
+            first_direct=first_direct)
         if ext_nee:
             # hit[5]: 0 = not shaded, 1 = shaded at lb==0, 2 = at lb>0
             hitm = (hit[5] > 0.5).reshape(npad)
@@ -1853,7 +1879,8 @@ def trace_paths_pallas(scene, cfg, o, d, cone_spread, px, py, sample_idx,
                 first_spec=(fs2[6].reshape(npad) > 0.5 if split_ch
                             else None),
                 lb=(lb_in.reshape(npad) if (tbl.omm or tbl.prio)
-                    else None))
+                    else None),
+                first_direct=first_direct)
             if tbl.omm:
                 seed_sa = rng.pixel_seed(
                     is_[IS_PX].reshape(npad), is_[IS_PY].reshape(npad),

@@ -117,18 +117,30 @@ def fused_structural_ok(scene, cfg, neeat_state) -> bool:
 
 
 def clustered_structural_ok(scene, cfg, neeat_state) -> bool:
-    """Structural eligibility for the clustered streaming tier."""
+    """Structural eligibility for the clustered streaming tier.
+
+    Nested priorities run the same surface_and_shade pass-through as the
+    fused tier (extra lax.scan rounds — free in compile time); alpha/OMM
+    runs in-traversal when the cluster blocks carry micromap lanes
+    (accel/cluster.py row 31). Both require the flat all-rows kernels.
+    """
     if getattr(scene, "cluster_tables", None) is None:
         return False
+    from rtxpt_tpu.pt.bounce_clustered import _FLAT
     if scene.tri_opacity is not None:
-        return False
+        if not _FLAT or not getattr(scene.cluster_tables, "omm", False):
+            return False
+        if scene.textures is None or not cfg.stochastic_texture_filtering:
+            return False
     if scene.textures is not None:
         if getattr(scene.cluster_tables, "tex_rows", None) is None:
             return False
         if not cfg.stochastic_texture_filtering:
             return False
-    if getattr(scene, "has_nested_priorities", False):
+    if getattr(scene, "has_nested_priorities", False) and not _FLAT:
         return False
+    if getattr(scene.cluster_tables, "instanced", False) and not _FLAT:
+        return False          # object-frame re-basing is flat-tier only
     if not _nee_routing_ok(scene, cfg, neeat_state,
                            scene.cluster_tables):
         return False
@@ -171,6 +183,8 @@ def resolve(scene, cfg, neeat_state=None):
 
     kslots = int(cfg.cluster_kslots) or \
         int(env.get("RTXPT_TPU_CLUSTER_KSLOTS", "64"))
+    pages = int(cfg.cluster_pages) or \
+        int(env.get("RTXPT_TPU_CLUSTER_PAGES", "2"))
     energy = cfg.kernel_energy_comp and env.get("RTXPT_TPU_KERNEL_MS") != "0"
     noprune = cfg.cluster_noprune or \
         env.get("RTXPT_TPU_CLUSTER_NOPRUNE") == "1"
@@ -179,7 +193,8 @@ def resolve(scene, cfg, neeat_state=None):
         needs_external_nee(scene, cfg, neeat_state)
     out = dataclasses.replace(
         cfg, kernel_tier=tier, pallas_interpret=bool(interp),
-        cluster_kslots=kslots, kernel_energy_comp=energy,
+        cluster_kslots=kslots, cluster_pages=pages,
+        kernel_energy_comp=energy,
         cluster_noprune=noprune, nee_external=ext)
 
     # Tier visibility (VERDICT "What's weak" #4: silent 8x cliffs): log

@@ -96,8 +96,9 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
     from rtxpt_tpu.pt import dispatch
     if cfg.kernel_tier == "auto":
         cfg = dispatch.resolve(scene, cfg, neeat_state)
-    if not first_direct and cfg.kernel_tier != "xla":
-        # external-DI fills (ReSTIR x stable planes) run the wavefront
+    if not first_direct and cfg.kernel_tier == "clustered":
+        # external-DI fills (ReSTIR x stable planes) carry V-buffer
+        # restarts, which the clustered tier doesn't serve — wavefront
         import dataclasses as _dc
         cfg = _dc.replace(cfg, kernel_tier="xla")
     if cfg.kernel_tier == "fused":
@@ -107,7 +108,8 @@ def trace_paths(scene: SceneData, cfg: PathTracerConfig, o, d, cone_spread,
                                      first_emissive=first_emissive,
                                      first_hit=first_hit,
                                      bounce_budget=bounce_budget,
-                                     neeat_state=neeat_state)
+                                     neeat_state=neeat_state,
+                                     first_direct=first_direct)
     if first_hit is None and cfg.kernel_tier == "clustered":
         from rtxpt_tpu.pt import bounce_clustered as bc
         return bc.trace_paths_clustered(scene, cfg, o, d, cone_spread,

@@ -77,7 +77,7 @@ def _rebuild_bsdf(scene, surf_c):
 def external_nee(scene, cfg, neeat_state, surf, d_in, hit_mask,
                  prev_pdf_in, prev_delta_in, px, py, sample_idx, bounce,
                  first_emissive: bool = True, first_spec=None,
-                 lb=None):
+                 lb=None, first_direct: bool = True):
     """NEE selection + eval + MIS for a kernel-exported wavefront.
 
     surf [SF_ROWS, npad] f32 (bounce_pallas SF_*); d_in [3, npad]
@@ -100,14 +100,15 @@ def external_nee(scene, cfg, neeat_state, surf, d_in, hit_mask,
     use_neeat = cfg.nee == NEEMode.NEEAT and neeat_state is not None
     nee_uniform = cfg.nee == NEEMode.UNIFORM
     k_cand = max(int(cfg.nee_candidates), 1)
-    em_gate = bool(first_emissive) or bounce > 0
-
     split = first_spec is not None
     # per-lane LOGICAL bounce: with pass-through iterations on the Pallas
     # tiers the loop index over-counts; lb restores the per-lane bounce
     # semantics (and the per-vertex RNG keying) exactly as the XLA
-    # retrace would see them (bounce_pallas IS_LBOUNCE)
+    # retrace would see them (bounce_pallas IS_LBOUNCE). With lb given,
+    # `bounce` may be a TRACED scalar (the clustered tier's scanned
+    # bounce chain) — every bounce-static decision must then ride lb.
     per_lane_lb = lb is not None
+    em_gate = bool(first_emissive) or per_lane_lb or bounce > 0
 
     def body(ops):
         if per_lane_lb:
@@ -211,6 +212,11 @@ def external_nee(scene, cfg, neeat_state, surf, d_in, hit_mask,
             pdf_b = B.bsdf_pdf(bsdf, wo, wi_l)
 
         do_nee = hmask & ls["valid"] & (m.luminance(f_l) > 0.0)
+        if not first_direct:
+            # primary direct light is shaded externally (ReSTIR DI —
+            # integrator.py:405 gate, per-lane on the Pallas tiers)
+            do_nee = do_nee & ((lb_c > 0) if per_lane_lb else
+                               jnp.full((n,), bounce > 0, bool))
         shadow_o = ray_offset(pos, gn, ls["wi"])
         if cfg.enable_mis:
             w_nee = jnp.where(ls["is_delta"], 1.0,

@@ -72,6 +72,30 @@ class FrameMetrics:
         except Exception:
             return {}
 
+    @staticmethod
+    @contextlib.contextmanager
+    def profiler_trace(out_dir: str):
+        """Capture a `jax.profiler` device trace around the enclosed
+        frames (SURVEY.md §5 TPU plan — the Nsight/PIX pass-marker
+        analog, Sample.cpp:2459/2498). View with TensorBoard or
+        xprof; yields the artifact directory (or None when the
+        profiler is unavailable on this backend) so callers can embed
+        the path in their metrics JSON."""
+        import jax
+
+        try:
+            jax.profiler.start_trace(out_dir)
+        except Exception:
+            yield None
+            return
+        try:
+            yield out_dir
+        finally:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+
     def dump_json(self, path: str):
         with open(path, "w") as f:
             json.dump({"frames": self.frames, "avg": self.averages()}, f,

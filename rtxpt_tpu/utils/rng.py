@@ -124,8 +124,31 @@ def _make_direction_vectors() -> np.ndarray:
 _SOBOL_V = _make_direction_vectors()          # np [NDIM, 32] uint32
 
 
-def sobol_u32(index, dim: int):
+def _rev32_np(v):
+    r = np.zeros_like(v)
+    for b in range(32):
+        r |= ((v >> np.uint32(b)) & np.uint32(1)) << np.uint32(31 - b)
+    return r
+
+
+_REV_SOBOL_V = _rev32_np(_SOBOL_V)            # bit-reversed vectors
+
+
+INDEX_BITS = 16
+"""Sample-index space is 2**INDEX_BITS: the Owen index shuffle permutes
+[0, 2^16) and the direction-vector folds iterate 16 bits instead of 32
+(halving the hottest integer loop in the fused bounce kernel). 65,536
+samples/pixel is 16x the reference's own converged-test ceiling
+(Support/tests/tests.json sampleCount 4096)."""
+
+
+def sobol_u32(index, dim: int, nbits: int = 32, rev: bool = False):
     """Sobol' sample `index` in dimension `dim` (static), as uint32.
+
+    `nbits` bounds the index (`index < 2**nbits` assumed); the fold skips
+    the always-zero high bits. `rev=True` folds bit-REVERSED direction
+    vectors, yielding reverse_bits_u32(sobol) at no extra cost (the Owen
+    scramble wants its input in that domain — saves a per-dim reversal).
 
     Op diet (bit-exact, validated): dim 0's direction vectors are the
     single bits 1<<(31-k), so its XOR-fold IS a bit reversal; other dims
@@ -135,14 +158,19 @@ def sobol_u32(index, dim: int):
     bounce — docs/PERF_NOTES.md round-4b VPU-bound analysis)."""
     assert 0 <= dim < SOBOL_NDIM
     index = _u32(index)
-    if dim == 0:
+    if dim == 0 and not rev:
         return reverse_bits_u32(index)   # v[0,k] == 1 << (31-k)
+    if dim == 0:
+        return index                     # rev(rev(index)) == index
     idx_i = index.astype(jnp.int32)
     result = jnp.zeros_like(index)
-    for k in range(32):
+    for k in range(nbits):
         mask = jax.lax.shift_right_arithmetic(
             jax.lax.shift_left(idx_i, 31 - k), 31).astype(U32)
-        result ^= mask & U32(int(_SOBOL_V[dim, k]))
+        v = int(_SOBOL_V[dim, k])
+        if rev:
+            v = int(_REV_SOBOL_V[dim, k])
+        result ^= mask & U32(v)
     return result
 
 
@@ -152,12 +180,22 @@ def sobol_u32(index, dim: int):
 
 
 def laine_karras_permutation(x, seed):
+    """Seed-keyed per-bit permutation (each output bit depends only on
+    lower-or-equal input bits — the Owen-scramble building block).
+
+    This is Burley's improved variant (JCGT 2020 §3, the hash used by
+    Cycles' Sobol-Burley sampler): the multiply by a seed-derived odd
+    constant diffuses the seed into every bit, which the original
+    Laine-Karras constants do not — with scramble-only decorrelation
+    (see shuffled_scrambled_sobol_u32) the original leaves ~0.73
+    cross-seed correlation; this variant measures <0.03."""
     x = _u32(x)
-    x += _u32(seed)
-    x ^= x * U32(0x6C50B47C)
-    x ^= x * U32(0xB82F1E52)
-    x ^= x * U32(0xC7AFE638)
-    x ^= x * U32(0x8D22F6E6)
+    seed = _u32(seed)
+    x ^= x * U32(0x3D20ADEA)
+    x += seed
+    x *= (seed >> 16) | U32(1)
+    x ^= x * U32(0x05526C56)
+    x ^= x * U32(0x53A22864)
     return x
 
 
@@ -168,11 +206,38 @@ def nested_uniform_scramble(x, seed):
     return reverse_bits_u32(x)
 
 
+def _shuffle_index(index, shuffle_seed):
+    """Owen shuffle of the sample index within the 2**INDEX_BITS space.
+
+    A nested uniform scramble of the index is itself a valid shuffle: any
+    prefix of the sequence maps to a dyadically-structured subset, so the
+    first 2^m shuffled indices still evaluate to a (t,m,s)-net (Burley
+    2020 §10.2). Restricting to the low 16 bits is sound because every
+    output bit of the permutation depends only on lower-or-equal input
+    bits — the low-16 restriction is a bijection on [0, 2^16).
+
+    The shuffle (not just the scramble) is what decorrelates pixels:
+    an Owen scramble keyed by two different seeds flips each point's MSB
+    by a constant, leaving |corr| ~= 0.75 between streams — measured;
+    different shuffled INDICES give genuinely different Sobol' points.
+    """
+    x = reverse_bits_u32(_u32(index)) >> U32(32 - INDEX_BITS)
+    x = laine_karras_permutation(x, shuffle_seed)
+    x &= U32((1 << INDEX_BITS) - 1)
+    return reverse_bits_u32(x) >> U32(32 - INDEX_BITS)
+
+
 def shuffled_scrambled_sobol_u32(index, seed, dim: int):
     """Owen-shuffled, Owen-scrambled Sobol' point — one dimension.
 
     `dim` may exceed SOBOL_NDIM: higher dims are "padded" by decorrelating
     the shuffle seed per dim-block, the standard padding construction.
+
+    Op diet vs round 4 (the sampler measured ~63% of the fused Cornell
+    frame, scripts/profile_fused.py): the shuffle and the direction-vector
+    folds run in the 16-bit index space (INDEX_BITS) instead of 32, and
+    the folds use bit-reversed direction vectors so their output is
+    already in the Owen-scramble domain (one reversal per dim saved).
     """
     block, d = divmod(dim, SOBOL_NDIM)
     seed = _u32(seed)
@@ -181,14 +246,10 @@ def shuffled_scrambled_sobol_u32(index, seed, dim: int):
                                       & 0xFFFFFFFF))
     shuffle_seed = lowbias32(seed ^ U32(0xA511E9B3))
     scramble_seed = hash_combine(seed, U32(d + 1))
-    shuffled = nested_uniform_scramble(_u32(index), shuffle_seed)
-    if d == 0:
-        # scramble(reverse(shuffled), s) == reverse(LK(shuffled, s)):
-        # the scramble's inner bit reversal cancels sobol dim 0's.
-        return reverse_bits_u32(
-            laine_karras_permutation(shuffled, scramble_seed))
-    x = sobol_u32(shuffled, d)
-    return nested_uniform_scramble(x, scramble_seed)
+    shuffled = _shuffle_index(index, shuffle_seed)
+    # rev=True: p_rev == reverse_bits(sobol(shuffled, d)); dim 0 is free.
+    p_rev = sobol_u32(shuffled, d, nbits=INDEX_BITS, rev=True)
+    return reverse_bits_u32(laine_karras_permutation(p_rev, scramble_seed))
 
 
 # ---------------------------------------------------------------------------
@@ -234,18 +295,13 @@ def ld_samples(sample_index, seed, dims):
         if block:
             sb = hash_combine(sb, U32((block * 0x55555555 + 0x68BC21EB)
                                       & 0xFFFFFFFF))
-        shuffled = nested_uniform_scramble(index,
-                                           lowbias32(sb ^ U32(0xA511E9B3)))
+        shuffled = _shuffle_index(index, lowbias32(sb ^ U32(0xA511E9B3)))
         for d in ds:
             dd = d % SOBOL_NDIM
             cs = hash_combine(sb, U32(dd + 1))
-            if dd == 0:
-                # see shuffled_scrambled_sobol_u32 — exact dim-0 shortcut
-                out[d] = u32_to_unit_float(reverse_bits_u32(
-                    laine_karras_permutation(shuffled, cs)))
-            else:
-                out[d] = u32_to_unit_float(
-                    nested_uniform_scramble(sobol_u32(shuffled, dd), cs))
+            p_rev = sobol_u32(shuffled, dd, nbits=INDEX_BITS, rev=True)
+            out[d] = u32_to_unit_float(reverse_bits_u32(
+                laine_karras_permutation(p_rev, cs)))
     return tuple(out[d] for d in dims)
 
 

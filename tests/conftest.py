@@ -32,6 +32,7 @@ _SLOW_MODULES = {
     "test_refit.py", "test_denoise_modes.py", "test_nested_priority.py",
     "test_gltf_anim.py", "test_restir_integration.py",
     "test_kitchen_parity.py", "test_sphere_light.py",
+    "test_cluster_omm.py",
 }
 
 

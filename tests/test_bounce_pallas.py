@@ -40,8 +40,10 @@ def test_tables_built():
     assert scene.bounce_tables is not None
     tbl = scene.bounce_tables
     assert tbl.n_tris == 36
-    assert tbl.tri_rows.shape == (4 * 128, 128)
-    assert tbl.attr_rows.shape[1] == 128
+    # chunk depth rounds to the 8-sublane f32 tile (36 -> 40), 4
+    # coefficient row groups per chunk (bounce_pallas._build_tables)
+    assert tbl.tri_rows.shape == (4 * 40, 128)
+    assert tbl.attr_rows.shape[1] == tbl.tc == 40
 
 
 @pytest.mark.parametrize("nee", [NEEMode.POWER, NEEMode.UNIFORM,
@@ -127,3 +129,31 @@ def test_bounce_kernel_vbuffer_injection(force_interpret):
     full = trace_paths_pallas(scene, cfg, o, d, spread, px, py, sidx,
                               first_hit=fh)
     assert np.abs(np.asarray(full["L"]) - L_out).max() > 1e-4
+
+
+def test_bounce_kernel_first_direct_matches_xla(force_interpret):
+    """first_direct=False (stable-planes FILL under external ReSTIR DI,
+    VERDICT r4 missing #3): the fused kernel's per-lane gates must match
+    the XLA wavefront's static bounce gates (integrator.py:273,376,405),
+    and the result must be strictly darker than the full trace (primary
+    direct light removed)."""
+    from rtxpt_tpu.pt.bounce_pallas import trace_paths_pallas
+    from rtxpt_tpu.pt.integrator import trace_paths
+
+    scene = prepare(cornell_box())
+    cfg, o, d, spread, px, py, sidx = _rays(scene)
+    cfg = PathTracerConfig(max_bounces=3, nee=NEEMode.POWER,
+                           enable_russian_roulette=False)
+
+    ref = trace_paths(scene.replace(bounce_tables=None), cfg, o, d, spread,
+                      px, py, sidx, first_direct=False)
+    out = trace_paths_pallas(scene, cfg, o, d, spread, px, py, sidx,
+                             first_direct=False)
+    L_ref = np.asarray(ref["L"])
+    L_out = np.asarray(out["L"])
+    assert np.isfinite(L_out).all()
+    np.testing.assert_allclose(L_out, L_ref, rtol=2e-3, atol=2e-3)
+
+    full = np.asarray(trace_paths_pallas(
+        scene, cfg, o, d, spread, px, py, sidx)["L"])
+    assert L_out.mean() < full.mean() * 0.9
